@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Benchmark harness (reference §2.7 measurement pattern: wall-clock around
+an action, docs/02-lab-optimizations.md:95-104).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed once to warm the JVM/code cache, then timed over
+``--reps`` runs (min taken) with a ``count()`` action to force full
+execution without collecting results to the driver.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from delta_lake_optimizations_spark import get_spark
+from delta_lake_optimizations_spark.registry import registry
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    if base.startswith("sf"):
+        try:
+            return float(base[2:])
+        except ValueError:
+            pass
+    return -1.0
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument(
+        "--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    )
+    parser.add_argument("--reps", type=int, default=2)
+    parser.add_argument("--warmup", type=int, default=1)
+    args = parser.parse_args()
+
+    spark = get_spark(app_name="bench")
+    headline = {name: q for name, q in registry().items() if q.headline}
+
+    timings: dict[str, float] = {}
+    for name, qdef in sorted(headline.items()):
+        for _ in range(args.warmup):
+            qdef.fn(spark, args.sf_dir).count()
+        best = float("inf")
+        for _ in range(args.reps):
+            t0 = time.perf_counter()
+            qdef.fn(spark, args.sf_dir).count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_from_dir(args.sf_dir),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

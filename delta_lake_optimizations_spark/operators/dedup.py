@@ -1,0 +1,430 @@
+"""Deduplication operators over the ``documents`` table (SURVEY.md §2.9 X1/X2).
+
+Four families, each a reusable DataFrame->DataFrame function plus a
+registered query:
+
+- exact: group/dropDuplicates on content or a content hash (X1);
+- n-gram Jaccard: shingle + explode + self-join — exact pairwise
+  similarity within a blocking key (SQL-expressible, has an oracle);
+- MinHash: banded signature join (LSH) — the scale path for near-dup
+  (approximate, no SQL oracle; determinism pinned by fixed hash params);
+- SimHash: 64-bit signature from token hashes, near-dups = small Hamming
+  distance (no SQL oracle).
+
+Scale notes: every self-join is blocked (by band/bucket/source) so the
+candidate-pair space stays bounded; nothing materializes the O(n^2) pair
+matrix. All hashing uses built-in ``xxhash64``/``sha2`` (JVM-side,
+whole-stage codegen) — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from delta_lake_optimizations_spark.catalog import load_table
+from delta_lake_optimizations_spark.registry import query
+
+# ---------------------------------------------------------------------------
+# X1: exact dedup
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """Keep the lowest-id row per distinct content value (deterministic)."""
+    return df.groupBy(content_col).agg(
+        F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+
+
+@query(
+    "dedup_exact_text",
+    tags=("dedup",),
+    oracle="""
+        SELECT
+            MIN(doc_id) AS keep_id,
+            COUNT(*) AS n_copies
+        FROM documents
+        GROUP BY text
+    """,
+)
+def dedup_exact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup: one survivor (lowest doc_id) per distinct text."""
+    documents = load_table(spark, sf_dir, "documents")
+    return dedup_exact(documents, "text", "doc_id").select("keep_id", "n_copies")
+
+
+@query(
+    "dedup_exact_hash",
+    tags=("dedup",),
+    oracle="""
+        SELECT
+            sha256(text) AS content_hash,
+            MIN(doc_id) AS keep_id,
+            COUNT(*) AS n_copies
+        FROM documents
+        GROUP BY sha256(text)
+    """,
+)
+def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on a SHA-256 content hash.
+
+    At 100 TB the hash (32 bytes) shuffles instead of the document body —
+    this is the form that scales; group keys stay tiny.
+    """
+    documents = load_table(spark, sf_dir, "documents")
+    return (
+        documents.withColumn("content_hash", F.sha2("text", 256))
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact pairwise within blocks)
+# ---------------------------------------------------------------------------
+
+
+def tokenize(col: Column) -> Column:
+    """Lowercased whitespace tokens (identical semantics to the DuckDB
+    oracle's regexp split)."""
+    return F.split(F.lower(F.trim(col)), r"\s+")
+
+
+def token_ngrams(col: Column, n: int) -> Column:
+    """Distinct word n-grams as space-joined strings."""
+    toks = tokenize(col)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs via explode + equi-join.
+
+    Pairs are generated only where at least one n-gram matches (the join),
+    optionally restricted to a blocking column — never a cross join. The
+    intersection count comes from the grouped join; union sizes from the
+    per-doc distinct n-gram counts.
+    """
+    grams = df.select(
+        F.col(id_col).alias("_id"),
+        *( [F.col(block_col).alias("_blk")] if block_col else [] ),
+        F.explode(token_ngrams(F.col(text_col), n)).alias("_gram"),
+    ).distinct()
+    sizes = grams.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
+
+    left = grams
+    right = grams.select(
+        F.col("_id").alias("_id2"),
+        *( [F.col("_blk").alias("_blk2")] if block_col else [] ),
+        F.col("_gram").alias("_gram2"),
+    )
+    join_cond = (F.col("_gram") == F.col("_gram2")) & (F.col("_id") < F.col("_id2"))
+    if block_col:
+        join_cond = join_cond & (F.col("_blk") == F.col("_blk2"))
+    inter = (
+        left.join(right, join_cond)
+        .groupBy("_id", "_id2")
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    sized = (
+        inter.join(sizes.withColumnRenamed("_id", "_ida").withColumnRenamed("_sz", "_sza"),
+                   F.col("_id") == F.col("_ida"))
+        .join(sizes.withColumnRenamed("_id", "_idb").withColumnRenamed("_sz", "_szb"),
+              F.col("_id2") == F.col("_idb"))
+    )
+    jac = F.col("_inter").cast("double") / (
+        F.col("_sza") + F.col("_szb") - F.col("_inter")
+    ).cast("double")
+    return (
+        sized.select(
+            F.col("_id").alias("doc_a"),
+            F.col("_id2").alias("doc_b"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# X2: MinHash + banded LSH (scale path for near-dup)
+# ---------------------------------------------------------------------------
+
+# Mersenne prime 2^31-1: affine hash math stays far below 2^63 so it is
+# safe under ANSI mode (Spark 4 default) — no long-overflow errors.
+_MINHASH_PRIME = (1 << 31) - 1
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 64,
+) -> DataFrame:
+    """Per-document MinHash signature over word n-grams.
+
+    Each n-gram gets a base hash (``xxhash64`` folded into [0, 2^31-1));
+    permutation ``i`` is the affine map ``(a_i * h + b_i) mod p``
+    (Carter-Wegman universal hashing) with fixed deterministic parameters.
+    The signature is ``array<bigint>`` of per-permutation minima — computed
+    with explode + groupBy + min, all JVM-side.
+    """
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(token_ngrams(F.col(text_col), n)).alias("_gram"),
+    ).select("_id", F.pmod(F.xxhash64("_gram"), F.lit(_MINHASH_PRIME)).alias("_h"))
+    # a_i * h + b_i <= ~127 * 2^31 + b  <<  2^63: ANSI-safe.
+    mins = base.groupBy("_id").agg(
+        *[
+            F.min(
+                F.pmod(
+                    F.col("_h") * F.lit(2 * i + 1) + F.lit(1000003 * (i + 1)),
+                    F.lit(_MINHASH_PRIME),
+                )
+            ).alias(f"_m{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    return mins.select(
+        "_id", F.array(*[F.col(f"_m{i}") for i in range(num_hashes)]).alias("signature")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup candidate pairs via banded MinHash LSH, verified by the
+    signature-estimated Jaccard.
+
+    Bands of ``num_hashes/bands`` rows are hashed to buckets; documents
+    sharing any band bucket become candidates (equi-join on the bucket key —
+    never a cross join, so this survives 100 TB). Candidates are then scored
+    by fraction of matching signature positions and filtered.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, n=n, num_hashes=num_hashes)
+
+    banded = sigs.select(
+        "_id",
+        "signature",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.element_at("signature", b * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ],
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    right = banded.select(
+        F.col("_id").alias("_id2"),
+        F.col("signature").alias("signature2"),
+        F.col("band").alias("band2"),
+        F.col("bucket").alias("bucket2"),
+    )
+    cand = (
+        banded.join(
+            right,
+            (F.col("band") == F.col("band2"))
+            & (F.col("bucket") == F.col("bucket2"))
+            & (F.col("_id") < F.col("_id2")),
+        )
+        .select("_id", "_id2", "signature", "signature2")
+        .dropDuplicates(["_id", "_id2"])
+    )
+    est_jaccard = (
+        F.size(
+            F.filter(
+                F.zip_with("signature", "signature2", lambda a, b: a == b),
+                lambda m: m,
+            )
+        ).cast("double")
+        / F.lit(float(num_hashes))
+    )
+    return (
+        cand.withColumn("est_jaccard", F.round(est_jaccard, 6))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select(
+            F.col("_id").alias("doc_a"),
+            F.col("_id2").alias("doc_b"),
+            "est_jaccard",
+        )
+    )
+
+
+@query("dedup_minhash_lsh", tags=("dedup", "approx"))
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs (approximate; rows-only driver check —
+    pytest pins determinism and recall against the exact Jaccard pairs)."""
+    documents = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(documents, "doc_id", "text", threshold=0.5).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+# ---------------------------------------------------------------------------
+# X2b: SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash over word tokens.
+
+    Per token: 64-bit ``xxhash64``. Per document and bit position: sum of
+    +1/-1 votes; the signature bit is 1 where the vote is positive. The 64
+    conditional aggregates stay inside one hash-aggregate stage.
+    """
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(tokenize(F.col(text_col))).alias("_tok"),
+    ).select("_id", F.xxhash64("_tok").alias("_h"))
+    votes = toks.groupBy("_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("_h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"_v{i}")
+            for i in range(64)
+        ]
+    )
+    sig = None
+    for i in range(64):
+        bit = F.when(F.col(f"_v{i}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, i)
+        sig = term if sig is None else sig.bitwiseOR(term)
+    return votes.select("_id", sig.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 8
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, blocked on 16-bit chunks.
+
+    Pigeonhole: two signatures within Hamming distance 3 share at least one
+    of four 16-bit chunks exactly; candidates come from equi-joins on
+    (chunk_index, chunk_value) — no cross join.
+    """
+    sigs = simhash(df, id_col, text_col)
+    chunks = sigs.select(
+        "_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), 16 * c).bitwiseAND(F.lit(0xFFFF))
+                    for c in range(4)
+                ]
+            )
+        ).alias("chunk_idx", "chunk_val"),
+    )
+    right = chunks.select(
+        F.col("_id").alias("_id2"),
+        F.col("simhash").alias("simhash2"),
+        F.col("chunk_idx").alias("chunk_idx2"),
+        F.col("chunk_val").alias("chunk_val2"),
+    )
+    cand = (
+        chunks.join(
+            right,
+            (F.col("chunk_idx") == F.col("chunk_idx2"))
+            & (F.col("chunk_val") == F.col("chunk_val2"))
+            & (F.col("_id") < F.col("_id2")),
+        )
+        .select("_id", "_id2", "simhash", "simhash2")
+        .dropDuplicates(["_id", "_id2"])
+    )
+    hamming = F.bit_count(F.col("simhash").bitwiseXOR(F.col("simhash2")))
+    return (
+        cand.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select(F.col("_id").alias("doc_a"), F.col("_id2").alias("doc_b"), "hamming")
+    )
+
+
+@query("dedup_simhash", tags=("dedup", "approx"))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (rows-only driver check)."""
+    documents = load_table(spark, sf_dir, "documents")
+    return simhash_near_pairs(documents, "doc_id", "text", max_hamming=8).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    tags=("dedup",),
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, source,
+                   string_split_regex(lower(trim(text)), '\\s+') AS t
+            FROM documents
+        ),
+        grams AS (
+            SELECT DISTINCT
+                doc_id,
+                source,
+                array_to_string(t[i.i : i.i + 2], ' ') AS gram
+            FROM toks,
+                 LATERAL (
+                     SELECT UNNEST(range(1, GREATEST(len(t) - 2, 1) + 1)) AS i
+                 ) i
+        ),
+        sizes AS (
+            SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id
+        ),
+        inter AS (
+            SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS n_inter
+            FROM grams a
+            JOIN grams b
+              ON a.gram = b.gram AND a.source = b.source AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT * FROM (
+            SELECT
+                ida AS doc_a,
+                idb AS doc_b,
+                ROUND(
+                    CAST(n_inter AS DOUBLE)
+                    / CAST(sa.sz + sb.sz - n_inter AS DOUBLE),
+                    6
+                ) AS jaccard
+            FROM inter
+            JOIN sizes sa ON ida = sa.doc_id
+            JOIN sizes sb ON idb = sb.doc_id
+        )
+        WHERE jaccard >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram Jaccard near-dup pairs, blocked by source."""
+    documents = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(
+        documents, "doc_id", "text", n=3, threshold=0.5, block_col="source"
+    )

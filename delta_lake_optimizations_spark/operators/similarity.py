@@ -1,0 +1,233 @@
+"""Similarity search over embeddings (SURVEY.md §2.9 X3).
+
+- ``topk_cosine``: exact brute-force top-k against a query vector — the
+  correctness baseline. One scan, no shuffle until the final top-k.
+- ``cosine_near_dup_pairs``: all pairs above a cosine threshold within a
+  blocking key (embedding-based near-dup, X2's vector twin).
+- ``ann_lsh_topk``: random-hyperplane LSH bucketing — the approximate
+  scale path (candidates only from matching buckets).
+
+Float-parity note: element products are computed in DOUBLE on both the
+Spark and DuckDB side, folded left-to-right, so oracle hashes match (see
+``queries/vectors.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from delta_lake_optimizations_spark.catalog import load_table
+from delta_lake_optimizations_spark.queries.vectors import cosine, dot, l2_norm_sq
+from delta_lake_optimizations_spark.registry import query
+
+
+def query_vector(spark: SparkSession, sf_dir: str, vec_id: int) -> list[float]:
+    """Fetch one embedding to use as a query parameter (driver-side by
+    design — it is a query constant, not a data path)."""
+    row = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == vec_id)
+        .select("embedding")
+        .first()
+    )
+    if row is None:
+        raise ValueError(f"vec_id {vec_id} not found in {sf_dir}")
+    return [float(x) for x in row[0]]
+
+
+def topk_cosine(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force cosine top-k: scan + per-row fold + global top-k.
+
+    The query vector is a literal array (broadcast with the plan, no join).
+    ``orderBy(...).limit(k)`` compiles to TakeOrderedAndProject — each
+    partition keeps k rows, the driver merges; no full sort at 100 TB.
+    """
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    sim = F.round(cosine(F.col(vec_col), q), 6)
+    return (
+        df.select(F.col(id_col), sim.alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+@query(
+    "topk_cosine_bruteforce",
+    headline=True,
+    tags=("similarity", "vector"),
+    oracle="""
+        WITH q AS (
+            SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+        ),
+        scored AS (
+            SELECT
+                vec_id,
+                ROUND(
+                    list_sum(list_transform(
+                        list_zip(embedding, q.qv),
+                        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)
+                    ))
+                    / (
+                        SQRT(list_sum(list_transform(
+                            embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                        )))
+                        * SQRT(list_sum(list_transform(
+                            q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                        )))
+                    ),
+                    6
+                ) AS cos_sim
+            FROM embeddings, q
+        )
+        SELECT vec_id, cos_sim
+        FROM scored
+        ORDER BY cos_sim DESC, vec_id
+        LIMIT 10
+    """,
+)
+def topk_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 nearest neighbours (cosine) of vec_id=0, exact."""
+    embeddings = load_table(spark, sf_dir, "embeddings")
+    qv = query_vector(spark, sf_dir, 0)
+    return topk_cosine(embeddings, qv, k=10)
+
+
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = None,
+) -> DataFrame:
+    """All pairs with cosine >= threshold, equi-joined on a blocking key.
+
+    With a block column the pair space is bounded per block; without one
+    this is a conscious cross join (only for small inputs). For 100 TB use
+    ``ann_lsh_buckets`` as the blocker instead.
+    """
+    left = df.select(
+        F.col(id_col).alias("_ida"),
+        F.col(vec_col).alias("_va"),
+        *([F.col(block_col).alias("_blk")] if block_col else []),
+    )
+    right = df.select(
+        F.col(id_col).alias("_idb"),
+        F.col(vec_col).alias("_vb"),
+        *([F.col(block_col).alias("_blk2")] if block_col else []),
+    )
+    cond = F.col("_ida") < F.col("_idb")
+    if block_col:
+        cond = cond & (F.col("_blk") == F.col("_blk2"))
+    sim = F.round(cosine(F.col("_va"), F.col("_vb")), 6)
+    return (
+        left.join(right, cond)
+        .select(
+            F.col("_ida").alias("vec_a"),
+            F.col("_idb").alias("vec_b"),
+            sim.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+@query(
+    "dedup_embedding_cosine",
+    tags=("dedup", "similarity"),
+    oracle="""
+        SELECT * FROM (
+            SELECT
+                a.vec_id AS vec_a,
+                b.vec_id AS vec_b,
+                ROUND(
+                    list_sum(list_transform(
+                        list_zip(a.embedding, b.embedding),
+                        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)
+                    ))
+                    / (
+                        SQRT(list_sum(list_transform(
+                            a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                        )))
+                        * SQRT(list_sum(list_transform(
+                            b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                        )))
+                    ),
+                    6
+                ) AS cos_sim
+            FROM embeddings a
+            JOIN embeddings b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+        )
+        WHERE cos_sim >= 0.4
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs within each label block."""
+    embeddings = load_table(spark, sf_dir, "embeddings")
+    return cosine_near_dup_pairs(embeddings, threshold=0.4, block_col="label")
+
+
+# ---------------------------------------------------------------------------
+# Approximate scale path: random-hyperplane LSH
+# ---------------------------------------------------------------------------
+
+
+def _hyperplane(dim: int, plane_idx: int) -> list[float]:
+    """Deterministic pseudo-random unit-free hyperplane (fixed LCG — no RNG
+    state, reproducible across cluster sizes)."""
+    out = []
+    x = (plane_idx * 2654435761 + 1013904223) & 0xFFFFFFFF
+    for _ in range(dim):
+        x = (x * 1664525 + 1013904223) & 0xFFFFFFFF
+        out.append(((x >> 8) / float(1 << 24)) * 2.0 - 1.0)
+    return out
+
+
+def ann_lsh_buckets(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 16,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Add a random-hyperplane LSH ``bucket`` column (sign pattern of
+    ``n_planes`` projections packed into a BIGINT).
+
+    Vectors with equal bucket are likely-similar; at scale, near-dup and
+    ANN both become equi-joins/groupBys on this column.
+    """
+    bucket: Column = F.lit(0).cast("long")
+    for i in range(n_planes):
+        plane = F.array(*[F.lit(v) for v in _hyperplane(dim, i)])
+        bit = F.when(dot(F.col(vec_col), plane) >= 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        bucket = bucket.bitwiseOR(F.shiftleft(bit, i))
+    return df.withColumn("bucket", bucket)
+
+
+@query("ann_lsh_topk", tags=("similarity", "approx"))
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 for vec_id=0: hyperplane-LSH candidates within
+    Hamming distance 2 of the query bucket, then exact cosine re-rank.
+    (Rows-only driver check; pytest measures recall vs brute force.)"""
+    embeddings = load_table(spark, sf_dir, "embeddings")
+    qv = query_vector(spark, sf_dir, 0)
+    bucketed = ann_lsh_buckets(embeddings, dim=len(qv), n_planes=16)
+
+    # Query bucket, computed driver-side with the same planes.
+    qbucket = 0
+    for i in range(16):
+        plane = _hyperplane(len(qv), i)
+        proj = sum(float(a) * float(b) for a, b in zip(qv, plane))
+        if proj >= 0:
+            qbucket |= 1 << i
+    cand = bucketed.filter(
+        F.bit_count(F.col("bucket").bitwiseXOR(F.lit(qbucket))) <= 2
+    )
+    return topk_cosine(cand, qv, k=10)

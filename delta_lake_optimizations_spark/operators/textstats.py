@@ -1,0 +1,208 @@
+"""Text-analysis operators over ``documents`` (SURVEY.md §2.9 X5).
+
+Language-ID (stopword-vote heuristic), quality scoring (length / punct /
+stopword ratios), token counting (whitespace + BPE-ish regex), and document
+fingerprinting (rolling shingle hash). All built-in-function expressions —
+no Python UDFs — so they whole-stage-codegen and scale linearly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from delta_lake_optimizations_spark.catalog import load_table
+from delta_lake_optimizations_spark.operators.dedup import tokenize
+from delta_lake_optimizations_spark.registry import query
+
+# Tiny public stopword seeds per language (heuristic votes).
+_LANG_STOPWORDS = {
+    "en": ("the", "and", "of", "to", "is"),
+    "es": ("el", "la", "de", "que", "los"),
+    "fr": ("le", "les", "des", "est", "une"),
+    "de": ("der", "die", "und", "ist", "das"),
+}
+
+_EN_STOPWORDS = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "on", "for",
+)
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, or single non-space symbols
+# (the public GPT-2-style pre-tokenization shape, simplified to ASCII classes).
+_BPEISH_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def _count_in(tokens: Column, words: tuple[str, ...]) -> Column:
+    return F.size(F.filter(tokens, lambda t: t.isin(*words)))
+
+
+def text_quality(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Quality-scoring features: token/char counts, mean token length,
+    punctuation ratio, stopword ratio, alpha ratio."""
+    toks = tokenize(F.col(text_col))
+    n_tokens = F.size(toks)
+    n_chars = F.length(text_col)
+    n_punct = n_chars - F.length(F.regexp_replace(F.col(text_col), "[.,;:!?]", ""))
+    n_alpha = n_chars - F.length(F.regexp_replace(F.col(text_col), "[A-Za-z]", ""))
+    n_stop = _count_in(toks, _EN_STOPWORDS)
+    return df.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        n_chars.alias("n_chars_m"),
+        F.round(n_chars.cast("double") / n_tokens.cast("double"), 6).alias(
+            "mean_token_len"
+        ),
+        F.round(n_punct.cast("double") / n_chars.cast("double"), 6).alias("punct_ratio"),
+        F.round(n_stop.cast("double") / n_tokens.cast("double"), 6).alias(
+            "stopword_ratio"
+        ),
+        F.round(n_alpha.cast("double") / n_chars.cast("double"), 6).alias("alpha_ratio"),
+    )
+
+
+@query(
+    "text_quality_scores",
+    tags=("text",),
+    oracle="""
+        WITH toks AS (
+            SELECT
+                doc_id,
+                text,
+                string_split_regex(lower(trim(text)), '\\s+') AS t
+            FROM documents
+        )
+        SELECT
+            doc_id,
+            len(t) AS n_tokens,
+            LENGTH(text) AS n_chars_m,
+            ROUND(CAST(LENGTH(text) AS DOUBLE) / CAST(len(t) AS DOUBLE), 6)
+                AS mean_token_len,
+            ROUND(
+                CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[.,;:!?]', '', 'g'))
+                     AS DOUBLE) / CAST(LENGTH(text) AS DOUBLE),
+                6
+            ) AS punct_ratio,
+            ROUND(
+                CAST(len(list_filter(t, x -> x IN
+                    ('the','a','an','and','or','of','to','in','is','it','on','for')))
+                     AS DOUBLE) / CAST(len(t) AS DOUBLE),
+                6
+            ) AS stopword_ratio,
+            ROUND(
+                CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[A-Za-z]', '', 'g'))
+                     AS DOUBLE) / CAST(LENGTH(text) AS DOUBLE),
+                6
+            ) AS alpha_ratio
+        FROM toks
+    """,
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features for pipeline filtering."""
+    documents = load_table(spark, sf_dir, "documents")
+    return text_quality(documents, "doc_id", "text")
+
+
+def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Heuristic language ID: CJK-character presence, else most stopword
+    votes (ties broken by fixed language order), else 'und'."""
+    toks = tokenize(F.col(text_col))
+    votes = {lang: _count_in(toks, words) for lang, words in _LANG_STOPWORDS.items()}
+    has_cjk = F.col(text_col).rlike("[\\u4e00-\\u9fff]")
+
+    best = F.lit("und")
+    best_votes = F.lit(0)
+    # Fixed priority order: earlier languages win ties (> not >=).
+    for lang in ("en", "es", "fr", "de"):
+        is_better = votes[lang] > best_votes
+        best = F.when(is_better, F.lit(lang)).otherwise(best)
+        best_votes = F.when(is_better, votes[lang]).otherwise(best_votes)
+    pred = F.when(has_cjk, F.lit("zh")).otherwise(best)
+    return df.select(F.col(id_col), pred.alias("pred_lang"))
+
+
+@query(
+    "text_lang_id",
+    tags=("text",),
+    oracle="""
+        WITH scored AS (
+            SELECT
+                doc_id,
+                regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') AS has_cjk,
+                len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                    x -> x IN ('the','and','of','to','is'))) AS v_en,
+                len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                    x -> x IN ('el','la','de','que','los'))) AS v_es,
+                len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                    x -> x IN ('le','les','des','est','une'))) AS v_fr,
+                len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                    x -> x IN ('der','die','und','ist','das'))) AS v_de
+            FROM documents
+        )
+        SELECT
+            doc_id,
+            CASE
+                WHEN has_cjk THEN 'zh'
+                WHEN v_en = 0 AND v_es = 0 AND v_fr = 0 AND v_de = 0 THEN 'und'
+                WHEN v_en >= v_es AND v_en >= v_fr AND v_en >= v_de THEN 'en'
+                WHEN v_es >= v_fr AND v_es >= v_de THEN 'es'
+                WHEN v_fr >= v_de THEN 'fr'
+                ELSE 'de'
+            END AS pred_lang
+        FROM scored
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language identification."""
+    documents = load_table(spark, sf_dir, "documents")
+    return lang_id(documents, "doc_id", "text")
+
+
+@query(
+    "token_count_bpeish",
+    tags=("text",),
+    oracle="""
+        SELECT
+            doc_id,
+            len(string_split_regex(trim(text), '\\s+')) AS n_ws_tokens,
+            len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+                AS n_bpeish_tokens
+        FROM documents
+    """,
+)
+def token_count_bpeish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace split and a BPE-ish regex
+    pre-tokenizer (letter runs / digit runs / single symbols)."""
+    documents = load_table(spark, sf_dir, "documents")
+    return documents.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(_BPEISH_PATTERN), 0)).alias(
+            "n_bpeish_tokens"
+        ),
+    )
+
+
+def fingerprint(df: DataFrame, id_col: str, text_col: str, shingle: int = 8) -> DataFrame:
+    """Document fingerprint: minimum 64-bit hash over rolling character
+    shingles (the winnowing/MinHash-of-shingles pattern with w=all).
+
+    Identical texts (and texts sharing their minimal shingle) collide —
+    useful as a cheap near-dup blocking key.
+    """
+    txt = F.lower(F.trim(F.col(text_col)))
+    n = F.length(txt)
+    starts = F.sequence(F.lit(1), F.greatest(n - shingle + 1, F.lit(1)))
+    shingle_hashes = F.transform(starts, lambda i: F.xxhash64(F.substring(txt, i, shingle)))
+    return df.select(
+        F.col(id_col),
+        F.array_min(shingle_hashes).alias("fingerprint"),
+        F.size(shingle_hashes).alias("n_shingles"),
+    )
+
+
+@query("doc_fingerprint", tags=("text", "approx"))
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-shingle-hash fingerprints (rows-only driver check; pytest
+    pins determinism and collision-on-duplicate behaviour)."""
+    documents = load_table(spark, sf_dir, "documents")
+    return fingerprint(documents, "doc_id", "text").orderBy("doc_id")

@@ -1,0 +1,130 @@
+"""Event-time queries over the ``events`` table (SURVEY.md §2.8 last rows).
+
+Batch event-time windowing with ``F.window`` — the Structured Streaming
+variant of the same aggregation lives in
+``delta_lake_optimizations_spark.streaming.windows`` (same logical plan,
+incremental execution).
+
+DuckDB-oracle note: Spark's tumbling windows are epoch-aligned, so the
+oracle computes the bucket with explicit epoch arithmetic
+(``make_timestamp(floor(epoch(ts)/600)*600 * 1e6)``) rather than relying on
+``time_bucket`` origin conventions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from delta_lake_optimizations_spark.catalog import load_table
+from delta_lake_optimizations_spark.registry import query
+
+
+@query(
+    "events_tumbling_window",
+    headline=True,
+    tags=("events", "window-agg"),
+    oracle="""
+        SELECT
+            make_timestamp(CAST(FLOOR(epoch(ts) / 600) * 600 AS BIGINT) * 1000000)
+                AS window_start,
+            event_type,
+            COUNT(*) AS n_events,
+            ROUND(SUM(value), 2) AS total_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+)
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute tumbling-window aggregation by event type."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "events_sessionize",
+    tags=("events", "session"),
+    oracle="""
+        WITH flagged AS (
+            SELECT
+                user_id,
+                ts,
+                CASE
+                    WHEN LAG(ts) OVER w IS NULL THEN 1
+                    WHEN epoch(ts) - epoch(LAG(ts) OVER w) > 1800 THEN 1
+                    ELSE 0
+                END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT
+            user_id,
+            CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+            COUNT(*) AS n_events
+        FROM flagged
+        GROUP BY user_id
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: gap > 30 min starts a new session (lag + cumulative flag).
+
+    The classic batch pattern — Window.lag to detect gaps, sum of flags as
+    session count. Scales as a single shuffle on user_id.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    # Microsecond-exact gap: cast(timestamp as double) = fractional epoch
+    # seconds in both Spark and DuckDB (epoch()), so the >1800 comparison
+    # can't disagree on sub-second boundaries.
+    gap_sec = F.col("ts").cast("double") - prev_ts.cast("double")
+    new_session = F.when(prev_ts.isNull() | (gap_sec > 1800), 1).otherwise(0)
+    return (
+        events.withColumn("new_session", new_session)
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_session").cast("long").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@query(
+    "events_type_pivot",
+    tags=("events", "pivot"),
+    oracle="""
+        SELECT
+            user_id,
+            SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+            SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
+            SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+            ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 2)
+                AS purchase_value
+        FROM events
+        GROUP BY user_id
+    """,
+)
+def events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manual pivot (conditional aggregation) of event counts per user."""
+    events = load_table(spark, sf_dir, "events")
+    n_of = lambda t: F.sum(F.when(F.col("event_type") == t, 1).otherwise(0))
+    return events.groupBy("user_id").agg(
+        n_of("click").alias("n_click"),
+        n_of("view").alias("n_view"),
+        n_of("purchase").alias("n_purchase"),
+        F.round(
+            F.sum(F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)), 2
+        ).alias("purchase_value"),
+    )

@@ -1,0 +1,630 @@
+"""GraftTable: a versioned Parquet table with a JSON commit log.
+
+The native re-implementation of the reference's single data abstraction —
+"a collection of Parquet files plus a transaction-log folder with JSON
+commit files" (reference ``docs/00-overview.md:10``) — built directly on
+vanilla PySpark + Parquet, since delta-spark is unavailable by design
+(SURVEY.md §0).
+
+Layout::
+
+    <table_root>/
+        _log/00000000000.json     # one JSON document per commit
+        _log/00000000001.json
+        data/v00000000000-<uuid>/part-*.parquet   # files of commit 0
+        data/v00000000002-<uuid>/country=US/part-*.parquet  # partitioned
+
+Commit document shape (same action vocabulary the Delta log uses —
+add / remove / metadata — expressed as one JSON object per version)::
+
+    {
+      "version": 3,
+      "timestamp_ms": 1755000000000,
+      "operation": "OPTIMIZE",
+      "operationParameters": {...},
+      "metadata": {"schemaJson": ..., "partitionColumns": [...],
+                    "properties": {...}},      # only when changed
+      "add":    [{"path": "data/.../f.parquet", "size": 1234,
+                   "numRecords": 100, "partitionValues": {...},
+                   "stats": {"minValues": {...}, "maxValues": {...},
+                              "nullCounts": {...}}}],
+      "remove": ["data/.../old.parquet", ...]
+    }
+
+Concurrency: single-writer (atomic temp-file + ``os.rename`` per commit) —
+sufficient for the driver and the reference's workshop semantics. Log I/O
+is driver-side, data I/O is Spark jobs; per-file stats come from parquet
+footers (pyarrow, driver-side, no data scan), capped to the first 32
+columns (the reference's own cap, docs/02-lab-optimizations.md:591).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+from datetime import datetime, timezone
+from typing import Any
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_LOG_DIR = "_log"
+_DATA_DIR = "data"
+STATS_MAX_COLUMNS = 32  # reference docs/02-lab-optimizations.md:591
+DEFAULT_RETENTION_HOURS = 168  # 7 days — reference README.md:63
+
+
+# ---------------------------------------------------------------------------
+# Commit / snapshot model
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class AddFile:
+    path: str  # relative to table root
+    size: int
+    num_records: int
+    partition_values: dict[str, str] = field(default_factory=dict)
+    stats: dict[str, Any] = field(default_factory=dict)
+
+    def to_json(self) -> dict[str, Any]:
+        return {
+            "path": self.path,
+            "size": self.size,
+            "numRecords": self.num_records,
+            "partitionValues": self.partition_values,
+            "stats": self.stats,
+        }
+
+    @staticmethod
+    def from_json(d: dict[str, Any]) -> "AddFile":
+        return AddFile(
+            path=d["path"],
+            size=d["size"],
+            num_records=d["numRecords"],
+            partition_values=d.get("partitionValues", {}),
+            stats=d.get("stats", {}),
+        )
+
+
+@dataclass
+class Commit:
+    version: int
+    timestamp_ms: int
+    operation: str
+    operation_parameters: dict[str, Any]
+    metadata: dict[str, Any] | None
+    add: list[AddFile]
+    remove: list[str]
+
+    def to_json(self) -> dict[str, Any]:
+        doc: dict[str, Any] = {
+            "version": self.version,
+            "timestamp_ms": self.timestamp_ms,
+            "operation": self.operation,
+            "operationParameters": self.operation_parameters,
+            "add": [a.to_json() for a in self.add],
+            "remove": self.remove,
+        }
+        if self.metadata is not None:
+            doc["metadata"] = self.metadata
+        return doc
+
+    @staticmethod
+    def from_json(d: dict[str, Any]) -> "Commit":
+        return Commit(
+            version=d["version"],
+            timestamp_ms=d["timestamp_ms"],
+            operation=d["operation"],
+            operation_parameters=d.get("operationParameters", {}),
+            metadata=d.get("metadata"),
+            add=[AddFile.from_json(a) for a in d.get("add", [])],
+            remove=list(d.get("remove", [])),
+        )
+
+
+@dataclass
+class Snapshot:
+    version: int
+    files: list[AddFile]
+    schema_json: str | None
+    partition_columns: list[str]
+    properties: dict[str, str]
+
+    @property
+    def schema(self) -> T.StructType | None:
+        if self.schema_json is None:
+            return None
+        return T.StructType.fromJson(json.loads(self.schema_json))
+
+    @property
+    def size_bytes(self) -> int:
+        return sum(f.size for f in self.files)
+
+    @property
+    def num_records(self) -> int:
+        return sum(f.num_records for f in self.files)
+
+
+# ---------------------------------------------------------------------------
+# Footer stats (driver-side, no Spark job)
+# ---------------------------------------------------------------------------
+
+
+def _json_safe(v: Any) -> Any:
+    if isinstance(v, bytes):
+        try:
+            return v.decode("utf-8")
+        except UnicodeDecodeError:
+            return v.hex()
+    if isinstance(v, datetime):
+        return v.isoformat()
+    if isinstance(v, float) and (math.isnan(v) or math.isinf(v)):
+        return None
+    return v
+
+
+def collect_file_stats(abs_path: str) -> tuple[int, dict[str, Any]]:
+    """Read numRecords + per-column min/max/nullCount from the parquet footer.
+
+    Footer-only I/O: O(KB) per file regardless of file size, so this scales
+    to wide tables and huge files. Stats capped at STATS_MAX_COLUMNS.
+    """
+    md = pq.ParquetFile(abs_path).metadata
+    num_records = md.num_rows
+    mins: dict[str, Any] = {}
+    maxs: dict[str, Any] = {}
+    nulls: dict[str, int] = {}
+    no_stats: set[str] = set()
+    ncols = min(md.num_columns, STATS_MAX_COLUMNS)
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(ncols):
+            col = g.column(ci)
+            name = col.path_in_schema
+            if "." in name:  # nested/list leaf — not skippable
+                continue
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                no_stats.add(name)
+                continue
+            mn, mx = _json_safe(st.min), _json_safe(st.max)
+            if mn is None or mx is None:
+                no_stats.add(name)
+                continue
+            mins[name] = mn if name not in mins else min(mins[name], mn)
+            maxs[name] = mx if name not in maxs else max(maxs[name], mx)
+            nulls[name] = nulls.get(name, 0) + (st.null_count or 0)
+    for name in no_stats:  # any stats-less row group poisons the column
+        mins[name] = None
+        maxs[name] = None
+    return num_records, {"minValues": mins, "maxValues": maxs, "nullCounts": nulls}
+
+
+# ---------------------------------------------------------------------------
+# The table
+# ---------------------------------------------------------------------------
+
+
+class GraftTable:
+    """Handle to a versioned table rooted at ``path``."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = os.path.abspath(path)
+
+    # -- log primitives ----------------------------------------------------
+
+    @property
+    def _log_path(self) -> str:
+        return os.path.join(self.path, _LOG_DIR)
+
+    def exists(self) -> bool:
+        return os.path.isdir(self._log_path) and bool(self._versions())
+
+    def _versions(self) -> list[int]:
+        if not os.path.isdir(self._log_path):
+            return []
+        out = []
+        for f in os.listdir(self._log_path):
+            if f.endswith(".json"):
+                try:
+                    out.append(int(f[: -len(".json")]))
+                except ValueError:
+                    continue
+        return sorted(out)
+
+    def _read_commit(self, version: int) -> Commit:
+        with open(os.path.join(self._log_path, f"{version:011d}.json")) as fh:
+            return Commit.from_json(json.load(fh))
+
+    def commits(self) -> list[Commit]:
+        return [self._read_commit(v) for v in self._versions()]
+
+    def latest_version(self) -> int:
+        versions = self._versions()
+        if not versions:
+            raise FileNotFoundError(f"no GraftTable log at {self.path}")
+        return versions[-1]
+
+    def _write_commit(
+        self,
+        operation: str,
+        parameters: dict[str, Any],
+        add: list[AddFile],
+        remove: list[str],
+        metadata: dict[str, Any] | None = None,
+    ) -> Commit:
+        os.makedirs(self._log_path, exist_ok=True)
+        versions = self._versions()
+        version = (versions[-1] + 1) if versions else 0
+        commit = Commit(
+            version=version,
+            timestamp_ms=int(time.time() * 1000),
+            operation=operation,
+            operation_parameters=parameters,
+            metadata=metadata,
+            add=add,
+            remove=remove,
+        )
+        final = os.path.join(self._log_path, f"{version:011d}.json")
+        tmp = final + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            json.dump(commit.to_json(), fh)
+        os.rename(tmp, final)  # atomic on POSIX — single-writer commit
+        return commit
+
+    # -- snapshot reconstruction ------------------------------------------
+
+    def snapshot(self, version: int | None = None, timestamp: str | datetime | None = None) -> Snapshot:
+        """Replay the log to the requested version (M7) or timestamp (M8)."""
+        if timestamp is not None:
+            version = self._version_at(timestamp)
+        versions = self._versions()
+        if not versions:
+            raise FileNotFoundError(f"no GraftTable log at {self.path}")
+        target = versions[-1] if version is None else version
+        if target not in versions:
+            raise ValueError(f"version {target} not in log (have {versions[0]}..{versions[-1]})")
+        files: dict[str, AddFile] = {}
+        schema_json: str | None = None
+        partition_columns: list[str] = []
+        properties: dict[str, str] = {}
+        for v in versions:
+            if v > target:
+                break
+            c = self._read_commit(v)
+            for r in c.remove:
+                files.pop(r, None)
+            for a in c.add:
+                files[a.path] = a
+            if c.metadata:
+                if "schemaJson" in c.metadata:
+                    schema_json = c.metadata["schemaJson"]
+                if "partitionColumns" in c.metadata:
+                    partition_columns = list(c.metadata["partitionColumns"])
+                if "properties" in c.metadata:
+                    properties = dict(c.metadata["properties"])
+        return Snapshot(
+            version=target,
+            files=sorted(files.values(), key=lambda a: a.path),
+            schema_json=schema_json,
+            partition_columns=partition_columns,
+            properties=properties,
+        )
+
+    def _version_at(self, timestamp: str | datetime) -> int:
+        if isinstance(timestamp, str):
+            ts = datetime.fromisoformat(timestamp)
+        else:
+            ts = timestamp
+        if ts.tzinfo is None:
+            ts = ts.replace(tzinfo=timezone.utc)
+        ts_ms = int(ts.timestamp() * 1000)
+        best = None
+        for c in self.commits():
+            if c.timestamp_ms <= ts_ms:
+                best = c.version
+        if best is None:
+            raise ValueError(f"no version at or before {timestamp}")
+        return best
+
+    # -- write paths -------------------------------------------------------
+
+    def _new_data_dir(self, version_hint: int) -> str:
+        rel = os.path.join(_DATA_DIR, f"v{version_hint:011d}-{uuid.uuid4().hex[:8]}")
+        os.makedirs(os.path.join(self.path, rel), exist_ok=True)
+        return rel
+
+    def _scan_written_files(self, rel_dir: str) -> list[AddFile]:
+        """Walk a freshly written data dir, harvesting footer stats and
+        hive-style partition values from the path."""
+        adds: list[AddFile] = []
+        root = os.path.join(self.path, rel_dir)
+        for dirpath, _dirnames, filenames in os.walk(root):
+            for fn in filenames:
+                if not fn.endswith(".parquet"):
+                    continue
+                abs_f = os.path.join(dirpath, fn)
+                rel_f = os.path.relpath(abs_f, self.path)
+                pvals: dict[str, str] = {}
+                for part in os.path.relpath(dirpath, root).split(os.sep):
+                    if "=" in part:
+                        k, _, val = part.partition("=")
+                        pvals[k] = val
+                n, stats = collect_file_stats(abs_f)
+                adds.append(
+                    AddFile(
+                        path=rel_f,
+                        size=os.path.getsize(abs_f),
+                        num_records=n,
+                        partition_values=pvals,
+                        stats=stats,
+                    )
+                )
+        return sorted(adds, key=lambda a: a.path)
+
+    def _metadata_for(
+        self,
+        df: DataFrame,
+        partition_by: list[str] | None,
+        properties: dict[str, str] | None,
+        base: Snapshot | None,
+    ) -> dict[str, Any]:
+        props = dict(base.properties) if base else {}
+        if properties:
+            props.update(properties)
+        return {
+            "schemaJson": json.dumps(df.schema.jsonValue()),
+            "partitionColumns": partition_by or [],
+            "properties": props,
+        }
+
+    def write(
+        self,
+        df: DataFrame,
+        mode: str = "overwrite",
+        partition_by: list[str] | None = None,
+        properties: dict[str, str] | None = None,
+        overwrite_schema: bool = False,
+    ) -> Commit:
+        """Write data as a new commit.
+
+        ``mode``: 'overwrite' (reference S2: new snapshot replaces all
+        files; schema replacement mirrors ``overwriteSchema``,
+        docs/02-lab-optimizations.md:73), 'append', or 'error'.
+        """
+        existed = self.exists()
+        base = self.snapshot() if existed else None
+        if mode == "error" and existed:
+            raise FileExistsError(f"table exists at {self.path}")
+        if mode == "append" and base is not None:
+            if partition_by is None:
+                partition_by = base.partition_columns
+            base_schema = base.schema
+            if base_schema is not None and not overwrite_schema:
+                if [f.name for f in base_schema.fields] != df.schema.fieldNames():
+                    raise ValueError(
+                        "schema mismatch on append (pass overwrite_schema=True to evolve): "
+                        f"{base_schema.fieldNames()} vs {df.schema.fieldNames()}"
+                    )
+
+        version_hint = (base.version + 1) if base is not None else 0
+        rel_dir = self._new_data_dir(version_hint)
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(os.path.join(self.path, rel_dir))
+        adds = self._scan_written_files(rel_dir)
+
+        if mode == "append" and base is not None:
+            remove: list[str] = []
+            operation = "WRITE"
+            params = {"mode": "Append"}
+        else:
+            remove = [f.path for f in base.files] if base is not None else []
+            operation = "WRITE" if existed else "CREATE TABLE AS SELECT"
+            params = {"mode": "Overwrite" if existed else "ErrorIfExists"}
+        metadata = self._metadata_for(df, partition_by, properties, base if mode == "append" else None)
+        return self._write_commit(operation, params, adds, remove, metadata)
+
+    # -- read paths --------------------------------------------------------
+
+    def _read_files(self, snap: Snapshot, files: list[AddFile]) -> DataFrame:
+        if not files:
+            schema = snap.schema
+            if schema is None:
+                raise ValueError("empty table with no schema")
+            return self.spark.createDataFrame([], schema)
+        paths = [os.path.join(self.path, f.path) for f in files]
+        reader = self.spark.read
+        if snap.partition_columns:
+            # basePath keeps hive partition columns when reading explicit files
+            reader = reader.option("basePath", os.path.join(self.path))
+        if snap.schema is not None and not snap.partition_columns:
+            reader = reader.schema(snap.schema)
+        return reader.parquet(*paths)
+
+    def load(
+        self,
+        version: int | None = None,
+        timestamp: str | datetime | None = None,
+        skip_where: list[tuple[str, str, Any]] | None = None,
+    ) -> DataFrame:
+        """DataFrame over a snapshot (latest, VERSION AS OF, TIMESTAMP AS OF).
+
+        ``skip_where``: conjunctive simple predicates ``(col, op, value)``
+        (op in =, <, <=, >, >=) used for file-level skipping against the
+        per-file min/max stats BEFORE Spark sees the file list — the
+        engine's Delta-style data-skipping (SURVEY §4). The same predicate
+        is re-applied as a DataFrame filter for exactness.
+        """
+        snap = self.snapshot(version=version, timestamp=timestamp)
+        files = snap.files
+        if skip_where:
+            files = [f for f in files if _file_may_match(f, skip_where, snap.partition_columns)]
+        df = self._read_files(snap, files)
+        if skip_where:
+            for col, op, value in skip_where:
+                df = df.filter(_op_expr(col, op, value))
+        return df
+
+    def files_scanned(self, skip_where: list[tuple[str, str, Any]] | None = None) -> int:
+        """How many files a scan with the given predicate would read
+        (the §5.3 layout-effect metric: assert on files read, not seconds)."""
+        snap = self.snapshot()
+        files = snap.files
+        if skip_where:
+            files = [f for f in files if _file_may_match(f, skip_where, snap.partition_columns)]
+        return len(files)
+
+    # -- inspection (M6, M11, M12) ----------------------------------------
+
+    def history(self) -> DataFrame:
+        """DESCRIBE HISTORY: one row per commit, newest first (M6)."""
+        rows = [
+            (
+                c.version,
+                datetime.fromtimestamp(c.timestamp_ms / 1000, tz=timezone.utc).replace(tzinfo=None),
+                c.operation,
+                json.dumps(c.operation_parameters),
+                len(c.add),
+                len(c.remove),
+            )
+            for c in reversed(self.commits())
+        ]
+        schema = T.StructType(
+            [
+                T.StructField("version", T.LongType()),
+                T.StructField("timestamp", T.TimestampType()),
+                T.StructField("operation", T.StringType()),
+                T.StructField("operationParameters", T.StringType()),
+                T.StructField("numAddedFiles", T.IntegerType()),
+                T.StructField("numRemovedFiles", T.IntegerType()),
+            ]
+        )
+        return self.spark.createDataFrame(rows, schema)
+
+    def detail(self) -> DataFrame:
+        """DESCRIBE DETAIL: numFiles, sizeInBytes, partitionColumns,... (M12)."""
+        snap = self.snapshot()
+        schema = T.StructType(
+            [
+                T.StructField("format", T.StringType()),
+                T.StructField("location", T.StringType()),
+                T.StructField("numFiles", T.LongType()),
+                T.StructField("sizeInBytes", T.LongType()),
+                T.StructField("numRecords", T.LongType()),
+                T.StructField("partitionColumns", T.ArrayType(T.StringType())),
+                T.StructField("properties", T.MapType(T.StringType(), T.StringType())),
+                T.StructField("version", T.LongType()),
+            ]
+        )
+        row = (
+            "graft-parquet",
+            self.path,
+            len(snap.files),
+            snap.size_bytes,
+            snap.num_records,
+            snap.partition_columns,
+            snap.properties,
+            snap.version,
+        )
+        return self.spark.createDataFrame([row], schema)
+
+    def describe_extended(self) -> DataFrame:
+        """DESCRIBE EXTENDED: schema rows + table-property rows (M11)."""
+        snap = self.snapshot()
+        rows: list[tuple[str, str, str]] = []
+        schema = snap.schema
+        if schema is not None:
+            for f_ in schema.fields:
+                rows.append((f_.name, f_.dataType.simpleString(), ""))
+        rows.append(("", "", ""))
+        rows.append(("# Detailed Table Information", "", ""))
+        rows.append(("Location", self.path, ""))
+        rows.append(("PartitionColumns", ",".join(snap.partition_columns), ""))
+        for k, v in sorted(snap.properties.items()):
+            rows.append((f"prop:{k}", v, ""))
+        out_schema = T.StructType(
+            [
+                T.StructField("col_name", T.StringType()),
+                T.StructField("data_type", T.StringType()),
+                T.StructField("comment", T.StringType()),
+            ]
+        )
+        return self.spark.createDataFrame(rows, out_schema)
+
+    def set_properties(self, properties: dict[str, str]) -> Commit:
+        """ALTER TABLE ... SET TBLPROPERTIES (M13)."""
+        snap = self.snapshot()
+        props = dict(snap.properties)
+        props.update(properties)
+        metadata = {
+            "schemaJson": snap.schema_json,
+            "partitionColumns": snap.partition_columns,
+            "properties": props,
+        }
+        return self._write_commit(
+            "SET TBLPROPERTIES", {"properties": json.dumps(properties)}, [], [], metadata
+        )
+
+    def register(self, name: str, version: int | None = None) -> None:
+        """Register the current (or historical) snapshot as a temp view (S4)."""
+        self.load(version=version).createOrReplaceTempView(name)
+
+
+# ---------------------------------------------------------------------------
+# File-skipping predicate evaluation (driver-side)
+# ---------------------------------------------------------------------------
+
+
+def _op_expr(col: str, op: str, value: Any):
+    c = F.col(col)
+    return {
+        "=": c == value,
+        "<": c < value,
+        "<=": c <= value,
+        ">": c > value,
+        ">=": c >= value,
+    }[op]
+
+
+def _file_may_match(
+    f: AddFile, preds: list[tuple[str, str, Any]], partition_columns: list[str]
+) -> bool:
+    """Conservative min/max + partition-value check: False only when the
+    file provably contains no matching row."""
+    for col, op, value in preds:
+        if col in partition_columns:
+            pv = f.partition_values.get(col)
+            if pv is not None:
+                sval = str(value)
+                if op == "=" and pv != sval:
+                    return False
+                continue
+        mins = f.stats.get("minValues", {})
+        maxs = f.stats.get("maxValues", {})
+        mn, mx = mins.get(col), maxs.get(col)
+        if mn is None or mx is None:
+            continue  # no stats — must scan
+        if isinstance(value, datetime):
+            value = value.isoformat()
+        try:
+            if op == "=" and (value < mn or value > mx):
+                return False
+            if op in ("<", "<=") and mn > value:
+                return False
+            if op in (">", ">=") and mx < value:
+                return False
+            if op == "<" and mn == value and mx == value:
+                return False
+        except TypeError:
+            continue  # incomparable types — must scan
+    return True
