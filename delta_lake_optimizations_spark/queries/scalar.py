@@ -84,7 +84,10 @@ def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT
             l_orderkey,
             l_linenumber,
-            ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax), 2) AS charge,
+            CAST(ROUND(
+                CAST(l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l_discount AS DECIMAL(3,2)))
+                * (1 + CAST(l_tax AS DECIMAL(3,2))), 2) AS DOUBLE) AS charge,
             ABS(l_quantity - 25.0) AS qty_dev,
             CAST(CEIL(l_extendedprice / 1000.0) AS BIGINT) AS price_bucket,
             CAST(FLOOR(l_quantity / 10.0) AS BIGINT) AS qty_decade,
@@ -100,9 +103,16 @@ def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lineitem.select(
         "l_orderkey",
         "l_linenumber",
+        # exact DECIMAL arithmetic on both sides — float ROUND(x,2) is
+        # half-boundary-unstable between engines
         F.round(
-            F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")), 2
-        ).alias("charge"),
+            F.col("l_extendedprice").cast("decimal(12,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(3,2)"))
+            * (F.lit(1) + F.col("l_tax").cast("decimal(3,2)")),
+            2,
+        )
+        .cast("double")
+        .alias("charge"),
         F.abs(F.col("l_quantity") - 25.0).alias("qty_dev"),
         F.ceil(F.col("l_extendedprice") / 1000.0).alias("price_bucket"),
         F.floor(F.col("l_quantity") / 10.0).alias("qty_decade"),

@@ -1,0 +1,282 @@
+"""Table-maintenance verbs over GraftTable (SURVEY.md §2.4 — the heart of
+the reference: OPTIMIZE M1, V-Order M2, Z-Order M3, VACUUM M4/M5, DELETE
+M9, RESTORE M10).
+
+Every verb is copy-on-write: data files are immutable; a verb writes new
+files plus one commit with add/remove actions, so history and time travel
+keep working (reference docs/02-lab-optimizations.md:203-287).
+"""
+
+from __future__ import annotations
+
+import os
+from functools import reduce
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from delta_lake_optimizations_spark.table.graft_table import (
+    DEFAULT_RETENTION_HOURS,
+    AddFile,
+    Commit,
+    GraftTable,
+)
+
+DEFAULT_TARGET_FILE_MB = 128  # low end of the reference's 128-512 MB guidance
+                              # (docs/02-lab-optimizations.md:346)
+
+
+# ---------------------------------------------------------------------------
+# OPTIMIZE (M1) + V-Order approximation (M2) + Z-Order (M3)
+# ---------------------------------------------------------------------------
+
+
+def optimize(
+    table: GraftTable,
+    target_file_mb: int = DEFAULT_TARGET_FILE_MB,
+    zorder_by: list[str] | None = None,
+    vorder: bool = False,
+    vorder_sort_by: list[str] | None = None,
+    target_files: int | None = None,
+) -> Commit:
+    """Bin-packing compaction: rewrite the active file set into
+    ``ceil(total_bytes / target)`` files (reference M1: "many small files
+    into fewer, larger files", README.md:33-36). Data is bit-identical;
+    old files stay on disk for time travel.
+
+    ``zorder_by``: cluster rows by an interleaved-bit (Morton) key over the
+    given columns before writing, so per-file min/max stats become
+    selective on every listed column (M3, docs/02-lab-optimizations.md:
+    144-147,161).
+
+    ``vorder``: public-knowledge approximation of the Fabric-proprietary
+    V-Order (M2, docs/02-lab-optimizations.md:120,162): within-file sort
+    on ``vorder_sort_by`` (default: all zorder/first columns) to improve
+    run-length/dictionary compression, plus the ``vorder.enabled`` table
+    property that DESCRIBE EXTENDED surfaces (mirrors ``:150``).
+    """
+    snap = table.snapshot()
+    df = table.load()
+    total_bytes = snap.size_bytes
+    if target_files is not None:
+        n_files = target_files
+    else:
+        n_files = max(1, -(-total_bytes // (target_file_mb * 1024 * 1024)))
+
+    params: dict[str, Any] = {"targetFileMb": target_file_mb, "numFilesBefore": len(snap.files)}
+    if zorder_by:
+        params["zOrderBy"] = list(zorder_by)
+        df = _zorder_layout(df, zorder_by, n_files)
+    else:
+        df = df.repartition(int(n_files))
+
+    if vorder:
+        sort_cols = vorder_sort_by or zorder_by or [df.columns[0]]
+        params["vOrder"] = True
+        df = df.sortWithinPartitions(*sort_cols)
+
+    rel_dir = table._new_data_dir(snap.version + 1)
+    if snap.partition_columns:
+        df.write.mode("overwrite").partitionBy(*snap.partition_columns).parquet(
+            os.path.join(table.path, rel_dir)
+        )
+    else:
+        df.write.mode("overwrite").parquet(os.path.join(table.path, rel_dir))
+    adds = table._scan_written_files(rel_dir)
+
+    metadata = None
+    if vorder:
+        props = dict(snap.properties)
+        props["vorder.enabled"] = "true"
+        metadata = {
+            "schemaJson": snap.schema_json,
+            "partitionColumns": snap.partition_columns,
+            "properties": props,
+        }
+    return table._write_commit(
+        "OPTIMIZE", params, adds, [f.path for f in snap.files], metadata
+    )
+
+
+def _zorder_layout(df: DataFrame, cols: list[str], n_files: int) -> DataFrame:
+    """Range-partition + sort by a Morton (Z-curve) key.
+
+    Scale-safe rank normalization: per-column quantile boundaries come from
+    ``approxQuantile`` (driver-side, one sketch pass — NOT a global-window
+    ``percent_rank``, which would funnel every row through a single
+    partition). Each value maps to its quantile bucket (fixed-width int,
+    which also solves the string-column problem from SURVEY §7 risk 2) via
+    a binary-search CASE chain; bucket bits are interleaved into the Morton
+    key; ``repartitionByRange`` on the key gives each output file a compact
+    Z-curve segment, so per-file min/max stay tight on every z-column.
+    """
+    bits = 6  # 64 quantile buckets per column — keeps the CASE chain codegen-friendly
+    nq = 1 << bits
+    work = df
+    rank_cols: list[str] = []
+    for c in cols:
+        dtype = dict(df.dtypes)[c]
+        rc = f"__zrank_{c}"
+        if dtype in ("date", "timestamp", "timestamp_ntz"):
+            # temporal: preserve range locality by bucketing on the epoch value
+            probe = F.col(c).cast("double") if dtype != "date" else F.unix_date(F.col(c)).cast("double")
+            src: Column = probe
+            qdf = df.select(probe.alias("__q"))
+            qs = qdf.stat.approxQuantile("__q", [i / nq for i in range(1, nq)], 0.001)
+        elif dtype in ("string", "boolean", "binary"):
+            # unorderable-by-quantile: hash to a uniform bucket (loses range
+            # locality but keeps equality clustering, which skipping needs)
+            work = work.withColumn(rc, F.pmod(F.xxhash64(F.col(c)), F.lit(nq)))
+            rank_cols.append(rc)
+            continue
+        else:
+            src = F.col(c)
+            qs = df.stat.approxQuantile(c, [i / nq for i in range(1, nq)], 0.001)
+        bounds = sorted(set(qs))
+        expr = F.lit(len(bounds))
+        for i in range(len(bounds) - 1, -1, -1):
+            expr = F.when(src <= F.lit(bounds[i]), F.lit(i)).otherwise(expr)
+        work = work.withColumn(rc, F.coalesce(expr, F.lit(0)).cast("long"))
+        rank_cols.append(rc)
+
+    zkey: Column = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, rc in enumerate(rank_cols):
+            bit = F.shiftright(F.col(rc), b).bitwiseAND(F.lit(1))
+            zkey = zkey.bitwiseOR(F.shiftleft(bit, b * len(rank_cols) + i))
+    work = work.withColumn("__zkey", zkey)
+    out = (
+        work.repartitionByRange(int(n_files), F.col("__zkey"))
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey", *rank_cols)
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# DELETE (M9) — copy-on-write
+# ---------------------------------------------------------------------------
+
+
+def _strip_file_uri(p: str) -> str:
+    """'file:///a/b' or 'file:/a/b' -> '/a/b' (input_file_name URI form)."""
+    if p.startswith("file:"):
+        p = p[len("file:"):]
+        while p.startswith("//"):
+            p = p[1:]
+    return p
+
+
+def delete(table: GraftTable, predicate: str) -> Commit:
+    """``DELETE FROM t WHERE predicate`` (reference M9,
+    docs/02-lab-optimizations.md:223): rewrite only the files that contain
+    matching rows; untouched files carry over. Old versions still see the
+    deleted rows (time travel, ``:239``).
+    """
+    snap = table.snapshot()
+    df = table._read_files(snap, snap.files)
+    pred = F.expr(predicate)
+
+    # Which files contain matches? One aggregation over file provenance.
+    hit_rows = (
+        df.filter(pred)
+        .select(F.input_file_name().alias("__f"))
+        .distinct()
+        .collect()
+    )
+    hit_paths = {os.path.relpath(_strip_file_uri(r["__f"]), table.path) for r in hit_rows}
+    hit_files = [f for f in snap.files if f.path in hit_paths]
+    if not hit_files:
+        return table._write_commit(
+            "DELETE", {"predicate": predicate, "numRemovedFiles": 0}, [], []
+        )
+
+    keep_df = table._read_files(snap, hit_files).filter(~pred)
+    rel_dir = table._new_data_dir(snap.version + 1)
+    writer = keep_df.write.mode("overwrite")
+    if snap.partition_columns:
+        writer = writer.partitionBy(*snap.partition_columns)
+    writer.parquet(os.path.join(table.path, rel_dir))
+    adds = table._scan_written_files(rel_dir)
+    return table._write_commit(
+        "DELETE",
+        {"predicate": predicate, "numRemovedFiles": len(hit_files)},
+        adds,
+        [f.path for f in hit_files],
+    )
+
+
+# ---------------------------------------------------------------------------
+# RESTORE (M10)
+# ---------------------------------------------------------------------------
+
+
+def restore(table: GraftTable, version: int) -> Commit:
+    """Roll the table back to ``version`` as a NEW commit (reference M10:
+    restore after delete produces v4, docs/02-lab-optimizations.md:268-287).
+    No data is copied — the old snapshot's files are re-added."""
+    old = table.snapshot(version=version)
+    cur = table.snapshot()
+    metadata = {
+        "schemaJson": old.schema_json,
+        "partitionColumns": old.partition_columns,
+        "properties": old.properties,
+    }
+    return table._write_commit(
+        "RESTORE",
+        {"version": version},
+        old.files,
+        [f.path for f in cur.files if f.path not in {o.path for o in old.files}],
+        metadata,
+    )
+
+
+# ---------------------------------------------------------------------------
+# VACUUM (M4 dry run / M5)
+# ---------------------------------------------------------------------------
+
+
+def vacuum(
+    table: GraftTable,
+    retain_hours: float = DEFAULT_RETENTION_HOURS,
+    dry_run: bool = False,
+) -> list[str]:
+    """Delete (or list, with ``dry_run`` — M4) data files that are no
+    longer referenced by any snapshot at or after the retention horizon.
+
+    Semantics follow the reference: default retention 7 days
+    (README.md:63); vacuuming limits time travel to vacuumed versions but
+    current reads keep working (docs/02-lab-optimizations.md:295-309).
+    """
+    import time as _time
+
+    horizon_ms = int(_time.time() * 1000) - int(retain_hours * 3600 * 1000)
+    commits = table.commits()
+
+    # Delta semantics: a file is deletable iff it is tombstoned (absent from
+    # the CURRENT snapshot) and its removal happened at/before the horizon.
+    # Recent tombstones are kept so time travel within retention still works;
+    # vacuuming past retention breaks travel to those versions (reference
+    # docs/02-lab-optimizations.md:295-309).
+    live = {f.path for f in table.snapshot().files}
+    removed_at: dict[str, int] = {}
+    for c in commits:
+        for r in c.remove:
+            removed_at[r] = c.timestamp_ms  # latest removal wins
+    candidates = sorted(
+        p for p, ts in removed_at.items() if p not in live and ts <= horizon_ms
+    )
+
+    if not dry_run:
+        for rel in candidates:
+            abs_f = os.path.join(table.path, rel)
+            if os.path.exists(abs_f):
+                os.remove(abs_f)
+        table._write_commit(
+            "VACUUM END",
+            {"retainHours": retain_hours, "numDeletedFiles": len(candidates)},
+            [],
+            [],
+        )
+    return candidates

@@ -1,0 +1,233 @@
+"""Maintenance-semantics tests (SURVEY.md §5.2-5.3): executable versions of
+the reference lab's narrative invariants (docs/02-lab-optimizations.md:203-309)
+— OPTIMIZE preserves data and cuts file count, DELETE is time-travelable,
+RESTORE makes a new version, VACUUM honors retention, Z-order enables
+file-level skipping on the flagship predicate.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from delta_lake_optimizations_spark.table import (
+    GraftTable,
+    delete,
+    optimize,
+    restore,
+    vacuum,
+)
+
+from .conftest import SF_DIR
+
+
+def _content_hash(df):
+    """Order-insensitive content fingerprint: XOR of per-row hashes
+    (sum would overflow LongType under Spark 4's default ANSI mode)."""
+    return (
+        df.select(F.bit_xor(F.xxhash64(*sorted(df.columns))).alias("h"))
+        .collect()[0]["h"]
+    )
+
+
+@pytest.fixture()
+def sales(spark, tmp_path):
+    """A small sales-like table written as many small files (the reference's
+    400-small-files setup, docs/02-lab-optimizations.md:70)."""
+    df = (
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice",
+                "l_shipdate", "l_returnflag")
+        .repartition(16)
+    )
+    t = GraftTable(spark, str(tmp_path / "sales"))
+    t.write(df)
+    return t
+
+
+def test_write_load_roundtrip(spark, sales):
+    src = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    got = sales.load()
+    assert got.count() == src.count()
+    assert sales.snapshot().version == 0
+    assert len(sales.snapshot().files) == 16
+
+
+def test_append_adds_rows_and_version(spark, sales):
+    n0 = sales.load().count()
+    extra = sales.load().limit(10)
+    sales.write(extra, mode="append")
+    assert sales.load().count() == n0 + 10
+    assert sales.snapshot().version == 1
+    # time travel back to v0
+    assert sales.load(version=0).count() == n0
+
+
+def test_optimize_preserves_data_reduces_files(sales):
+    before = sales.load()
+    n, h = before.count(), _content_hash(before)
+    files_before = len(sales.snapshot().files)
+
+    optimize(sales, target_file_mb=512)
+
+    after = sales.load()
+    assert after.count() == n
+    assert _content_hash(after) == h
+    assert len(sales.snapshot().files) < files_before
+    ops = [r["operation"] for r in sales.history().collect()]
+    assert ops[0] == "OPTIMIZE"
+    # old files still on disk for time travel
+    assert sales.load(version=0).count() == n
+
+
+def test_optimize_vorder_sets_property(sales):
+    optimize(sales, vorder=True, vorder_sort_by=["l_shipdate"])
+    assert sales.snapshot().properties.get("vorder.enabled") == "true"
+    rows = sales.describe_extended().collect()
+    assert any(r["col_name"] == "prop:vorder.enabled" and r["data_type"] == "true"
+               for r in rows)
+
+
+def test_delete_is_time_travelable(sales):
+    n0 = sales.load().count()
+    pre_version = sales.snapshot().version
+
+    delete(sales, "l_quantity > 45")
+
+    n1 = sales.load().count()
+    assert n1 < n0
+    assert sales.load().filter("l_quantity > 45").count() == 0
+    # reference docs/02-lab-optimizations.md:239 — old version still has rows
+    assert sales.load(version=pre_version).count() == n0
+    assert sales.history().collect()[0]["operation"] == "DELETE"
+
+
+def test_delete_rewrites_only_hit_files(spark, sales):
+    # add a second batch guaranteed untouched by the predicate
+    clean = sales.load().filter("l_quantity <= 45").limit(50)
+    sales.write(clean, mode="append")
+    snap_before = sales.snapshot()
+    commit = delete(sales, "l_quantity > 45")
+    # untouched files must carry over, not be rewritten
+    untouched = {f.path for f in snap_before.files} - set(commit.remove)
+    now = {f.path for f in sales.snapshot().files}
+    assert untouched <= now
+
+
+def test_restore_is_a_new_version(sales):
+    n0 = sales.load().count()
+    delete(sales, "l_quantity > 45")
+    v_after_delete = sales.snapshot().version
+
+    restore(sales, 0)
+
+    # reference docs/02-lab-optimizations.md:285 — restore makes v_next, not v0
+    assert sales.snapshot().version == v_after_delete + 1
+    assert sales.load().count() == n0
+    assert sales.history().collect()[0]["operation"] == "RESTORE"
+
+
+def test_vacuum_dry_run_deletes_nothing(sales):
+    optimize(sales, target_file_mb=512)
+    candidates = vacuum(sales, retain_hours=0, dry_run=True)
+    assert len(candidates) > 0  # v0's 16 small files are unreferenced
+    for rel in candidates:
+        assert os.path.exists(os.path.join(sales.path, rel))
+    # table still fully readable at all versions
+    assert sales.load(version=0).count() == sales.load().count()
+
+
+def test_vacuum_deletes_and_limits_time_travel(sales):
+    n = sales.load().count()
+    optimize(sales, target_file_mb=512)
+    removed = vacuum(sales, retain_hours=0)
+    assert removed
+    for rel in removed:
+        assert not os.path.exists(os.path.join(sales.path, rel))
+    # current read works (docs/02-lab-optimizations.md:295-309)
+    assert sales.load().count() == n
+    # time travel to the vacuumed version is now broken
+    with pytest.raises(Exception):
+        sales.load(version=0).count()
+
+
+def test_timestamp_as_of(sales):
+    import datetime as dt
+
+    c0 = sales.commits()[0]
+    delete(sales, "l_quantity > 45")
+    ts = dt.datetime.fromtimestamp(c0.timestamp_ms / 1000, tz=dt.timezone.utc)
+    assert sales.load(timestamp=ts).count() == sales.load(version=0).count()
+
+
+def test_history_sequence(sales):
+    optimize(sales)
+    delete(sales, "l_quantity > 49")
+    restore(sales, 0)
+    ops = [r["operation"] for r in sales.history().collect()]
+    assert ops == ["RESTORE", "DELETE", "OPTIMIZE", "CREATE TABLE AS SELECT"]
+    versions = [r["version"] for r in sales.history().collect()]
+    assert versions == [3, 2, 1, 0]
+
+
+def test_detail_and_properties(sales):
+    d = sales.detail().collect()[0]
+    assert d["numFiles"] == 16
+    assert d["numRecords"] == sales.load().count()
+    sales.set_properties({"delta.stats.extended.collect": "true"})
+    assert (
+        sales.snapshot().properties["delta.stats.extended.collect"] == "true"
+    )
+
+
+def test_partitioned_write_and_pruning(spark, tmp_path):
+    """S3 + P11: hive layout, partition values in the log, file skipping on
+    the partition column (docs/02-lab-optimizations.md:355-388)."""
+    df = (
+        spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .withColumn("o_year", F.year("o_orderdate"))
+    )
+    t = GraftTable(spark, str(tmp_path / "orders_part"))
+    t.write(df, partition_by=["o_year"])
+    snap = t.snapshot()
+    assert snap.partition_columns == ["o_year"]
+    assert all(f.partition_values.get("o_year") for f in snap.files)
+
+    years = sorted({f.partition_values["o_year"] for f in snap.files})
+    one_year = int(years[0])
+    pruned = t.files_scanned(skip_where=[("o_year", "=", one_year)])
+    assert pruned < len(snap.files)
+    got = t.load(skip_where=[("o_year", "=", one_year)])
+    want = df.filter(F.col("o_year") == one_year)
+    assert got.count() == want.count()
+
+
+def test_zorder_enables_file_skipping(spark, tmp_path):
+    """§5.3 layout-effect: after Z-order on (l_partkey, l_suppkey), a
+    selective equality filter must touch fewer files — assert on files
+    scanned, not wall clock."""
+    df = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").repartition(16)
+    t = GraftTable(spark, str(tmp_path / "li_z"))
+    t.write(df)
+
+    some = df.select("l_partkey").first()["l_partkey"]
+    baseline = t.files_scanned(skip_where=[("l_partkey", "=", some)])
+
+    optimize(t, target_files=8, zorder_by=["l_partkey", "l_suppkey"])
+    after_total = len(t.snapshot().files)
+    after = t.files_scanned(skip_where=[("l_partkey", "=", some)])
+    assert after < after_total, "z-order should make min/max selective"
+    # correctness: skipping never changes the result
+    got = t.load(skip_where=[("l_partkey", "=", some)]).count()
+    want = df.filter(F.col("l_partkey") == some).count()
+    assert got == want
+
+
+def test_schema_enforcement_on_append(spark, sales):
+    bad = sales.load().withColumnRenamed("l_quantity", "qty")
+    with pytest.raises(ValueError, match="schema mismatch"):
+        sales.write(bad, mode="append")
+    # evolution with explicit opt-in (reference overwriteSchema, :73)
+    sales.write(bad, mode="append", overwrite_schema=True)
