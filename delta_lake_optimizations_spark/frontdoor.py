@@ -1,0 +1,266 @@
+"""SQL front door: the reference's ``%%sql`` entry style (Entry 2, SURVEY §3).
+
+Vanilla Spark 4 over plain Parquet cannot parse the Delta maintenance verbs
+the reference workshop teaches (``OPTIMIZE``, ``VACUUM``, ``DESCRIBE
+HISTORY``, ``VERSION AS OF`` — reference docs/02-lab-optimizations.md:
+118-121,205-211,220-225,306-308). ``GraftCatalog.sql`` intercepts those
+statements with a small regex router BEFORE ``spark.sql`` and dispatches to
+the native implementations in :mod:`delta_lake_optimizations_spark.table`;
+everything else passes through verbatim, so Catalyst still owns ordinary
+queries.
+
+Scale note: routing is a handful of driver-side regex matches per
+statement — no data touched until the dispatched verb runs its Spark job.
+
+Usage::
+
+    cat = GraftCatalog(spark)
+    cat.create("sales", df, "/warehouse/sales")
+    cat.sql("OPTIMIZE sales ZORDER BY (country, category)")
+    cat.sql("SELECT COUNT(*) FROM sales VERSION AS OF 0")
+    cat.sql("DELETE FROM sales WHERE status = 'cancelled'")
+    cat.sql("DESCRIBE HISTORY sales")
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from delta_lake_optimizations_spark.table import (
+    GraftTable,
+    delete,
+    optimize,
+    restore,
+    vacuum,
+)
+
+_IDENT = r"[A-Za-z_][A-Za-z0-9_.]*"
+
+
+def _unquote(s: str) -> str:
+    s = s.strip()
+    if len(s) >= 2 and s[0] == s[-1] and s[0] in ("'", '"', "`"):
+        return s[1:-1]
+    return s
+
+
+class GraftCatalog:
+    """Name -> GraftTable registry plus the SQL dispatcher.
+
+    Mirrors the reference's catalog surface: tables addressed by name
+    (``sales``) or created from a location (``CREATE TABLE ... USING DELTA
+    LOCATION``, reference docs/02-lab-optimizations.md:367-371 → our
+    :meth:`register`).
+    """
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self._tables: dict[str, GraftTable] = {}
+
+    # -- registration ------------------------------------------------------
+
+    def create(
+        self,
+        name: str,
+        df: DataFrame,
+        path: str,
+        partition_by: list[str] | None = None,
+        mode: str = "overwrite",
+    ) -> GraftTable:
+        """CREATE TABLE AS SELECT: write ``df`` as a GraftTable and register."""
+        t = GraftTable(self.spark, path)
+        t.write(df, mode=mode, partition_by=partition_by)
+        self._tables[name] = t
+        self._refresh(name)
+        return t
+
+    def register(self, name: str, path: str) -> GraftTable:
+        """CREATE TABLE ... LOCATION: attach an existing table by path."""
+        t = GraftTable(self.spark, path)
+        if not t.exists():
+            raise FileNotFoundError(f"no GraftTable at {path}")
+        self._tables[name] = t
+        self._refresh(name)
+        return t
+
+    def table(self, name: str) -> GraftTable:
+        if name not in self._tables:
+            raise KeyError(f"unknown graft table: {name!r} (have {sorted(self._tables)})")
+        return self._tables[name]
+
+    def _refresh(self, name: str) -> None:
+        """Re-point the temp view at the table's current snapshot."""
+        self._tables[name].load().createOrReplaceTempView(name)
+
+    # -- the dispatcher ----------------------------------------------------
+
+    def sql(self, text: str) -> DataFrame:
+        stmt = text.strip().rstrip(";").strip()
+
+        for pattern, handler in self._ROUTES:
+            m = pattern.match(stmt)
+            if m:
+                return handler(self, m)
+
+        # Time-travel clause inside an ordinary query: rewrite
+        # "<table> VERSION AS OF n" / "<table> TIMESTAMP AS OF 'ts'" to a
+        # snapshot temp view, then hand the query to Catalyst.
+        rewritten = self._rewrite_time_travel(stmt)
+        return self.spark.sql(rewritten)
+
+    def _rewrite_time_travel(self, stmt: str) -> str:
+        def sub_version(m: re.Match) -> str:
+            name, version = m.group(1), int(m.group(2))
+            if name not in self._tables:
+                return m.group(0)
+            view = f"__tt_{name}_v{version}"
+            self._tables[name].load(version=version).createOrReplaceTempView(view)
+            return view
+
+        def sub_timestamp(m: re.Match) -> str:
+            name, ts = m.group(1), _unquote(m.group(2))
+            if name not in self._tables:
+                return m.group(0)
+            view = f"__tt_{name}_t{re.sub(r'[^0-9]', '', ts)}"
+            self._tables[name].load(timestamp=ts).createOrReplaceTempView(view)
+            return view
+
+        stmt = re.sub(
+            rf"({_IDENT})\s+VERSION\s+AS\s+OF\s+(\d+)", sub_version, stmt, flags=re.I
+        )
+        stmt = re.sub(
+            rf"({_IDENT})\s+TIMESTAMP\s+AS\s+OF\s+('[^']*'|\"[^\"]*\")",
+            sub_timestamp,
+            stmt,
+            flags=re.I,
+        )
+        return stmt
+
+    # -- verb handlers -----------------------------------------------------
+
+    def _h_optimize(self, m: re.Match) -> DataFrame:
+        name = m.group("table")
+        zorder = m.group("zorder")
+        vorder = m.group("vorder") is not None
+        zcols = [c.strip().strip("`") for c in zorder.split(",")] if zorder else None
+        t = self.table(name)
+        commit = optimize(t, zorder_by=zcols, vorder=vorder)
+        self._refresh(name)
+        return self._row(
+            ("table", "version", "operation", "numFilesAdded", "numFilesRemoved"),
+            (name, commit.version, "OPTIMIZE", len(commit.add), len(commit.remove)),
+        )
+
+    def _h_vacuum(self, m: re.Match) -> DataFrame:
+        name = m.group("table")
+        hours = m.group("hours")
+        dry = m.group("dry") is not None
+        t = self.table(name)
+        kwargs = {"dry_run": dry}
+        if hours is not None:
+            kwargs["retain_hours"] = float(hours)
+        removed = vacuum(t, **kwargs)
+        schema = T.StructType([T.StructField("path", T.StringType())])
+        return self.spark.createDataFrame([(p,) for p in removed], schema)
+
+    def _h_history(self, m: re.Match) -> DataFrame:
+        return self.table(m.group("table")).history()
+
+    def _h_detail(self, m: re.Match) -> DataFrame:
+        return self.table(m.group("table")).detail()
+
+    def _h_extended(self, m: re.Match) -> DataFrame:
+        name = m.group("table")
+        if name in self._tables:
+            return self._tables[name].describe_extended()
+        return self.spark.sql(m.group(0))  # not ours — let Spark describe it
+
+    def _h_delete(self, m: re.Match) -> DataFrame:
+        name = m.group("table")
+        commit = delete(self.table(name), m.group("pred"))
+        self._refresh(name)
+        n = commit.operation_parameters.get("numRemovedFiles", 0)
+        return self._row(("table", "version", "numFilesRewritten"), (name, commit.version, n))
+
+    def _h_restore(self, m: re.Match) -> DataFrame:
+        name = m.group("table")
+        commit = restore(self.table(name), int(m.group("version")))
+        self._refresh(name)
+        return self._row(
+            ("table", "restoredVersion", "newVersion"),
+            (name, int(m.group("version")), commit.version),
+        )
+
+    def _h_set_properties(self, m: re.Match) -> DataFrame:
+        name = m.group("table")
+        props: dict[str, str] = {}
+        for kv in re.finditer(r"('[^']*'|\"[^\"]*\"|[\w.]+)\s*=\s*('[^']*'|\"[^\"]*\"|[\w.]+)", m.group("props")):
+            props[_unquote(kv.group(1))] = _unquote(kv.group(2))
+        commit = self.table(name).set_properties(props)
+        return self._row(("table", "version"), (name, commit.version))
+
+    def _h_create_location(self, m: re.Match) -> DataFrame:
+        self.register(m.group("table"), _unquote(m.group("loc")))
+        return self._row(("table",), (m.group("table"),))
+
+    def _row(self, cols: tuple[str, ...], vals: tuple) -> DataFrame:
+        fields = [
+            T.StructField(c, T.LongType() if isinstance(v, int) else T.StringType())
+            for c, v in zip(cols, vals)
+        ]
+        return self.spark.createDataFrame([vals], T.StructType(fields))
+
+    _ROUTES = [
+        (
+            re.compile(
+                rf"OPTIMIZE\s+(?P<table>{_IDENT})"
+                rf"(?:\s+ZORDER\s+BY\s*\(\s*(?P<zorder>[^)]+)\))?"
+                rf"(?:\s+(?P<vorder>VORDER))?$",
+                re.I,
+            ),
+            _h_optimize,
+        ),
+        (
+            re.compile(
+                rf"VACUUM\s+(?P<table>{_IDENT})"
+                rf"(?:\s+RETAIN\s+(?P<hours>\d+(?:\.\d+)?)\s+HOURS)?"
+                rf"(?:\s+(?P<dry>DRY\s+RUN))?$",
+                re.I,
+            ),
+            _h_vacuum,
+        ),
+        (re.compile(rf"DESCRIBE\s+HISTORY\s+(?P<table>{_IDENT})$", re.I), _h_history),
+        (re.compile(rf"DESCRIBE\s+DETAIL\s+(?P<table>{_IDENT})$", re.I), _h_detail),
+        (re.compile(rf"DESCRIBE\s+EXTENDED\s+(?P<table>{_IDENT})$", re.I), _h_extended),
+        (
+            re.compile(
+                rf"DELETE\s+FROM\s+(?P<table>{_IDENT})\s+WHERE\s+(?P<pred>.+)$", re.I | re.S
+            ),
+            _h_delete,
+        ),
+        (
+            re.compile(
+                rf"RESTORE\s+(?:TABLE\s+)?(?P<table>{_IDENT})\s+TO\s+VERSION\s+AS\s+OF\s+(?P<version>\d+)$",
+                re.I,
+            ),
+            _h_restore,
+        ),
+        (
+            re.compile(
+                rf"ALTER\s+TABLE\s+(?P<table>{_IDENT})\s+SET\s+TBLPROPERTIES\s*\((?P<props>.+)\)$",
+                re.I | re.S,
+            ),
+            _h_set_properties,
+        ),
+        (
+            re.compile(
+                rf"CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<table>{_IDENT})\s+"
+                rf"USING\s+(?:DELTA|GRAFT)\s+LOCATION\s+(?P<loc>'[^']*'|\"[^\"]*\")$",
+                re.I,
+            ),
+            _h_create_location,
+        ),
+    ]

@@ -1,0 +1,127 @@
+"""SQL front-door tests: replay the reference workshop's %%sql narrative
+(docs/02-lab-optimizations.md) statement-for-statement against GraftCatalog —
+create, query, OPTIMIZE (+VORDER/ZORDER), history, time travel, DELETE,
+RESTORE, VACUUM, TBLPROPERTIES — plus pass-through of ordinary SQL.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from delta_lake_optimizations_spark.frontdoor import GraftCatalog
+
+from .conftest import SF_DIR
+
+
+@pytest.fixture()
+def cat(spark, tmp_path):
+    c = GraftCatalog(spark)
+    df = (
+        spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+        .repartition(8)
+    )
+    c.create("sales", df, str(tmp_path / "sales"))
+    return c
+
+
+def test_passthrough_select(cat):
+    n = cat.sql("SELECT COUNT(*) AS n FROM sales").collect()[0]["n"]
+    assert n > 0
+    # flagship-style conjunctive filter (reference :98-102) passes through
+    got = cat.sql(
+        "SELECT COUNT(*) AS n FROM sales WHERE o_orderstatus = 'F' AND o_totalprice > 1000"
+    ).collect()[0]["n"]
+    assert 0 < got < n
+
+
+def test_optimize_statement(cat):
+    before = len(cat.table("sales").snapshot().files)
+    res = cat.sql("OPTIMIZE sales").collect()[0]
+    assert res["operation"] == "OPTIMIZE"
+    assert len(cat.table("sales").snapshot().files) < before
+    # view was refreshed — queries keep working on the new snapshot
+    assert cat.sql("SELECT COUNT(*) AS n FROM sales").collect()[0]["n"] > 0
+
+
+def test_optimize_vorder_zorder(cat):
+    cat.sql("OPTIMIZE sales ZORDER BY (o_custkey, o_totalprice) VORDER")
+    snap = cat.table("sales").snapshot()
+    assert snap.properties.get("vorder.enabled") == "true"
+    ops = [r["operation"] for r in cat.sql("DESCRIBE HISTORY sales").collect()]
+    assert ops[0] == "OPTIMIZE"
+
+
+def test_time_travel_and_delete_restore(cat):
+    n0 = cat.sql("SELECT COUNT(*) AS n FROM sales").collect()[0]["n"]
+
+    cat.sql("DELETE FROM sales WHERE o_orderstatus = 'F'")
+    n1 = cat.sql("SELECT COUNT(*) AS n FROM sales").collect()[0]["n"]
+    assert n1 < n0
+
+    # reference :210 — count at VERSION AS OF 0 sees pre-delete data
+    nv0 = cat.sql("SELECT COUNT(*) AS n FROM sales VERSION AS OF 0").collect()[0]["n"]
+    assert nv0 == n0
+
+    # reference :268-287 — restore becomes a NEW version
+    res = cat.sql("RESTORE TABLE sales TO VERSION AS OF 0").collect()[0]
+    assert res["newVersion"] == 2
+    assert cat.sql("SELECT COUNT(*) AS n FROM sales").collect()[0]["n"] == n0
+
+
+def test_timestamp_as_of_sql(cat):
+    import datetime as dt
+
+    c0 = cat.table("sales").commits()[0]
+    cat.sql("DELETE FROM sales WHERE o_orderstatus = 'F'")
+    ts = dt.datetime.fromtimestamp(c0.timestamp_ms / 1000, tz=dt.timezone.utc)
+    n = cat.sql(
+        f"SELECT COUNT(*) AS n FROM sales TIMESTAMP AS OF '{ts.isoformat()}'"
+    ).collect()[0]["n"]
+    assert n == cat.table("sales").load(version=0).count()
+
+
+def test_vacuum_statements(cat):
+    cat.sql("OPTIMIZE sales")
+    dry = cat.sql("VACUUM sales RETAIN 0 HOURS DRY RUN").collect()
+    assert len(dry) > 0
+    gone = cat.sql("VACUUM sales RETAIN 0 HOURS").collect()
+    assert {r["path"] for r in gone} == {r["path"] for r in dry}
+    # current read unaffected
+    assert cat.sql("SELECT COUNT(*) AS n FROM sales").collect()[0]["n"] > 0
+
+
+def test_describe_detail_and_tblproperties(cat):
+    d = cat.sql("DESCRIBE DETAIL sales").collect()[0]
+    assert d["numFiles"] == 8
+    # reference :621-628
+    cat.sql(
+        "ALTER TABLE sales SET TBLPROPERTIES ('delta.stats.extended.collect' = 'true')"
+    )
+    assert (
+        cat.table("sales").snapshot().properties["delta.stats.extended.collect"]
+        == "true"
+    )
+    rows = cat.sql("DESCRIBE EXTENDED sales").collect()
+    assert any("delta.stats.extended.collect" in r["col_name"] for r in rows)
+
+
+def test_create_table_location(cat, spark, tmp_path):
+    path = str(cat.table("sales").path)
+    cat2 = GraftCatalog(spark)
+    cat2.sql(f"CREATE TABLE IF NOT EXISTS sales2 USING DELTA LOCATION '{path}'")
+    assert cat2.sql("SELECT COUNT(*) AS n FROM sales2").collect()[0]["n"] > 0
+
+
+def test_join_against_registered_view(cat, spark):
+    # front-door tables interoperate with ordinary temp views in one query
+    spark.read.parquet(f"{SF_DIR}/customer.parquet").createOrReplaceTempView("customer")
+    out = cat.sql(
+        """
+        SELECT c.c_mktsegment, COUNT(*) AS n
+        FROM sales s JOIN customer c ON s.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment
+        """
+    )
+    assert out.count() > 0
