@@ -1,0 +1,75 @@
+"""Structured Streaming tests: the streaming windowed aggregation must
+agree with its batch twin on the same input, and the stateful sessionizer
+must produce gap-consistent sessions.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from delta_lake_optimizations_spark.catalog import load_table
+from delta_lake_optimizations_spark.streaming.events_stream import (
+    read_events_stream,
+    run_stream_to_memory,
+    sessionize_stream,
+    windowed_event_counts,
+)
+
+from .conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """Events corpus re-written as a multi-file parquet directory (the
+    file-stream source wants a directory; also exercises micro-batching
+    via maxFilesPerTrigger=1)."""
+    d = tmp_path_factory.mktemp("events_stream_src")
+    # range-partition + sort by ts: files arrive in event-time order, like
+    # a real landing zone (the sessionizer tolerates bounded disorder too)
+    (
+        load_table(spark, SF_DIR, "events")
+        .repartitionByRange(4, "ts")
+        .sortWithinPartitions("ts")
+        .write.mode("overwrite")
+        .parquet(str(d / "events"))
+    )
+    return str(d / "events")
+
+
+def test_stream_windowed_counts_match_batch(spark, events_dir):
+    stream = read_events_stream(spark, events_dir)
+    run_stream_to_memory(
+        windowed_event_counts(stream), "win_counts", output_mode="complete"
+    )
+    got = spark.table("win_counts")
+
+    batch = spark.read.parquet(events_dir)
+    want = windowed_event_counts(batch)
+
+    g = {tuple(r) for r in got.collect()}
+    w = {tuple(r) for r in want.collect()}
+    assert g == w
+    assert len(g) > 0
+
+
+def test_sessionize_stream_runs_and_gaps_hold(spark, events_dir):
+    stream = read_events_stream(spark, events_dir)
+    run_stream_to_memory(
+        sessionize_stream(stream), "sessions", output_mode="append", timeout_sec=180
+    )
+    sessions = spark.table("sessions")
+    # closed sessions only appear when a >30min gap followed them; with
+    # availableNow + processing-time timeout, open sessions stay in state,
+    # so we can only assert consistency of what WAS emitted.
+    rows = sessions.collect()
+    for r in rows:
+        assert r["session_end"] >= r["session_start"]
+        assert r["n_events"] >= 1
+    # every emitted session is bounded by the 30-minute gap rule: its span
+    # is at most n_events * 30min
+    bad = sessions.filter(
+        (F.col("session_end").cast("long") - F.col("session_start").cast("long"))
+        > F.col("n_events") * 1800
+    ).count()
+    assert bad == 0
