@@ -27,6 +27,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # Modules that register queries as an import side effect.
 _QUERY_MODULES = (
     "delta_lake_optimizations_spark.queries.relational",
+    "delta_lake_optimizations_spark.queries.tpch_extra",
     "delta_lake_optimizations_spark.queries.windows",
     "delta_lake_optimizations_spark.queries.setops",
     "delta_lake_optimizations_spark.queries.scalar",
