@@ -142,10 +142,13 @@ def window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def window_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Global ntile bucketing (unique ordering key keeps buckets stable)."""
+    """Global NTILE bucketing with exact SQL semantics — computed by the
+    scalable two-pass ranking operator (distributed range sort + partition
+    offsets) instead of ``Window.orderBy()`` with no partition key, which
+    would move every row through a single task at scale."""
+    from delta_lake_optimizations_spark.operators.ranking import ntile_exact
+
     orders = load_table(spark, sf_dir, "orders")
-    w = W.orderBy("o_totalprice", "o_orderkey")
-    return orders.select(
-        "o_orderkey",
-        F.ntile(4).over(w).alias("price_quartile"),
-    )
+    return ntile_exact(
+        orders, 4, ["o_totalprice", "o_orderkey"], bucket_col="price_quartile"
+    ).select("o_orderkey", "price_quartile")

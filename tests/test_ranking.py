@@ -1,0 +1,42 @@
+"""Scalable global-ranking operator tests: exact equivalence with the
+single-partition window implementations it replaces."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from delta_lake_optimizations_spark.operators.ranking import global_rank, ntile_exact
+
+from .conftest import SF_DIR
+
+
+def test_global_rank_matches_row_number(spark):
+    df = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    got = global_rank(df, ["o_totalprice", "o_orderkey"], rank_col="r", num_partitions=8)
+    want = df.withColumn(
+        "r", F.row_number().over(W.orderBy("o_totalprice", "o_orderkey"))
+    )
+    g = {(r["o_orderkey"], r["r"]) for r in got.select("o_orderkey", "r").collect()}
+    w = {(r["o_orderkey"], r["r"]) for r in want.select("o_orderkey", "r").collect()}
+    assert g == w
+
+
+def test_ntile_exact_matches_window_ntile(spark):
+    df = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    got = ntile_exact(df, 7, ["o_totalprice", "o_orderkey"], bucket_col="b", num_partitions=8)
+    want = df.withColumn(
+        "b", F.ntile(7).over(W.orderBy("o_totalprice", "o_orderkey"))
+    )
+    g = {(r["o_orderkey"], r["b"]) for r in got.select("o_orderkey", "b").collect()}
+    w = {(r["o_orderkey"], r["b"]) for r in want.select("o_orderkey", "b").collect()}
+    assert g == w
+
+
+def test_global_rank_no_single_partition_exchange(spark):
+    """The produced plan must not contain a single-partition global sort or
+    window (the thing this operator exists to avoid)."""
+    df = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    plan = global_rank(df, ["o_totalprice", "o_orderkey"], num_partitions=8)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "SinglePartition" not in plan
