@@ -1,0 +1,106 @@
+"""Connected components over near-dup pair edges (SURVEY §2.9 X2).
+
+Near-dup detection (MinHash/SimHash/cosine) yields PAIRS; deduplication
+needs CLUSTERS — the transitive closure. This is iterative min-label
+propagation (the "hash-to-min" style used by large-scale dedup pipelines,
+e.g. the BigQuery/Spark CC literature): every vertex repeatedly adopts the
+smallest component id among itself and its neighbors until fixpoint.
+
+Scale properties: each iteration is one equi-join + one groupBy (both
+shuffle on vertex id, so AQE coalesces/skew-handles them); iteration count
+is O(log(diameter)) for typical near-dup graphs (tiny clusters → 2-3
+rounds). Frames are persisted per round and the loop stops on a
+driver-side scalar (count of changed labels), not a collect of data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from delta_lake_optimizations_spark.registry import query
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Return ``(vertex, component)`` where component = min vertex id
+    reachable. Vertices are everything appearing in ``edges``."""
+    sym = (
+        edges.select(F.col(src).alias("v"), F.col(dst).alias("w"))
+        .union(edges.select(F.col(dst).alias("v"), F.col(src).alias("w")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        sym.groupBy("v").agg(F.min("w").alias("nbr_min"))
+        .select("v", F.least("v", "nbr_min").alias("component"))
+        .persist()
+    )
+
+    for _ in range(max_iter):
+        # neighbor's current component, min over neighbors, compare to own
+        nbr = (
+            sym.join(labels.withColumnRenamed("v", "w"), "w")
+            .groupBy("v")
+            .agg(F.min("component").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(nbr, "v", "left")
+            .select(
+                "v",
+                F.least("component", F.coalesce("nbr_comp", "component")).alias("component"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("component", "old"), "v")
+            .filter(F.col("component") != F.col("old"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select(F.col("v").alias("vertex"), "component")
+
+
+def dedup_assign_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """Attach a ``cluster_id`` to every row: the component representative
+    (min id) for near-dup members, the row's own id for singletons. The
+    dedup "keep one per cluster" step is then
+    ``filter(col(id_col) == col("cluster_id"))``."""
+    comp = connected_components(pairs, src=src, dst=dst)
+    return (
+        df.join(comp, df[id_col] == comp["vertex"], "left")
+        .withColumn("cluster_id", F.coalesce("component", F.col(id_col)))
+        .drop("vertex", "component")
+    )
+
+
+@query("dedup_clusters_minhash", tags=("dedup", "approx"))
+def dedup_clusters_minhash(spark, sf_dir: str) -> DataFrame:
+    """MinHash-LSH pairs -> connected components -> one survivor per
+    cluster (rows-only driver check; pytest verifies components against a
+    union-find ground truth)."""
+    from delta_lake_optimizations_spark.catalog import load_table
+    from delta_lake_optimizations_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5)
+    clustered = dedup_assign_clusters(docs, pairs)
+    return (
+        clustered.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .orderBy("cluster_id")
+    )

@@ -34,7 +34,9 @@ _QUERY_MODULES = (
     "delta_lake_optimizations_spark.queries.events",
     "delta_lake_optimizations_spark.queries.vectors",
     "delta_lake_optimizations_spark.operators.dedup",
+    "delta_lake_optimizations_spark.operators.components",
     "delta_lake_optimizations_spark.operators.similarity",
+    "delta_lake_optimizations_spark.operators.ivf",
     "delta_lake_optimizations_spark.operators.textstats",
     "delta_lake_optimizations_spark.operators.multimodal",
 )
