@@ -37,6 +37,51 @@ def _sf_from_dir(sf_dir: str) -> float:
     return -1.0
 
 
+def _bench_maintenance(spark, sf_dir: str) -> dict:
+    """BASELINE.md bench definition: flagship selective-scan latency before
+    vs after OPTIMIZE+Z-order (must not regress; file count must drop), and
+    files-read under stats-based skipping (must drop). Runs on a temp
+    GraftTable built from the corpus lineitem."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from delta_lake_optimizations_spark.table import GraftTable, optimize
+
+    root = tempfile.mkdtemp(prefix="bench_maint_")
+    out: dict = {}
+    try:
+        df = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+        t = GraftTable(spark, os.path.join(root, "li"))
+        t.write(df.repartition(64))  # the reference's many-small-files setup
+        out["files_before"] = len(t.snapshot().files)
+
+        pred = (F.col("l_returnflag") == "R") & (F.col("l_linestatus") == "F")
+        skip = [("l_returnflag", "=", "R"), ("l_linestatus", "=", "F")]
+
+        t0 = time.perf_counter()
+        t.load().filter(pred).count()
+        out["flagship_scan_pre_optimize_sec"] = round(time.perf_counter() - t0, 4)
+
+        t0 = time.perf_counter()
+        optimize(t, zorder_by=["l_returnflag", "l_linestatus"], vorder=True, target_files=8)
+        out["optimize_sec"] = round(time.perf_counter() - t0, 4)
+        out["files_after_optimize"] = len(t.snapshot().files)
+
+        t0 = time.perf_counter()
+        t.load().filter(pred).count()
+        out["flagship_scan_post_optimize_sec"] = round(time.perf_counter() - t0, 4)
+
+        t0 = time.perf_counter()
+        t.load(skip_where=skip).count()
+        out["flagship_scan_with_skipping_sec"] = round(time.perf_counter() - t0, 4)
+        out["files_scanned_with_skipping"] = t.files_scanned(skip_where=skip)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument(
@@ -44,6 +89,7 @@ def main() -> None:
     )
     parser.add_argument("--reps", type=int, default=2)
     parser.add_argument("--warmup", type=int, default=1)
+    parser.add_argument("--no-maintenance", action="store_true")
     args = parser.parse_args()
 
     spark = get_spark(app_name="bench")
@@ -61,17 +107,16 @@ def main() -> None:
         timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": _sf_from_dir(args.sf_dir),
-            }
-        )
-    )
+    doc = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_from_dir(args.sf_dir),
+    }
+    if not args.no_maintenance:
+        doc["maintenance"] = _bench_maintenance(spark, args.sf_dir)
+    print(json.dumps(doc))
 
 
 if __name__ == "__main__":
