@@ -1,0 +1,63 @@
+"""Plan-quality regression tests: the 100 TB guard-rails. Each headline
+query's physical plan must keep the properties that make it scale —
+filters pushed to the scan, columns pruned, dimension joins broadcast,
+no single-partition funnels."""
+
+from __future__ import annotations
+
+import pytest
+
+from delta_lake_optimizations_spark.plans.inspect import plan_summary, read_columns
+from delta_lake_optimizations_spark.registry import registry
+
+from .conftest import SF_DIR
+
+_DEFS = registry()
+
+
+@pytest.mark.parametrize("name", sorted(n for n, q in _DEFS.items() if q.headline))
+def test_headline_no_single_partition_funnel(spark, name):
+    df = _DEFS[name].fn(spark, SF_DIR)
+    s = plan_summary(df)
+    assert not (s["single_partition"] and s["global_window"]), (
+        f"{name}: all rows funneled through one partition"
+    )
+
+
+def test_q5_pushes_date_filter_and_broadcasts(spark):
+    df = _DEFS["q5_revenue_by_nation"].fn(spark, SF_DIR)
+    s = plan_summary(df)
+    assert any("o_orderdate" in p for p in s["pushed_filters"]), s["pushed_filters"]
+    assert any("r_name" in p for p in s["pushed_filters"])
+    assert s["broadcast_hash_joins"] >= 3  # dims broadcast at test SF
+
+
+def test_q1_prunes_columns(spark):
+    df = _DEFS["q1_pricing_summary"].fn(spark, SF_DIR)
+    cols = read_columns(df)
+    assert cols, "expected a parquet scan"
+    # 11-column lineitem: the scan must read only the 7 needed columns
+    assert all(len(c) <= 7 for c in cols), cols
+    assert all("l_orderkey" not in c for c in cols)
+
+
+def test_q6_no_join_no_shuffle_before_agg(spark):
+    df = _DEFS["q6_forecast_revenue"].fn(spark, SF_DIR)
+    s = plan_summary(df)
+    assert s["broadcast_hash_joins"] + s["sort_merge_joins"] + s["shuffled_hash_joins"] == 0
+    assert any("l_shipdate" in p for p in s["pushed_filters"])
+    # partial agg then single exchange for the final scalar
+    assert s["exchanges"] <= 1
+
+
+def test_selective_filter_pushdown(spark):
+    df = _DEFS["selective_filter_count"].fn(spark, SF_DIR)
+    s = plan_summary(df)
+    assert any("o_orderstatus" in p for p in s["pushed_filters"])
+    assert any("o_orderpriority" in p for p in s["pushed_filters"])
+
+
+def test_topk_compiles_to_take_ordered(spark):
+    df = _DEFS["q3_top_unshipped_orders"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, "LIMIT after ORDER BY must not global-sort"
