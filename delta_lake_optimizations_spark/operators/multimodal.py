@@ -78,6 +78,89 @@ def decode_assets(assets: DataFrame) -> DataFrame:
     return assets.mapInPandas(decode_batches, schema=DECODE_SCHEMA)
 
 
+RESIZE_SCHEMA = "doc_id bigint, mime string, width int, height int, payload binary"
+
+
+def resize_assets(decoded_assets: DataFrame, max_side: int = 32) -> DataFrame:
+    """STUB resize: scales the fake dimensions to fit ``max_side`` and
+    truncates the payload proportionally — stands in for a real
+    interpolating resize; the batch shape (binary in, binary out, fixed
+    schema) is exactly what a PIL/opencv implementation drops into."""
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ws, hs, payloads = [], [], []
+            for p in pdf["payload"]:
+                w, h = _fake_decode(p)
+                scale = min(1.0, max_side / max(w, h))
+                nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+                ws.append(nw)
+                hs.append(nh)
+                keep = max(1, int(len(p) * scale))
+                payloads.append(bytes(p[:keep]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "mime": pdf["mime"],
+                    "width": ws,
+                    "height": hs,
+                    "payload": payloads,
+                }
+            )
+
+    return decoded_assets.mapInPandas(resize_batches, schema=RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_payload binary"
+
+
+def frame_sample(assets: DataFrame, every_n_bytes: int = 64, max_frames: int = 8) -> DataFrame:
+    """STUB frame sampler: emits every-Nth-chunk 'frames' from the payload
+    (a video decoder would emit every-Nth decoded frame). One input row
+    fans out to <= max_frames output rows — the explode-shaped schema a
+    real pyav sampler needs."""
+
+    def sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                for i in range(min(max_frames, max(1, len(p) // every_n_bytes))):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    frames.append(bytes(p[i * every_n_bytes : (i + 1) * every_n_bytes]))
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_payload": frames}
+            )
+
+    return assets.mapInPandas(sample_batches, schema=FRAME_SCHEMA)
+
+
+FEATURE_SCHEMA = "doc_id bigint, feature array<float>"
+
+
+def extract_features(assets: DataFrame, dim: int = 16) -> DataFrame:
+    """REAL (non-stub) feature extractor: L1-normalized byte histogram of
+    the payload folded into ``dim`` buckets — a deterministic, library-free
+    content embedding usable by the similarity operators (topk_cosine,
+    IVF) downstream. Arrow-batched; no JVM round trips per row."""
+
+    def feat_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            feats = []
+            for p in pdf["payload"]:
+                arr = np.frombuffer(bytes(p), dtype=np.uint8)
+                if arr.size == 0:
+                    feats.append([0.0] * dim)
+                    continue
+                hist = np.bincount(arr % dim, minlength=dim).astype("float64")
+                feats.append((hist / hist.sum()).astype("float32").tolist())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "feature": feats})
+
+    return assets.mapInPandas(feat_batches, schema=FEATURE_SCHEMA)
+
+
 @query(
     "multimodal_manifest",
     tags=("multimodal",),
@@ -105,3 +188,12 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents = load_table(spark, sf_dir, "documents")
     assets = to_multimodal(documents, "doc_id", "text", "text/plain")
     return decode_assets(assets)
+
+
+@query("multimodal_byte_features", tags=("multimodal",))
+def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payload -> 16-dim byte-histogram embedding (real, deterministic),
+    feeding the vector operators (rows-only driver check)."""
+    documents = load_table(spark, sf_dir, "documents")
+    assets = to_multimodal(documents, "doc_id", "text", "text/plain")
+    return extract_features(assets, dim=16)

@@ -1,0 +1,61 @@
+"""Multimodal plumbing tests: schema/batch shapes of the decode, resize,
+frame-sample and feature-extract stages, and that the byte-histogram
+features feed the similarity operators."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from delta_lake_optimizations_spark.catalog import load_table
+from delta_lake_optimizations_spark.operators.multimodal import (
+    decode_assets,
+    extract_features,
+    frame_sample,
+    resize_assets,
+    to_multimodal,
+)
+from delta_lake_optimizations_spark.operators.similarity import topk_cosine
+
+from .conftest import SF_DIR
+
+
+def _assets(spark):
+    docs = load_table(spark, SF_DIR, "documents").limit(50)
+    return to_multimodal(docs, "doc_id", "text", "text/plain")
+
+
+def test_decode_shapes(spark):
+    decoded = decode_assets(_assets(spark))
+    rows = decoded.collect()
+    assert len(rows) == 50
+    for r in rows:
+        assert r["n_pixels"] == r["width"] * r["height"]
+
+
+def test_resize_bounds(spark):
+    resized = resize_assets(_assets(spark), max_side=32)
+    for r in resized.collect():
+        assert 1 <= r["width"] <= 32 and 1 <= r["height"] <= 32
+        assert len(r["payload"]) >= 1
+
+
+def test_frame_sample_fanout(spark):
+    frames = frame_sample(_assets(spark), every_n_bytes=64, max_frames=4)
+    rows = frames.collect()
+    assert len(rows) >= 50  # at least one frame per asset
+    per_doc = frames.groupBy("doc_id").count().agg(F.max("count")).collect()[0][0]
+    assert per_doc <= 4
+
+
+def test_features_normalized_and_searchable(spark):
+    feats = extract_features(_assets(spark), dim=16)
+    rows = feats.collect()
+    assert all(len(r["feature"]) == 16 for r in rows)
+    for r in rows[:5]:
+        assert math.isclose(sum(r["feature"]), 1.0, rel_tol=1e-5)
+    # features plug into the similarity surface
+    q = [float(x) for x in rows[0]["feature"]]
+    top = topk_cosine(feats, q, k=3, id_col="doc_id", vec_col="feature").collect()
+    assert top[0]["doc_id"] == rows[0]["doc_id"]  # self is most similar
