@@ -393,6 +393,7 @@ class GraftTable:
         partition_by: list[str] | None = None,
         properties: dict[str, str] | None = None,
         overwrite_schema: bool = False,
+        extra_parameters: dict[str, Any] | None = None,
     ) -> Commit:
         """Write data as a new commit.
 
@@ -431,6 +432,8 @@ class GraftTable:
             remove = [f.path for f in base.files] if base is not None else []
             operation = "WRITE" if existed else "CREATE TABLE AS SELECT"
             params = {"mode": "Overwrite" if existed else "ErrorIfExists"}
+        if extra_parameters:
+            params.update(extra_parameters)
         metadata = self._metadata_for(df, partition_by, properties, base if mode == "append" else None)
         return self._write_commit(operation, params, adds, remove, metadata)
 
