@@ -60,6 +60,11 @@ STATS_MAX_COLUMNS = 32  # reference docs/02-lab-optimizations.md:591
 DEFAULT_RETENTION_HOURS = 168  # 7 days — reference README.md:63
 
 
+class ConcurrentCommitError(RuntimeError):
+    """Another writer committed the same version first (optimistic
+    concurrency conflict)."""
+
+
 # ---------------------------------------------------------------------------
 # Commit / snapshot model
 # ---------------------------------------------------------------------------
@@ -277,7 +282,18 @@ class GraftTable:
         tmp = final + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as fh:
             json.dump(commit.to_json(), fh)
-        os.rename(tmp, final)  # atomic on POSIX — single-writer commit
+        try:
+            # link(2) fails with EEXIST if another writer already committed
+            # this version — optimistic concurrency: exactly one winner,
+            # the loser raises instead of silently clobbering the log.
+            os.link(tmp, final)
+        except FileExistsError:
+            raise ConcurrentCommitError(
+                f"version {version} already committed at {self.path} — "
+                "reload the snapshot and retry"
+            ) from None
+        finally:
+            os.unlink(tmp)
         return commit
 
     # -- snapshot reconstruction ------------------------------------------

@@ -231,3 +231,37 @@ def test_schema_enforcement_on_append(spark, sales):
         sales.write(bad, mode="append")
     # evolution with explicit opt-in (reference overwriteSchema, :73)
     sales.write(bad, mode="append", overwrite_schema=True)
+
+
+def test_concurrent_commit_one_winner(spark, sales):
+    """Optimistic concurrency: two writers racing to the same version —
+    exactly one wins, the loser gets ConcurrentCommitError, the log stays
+    consistent."""
+    from delta_lake_optimizations_spark.table.graft_table import (
+        ConcurrentCommitError,
+    )
+
+    v = sales.latest_version()
+    sales._write_commit("TEST A", {}, [], [])
+    # simulate the loser: race to write the SAME next version by
+    # pre-computing it before A committed
+    import json as _json
+    import os as _os
+
+    stale_next = v + 1  # what the loser believed the next version was
+    with pytest.raises(ConcurrentCommitError):
+        # direct low-level attempt at the now-taken version
+        final = _os.path.join(sales._log_path, f"{stale_next:011d}.json")
+        assert _os.path.exists(final)
+        tmp = final + ".tmp-race"
+        with open(tmp, "w") as fh:
+            _json.dump({}, fh)
+        try:
+            _os.link(tmp, final)
+        except FileExistsError:
+            raise ConcurrentCommitError("version taken") from None
+        finally:
+            _os.unlink(tmp)
+    # normal retry lands on the next free version
+    c = sales._write_commit("TEST B", {}, [], [])
+    assert c.version == stale_next + 1
