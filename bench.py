@@ -21,6 +21,8 @@ import os
 import sys
 import time
 
+from pyspark.sql import functions as F
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from delta_lake_optimizations_spark import get_spark
@@ -82,6 +84,52 @@ def _bench_maintenance(spark, sf_dir: str) -> dict:
     return out
 
 
+def _bench_workshop_scale(spark, n_rows: int, n_files: int) -> dict:
+    """The reference lab at its own published scale (5M rows, 400 files,
+    BASELINE.md row 1: ~8.52 s baseline selective scan on Fabric F4+):
+    generate, write small files, time the flagship scan before/after
+    OPTIMIZE VORDER with cache cleared — directly comparable numbers."""
+    import shutil
+    import tempfile
+
+    from delta_lake_optimizations_spark.table import GraftTable, optimize
+    from delta_lake_optimizations_spark.workshop import clear_all_cache, generate_sales
+
+    root = tempfile.mkdtemp(prefix="bench_ws_")
+    out: dict = {"n_rows": n_rows, "n_files": n_files}
+    try:
+        df = generate_sales(spark, n_rows=n_rows, n_parts=n_files)
+        t = GraftTable(spark, os.path.join(root, "sales"))
+        t0 = time.perf_counter()
+        t.write(df)
+        out["write_sec"] = round(time.perf_counter() - t0, 4)
+
+        flagship = (F.col("country") == "US") & (F.col("category") == "electronics")
+        clear_all_cache(spark)
+        t0 = time.perf_counter()
+        out["flagship_count"] = t.load().filter(flagship).count()
+        out["baseline_scan_sec"] = round(time.perf_counter() - t0, 4)
+
+        t0 = time.perf_counter()
+        optimize(t, zorder_by=["country", "category"], vorder=True)
+        out["optimize_sec"] = round(time.perf_counter() - t0, 4)
+        out["files_after_optimize"] = len(t.snapshot().files)
+
+        clear_all_cache(spark)
+        t0 = time.perf_counter()
+        t.load().filter(flagship).count()
+        out["optimized_scan_sec"] = round(time.perf_counter() - t0, 4)
+
+        skip = [("country", "=", "US"), ("category", "=", "electronics")]
+        t0 = time.perf_counter()
+        t.load(skip_where=skip).count()
+        out["skipping_scan_sec"] = round(time.perf_counter() - t0, 4)
+        out["files_scanned_with_skipping"] = t.files_scanned(skip_where=skip)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument(
@@ -90,6 +138,12 @@ def main() -> None:
     parser.add_argument("--reps", type=int, default=2)
     parser.add_argument("--warmup", type=int, default=1)
     parser.add_argument("--no-maintenance", action="store_true")
+    parser.add_argument(
+        "--workshop", action="store_true",
+        help="also run the reference lab at its published scale (5M rows, 400 files)",
+    )
+    parser.add_argument("--workshop-rows", type=int, default=5_000_000)
+    parser.add_argument("--workshop-files", type=int, default=400)
     args = parser.parse_args()
 
     spark = get_spark(app_name="bench")
@@ -116,6 +170,10 @@ def main() -> None:
     }
     if not args.no_maintenance:
         doc["maintenance"] = _bench_maintenance(spark, args.sf_dir)
+    if args.workshop:
+        doc["workshop_scale"] = _bench_workshop_scale(
+            spark, args.workshop_rows, args.workshop_files
+        )
     print(json.dumps(doc))
 
 
