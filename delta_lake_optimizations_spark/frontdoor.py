@@ -32,6 +32,7 @@ from pyspark.sql import types as T
 from delta_lake_optimizations_spark.table import (
     GraftTable,
     delete,
+    merge,
     optimize,
     restore,
     vacuum,
@@ -202,6 +203,32 @@ class GraftCatalog:
         commit = self.table(name).set_properties(props)
         return self._row(("table", "version"), (name, commit.version))
 
+    def _h_merge(self, m: re.Match) -> DataFrame:
+        """The common MERGE form: UPDATE SET * / INSERT * with equi-keys.
+        The USING side is any query or registered view — evaluated by
+        Catalyst, then handed to the native merge."""
+        name = m.group("table")
+        source = self.spark.sql(f"SELECT * FROM {m.group('src')}")
+        # ON t.k = s.k AND t.k2 = s.k2 -> [k, k2] (same-named equi-keys)
+        keys = [
+            mk.group(1).strip("`")
+            for mk in re.finditer(r"(?:[\w`]+\.)?([\w`]+)\s*=", m.group("onclause"))
+        ]
+        has_update = m.group("upd") is not None
+        has_insert = m.group("ins") is not None
+        commit = merge(
+            self.table(name),
+            source,
+            on=keys,
+            when_matched_update="*" if has_update else None,
+            when_not_matched_insert="*" if has_insert else None,
+        )
+        self._refresh(name)
+        return self._row(
+            ("table", "version", "numTargetFilesRewritten"),
+            (name, commit.version, commit.operation_parameters["numTargetFilesRewritten"]),
+        )
+
     def _h_create_location(self, m: re.Match) -> DataFrame:
         self.register(m.group("table"), _unquote(m.group("loc")))
         return self._row(("table",), (m.group("table"),))
@@ -262,5 +289,16 @@ class GraftCatalog:
                 re.I,
             ),
             _h_create_location,
+        ),
+        (
+            re.compile(
+                rf"MERGE\s+INTO\s+(?P<table>{_IDENT})(?:\s+AS\s+\w+|\s+\w+)?\s+"
+                rf"USING\s+(?P<src>{_IDENT})(?:\s+AS\s+\w+|\s+\w+)?\s+"
+                rf"ON\s+(?P<onclause>.+?)\s+"
+                rf"(?P<upd>WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*\s*)?"
+                rf"(?P<ins>WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*)?$",
+                re.I | re.S,
+            ),
+            _h_merge,
         ),
     ]

@@ -30,6 +30,7 @@ from delta_lake_optimizations_spark.table.maintenance import (
     restore,
     vacuum,
 )
+from delta_lake_optimizations_spark.table.merge import merge
 
 __all__ = [
     "AddFile",
@@ -38,6 +39,7 @@ __all__ = [
     "Snapshot",
     "collect_file_stats",
     "delete",
+    "merge",
     "optimize",
     "restore",
     "vacuum",

@@ -125,3 +125,39 @@ def test_join_against_registered_view(cat, spark):
         """
     )
     assert out.count() > 0
+
+
+def test_merge_statement(cat, spark):
+    n0 = cat.sql("SELECT COUNT(*) AS n FROM sales").collect()[0]["n"]
+    max_key = cat.sql("SELECT MAX(o_orderkey) AS m FROM sales").collect()[0]["m"]
+    cat.sql(
+        f"""
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               CAST(0.0 AS DOUBLE) AS o_totalprice, o_orderdate
+        FROM sales LIMIT 5
+        """
+    ).createOrReplaceTempView("updates_src")
+    spark.sql(
+        f"""
+        SELECT * FROM updates_src
+        UNION ALL
+        SELECT CAST({max_key} + 1 AS BIGINT), CAST(1 AS BIGINT), 'O',
+               CAST(0.0 AS DOUBLE), TIMESTAMP '1997-01-01 00:00:00'
+        """
+    ).createOrReplaceTempView("merge_src")
+
+    res = cat.sql(
+        """
+        MERGE INTO sales t USING merge_src s
+        ON t.o_orderkey = s.o_orderkey
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+        """
+    ).collect()[0]
+    assert res["numTargetFilesRewritten"] >= 1
+    n1 = cat.sql("SELECT COUNT(*) AS n FROM sales").collect()[0]["n"]
+    assert n1 == n0 + 1
+    zeroed = cat.sql(
+        "SELECT COUNT(*) AS n FROM sales WHERE o_totalprice = 0.0"
+    ).collect()[0]["n"]
+    assert zeroed == 6
