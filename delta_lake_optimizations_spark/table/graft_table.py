@@ -65,6 +65,11 @@ class ConcurrentCommitError(RuntimeError):
     concurrency conflict)."""
 
 
+CHECKPOINT_INTERVAL = 10  # write a full-snapshot checkpoint every N commits
+                          # (Delta's own default cadence) so replay cost is
+                          # O(interval), not O(total commits)
+
+
 # ---------------------------------------------------------------------------
 # Commit / snapshot model
 # ---------------------------------------------------------------------------
@@ -294,12 +299,58 @@ class GraftTable:
             ) from None
         finally:
             os.unlink(tmp)
+        if version > 0 and version % CHECKPOINT_INTERVAL == 0:
+            self._write_checkpoint(version)
         return commit
+
+    # -- checkpoints -------------------------------------------------------
+
+    def _checkpoint_path(self, version: int) -> str:
+        return os.path.join(self._log_path, f"_checkpoint.{version:011d}.json")
+
+    def _checkpoint_versions(self) -> list[int]:
+        if not os.path.isdir(self._log_path):
+            return []
+        out = []
+        for f in os.listdir(self._log_path):
+            if f.startswith("_checkpoint.") and f.endswith(".json"):
+                out.append(int(f[len("_checkpoint."):-len(".json")]))
+        return sorted(out)
+
+    def _write_checkpoint(self, version: int) -> None:
+        """Persist the full snapshot state at ``version`` so later readers
+        replay at most CHECKPOINT_INTERVAL commits."""
+        snap = self._replay(version, from_version=None)
+        doc = {
+            "version": version,
+            "files": [f.to_json() for f in snap.files],
+            "schemaJson": snap.schema_json,
+            "partitionColumns": snap.partition_columns,
+            "properties": snap.properties,
+        }
+        final = self._checkpoint_path(version)
+        tmp = final + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            json.dump(doc, fh)
+        os.replace(tmp, final)  # checkpoints are derived data: last wins
+
+    def _load_checkpoint(self, version: int) -> Snapshot:
+        with open(self._checkpoint_path(version)) as fh:
+            doc = json.load(fh)
+        return Snapshot(
+            version=doc["version"],
+            files=[AddFile.from_json(f) for f in doc["files"]],
+            schema_json=doc.get("schemaJson"),
+            partition_columns=list(doc.get("partitionColumns", [])),
+            properties=dict(doc.get("properties", {})),
+        )
 
     # -- snapshot reconstruction ------------------------------------------
 
     def snapshot(self, version: int | None = None, timestamp: str | datetime | None = None) -> Snapshot:
-        """Replay the log to the requested version (M7) or timestamp (M8)."""
+        """Reconstruct the table state at the requested version (M7) or
+        timestamp (M8): start from the newest checkpoint at/before the
+        target, replay only the commits after it."""
         if timestamp is not None:
             version = self._version_at(timestamp)
         versions = self._versions()
@@ -308,11 +359,31 @@ class GraftTable:
         target = versions[-1] if version is None else version
         if target not in versions:
             raise ValueError(f"version {target} not in log (have {versions[0]}..{versions[-1]})")
-        files: dict[str, AddFile] = {}
-        schema_json: str | None = None
-        partition_columns: list[str] = []
-        properties: dict[str, str] = {}
-        for v in versions:
+        base = None
+        for cp in self._checkpoint_versions():
+            if cp <= target:
+                base = cp
+        return self._replay(target, from_version=base)
+
+    def _replay(self, target: int, from_version: int | None) -> Snapshot:
+        """Replay commits ``(from_version, target]`` on top of the
+        checkpoint at ``from_version`` (or from scratch when None)."""
+        if from_version is not None:
+            base = self._load_checkpoint(from_version)
+            files = {f.path: f for f in base.files}
+            schema_json = base.schema_json
+            partition_columns = list(base.partition_columns)
+            properties = dict(base.properties)
+            start = from_version + 1
+        else:
+            files: dict[str, AddFile] = {}
+            schema_json: str | None = None
+            partition_columns: list[str] = []
+            properties: dict[str, str] = {}
+            start = 0
+        for v in self._versions():
+            if v < start:
+                continue
             if v > target:
                 break
             c = self._read_commit(v)

@@ -265,3 +265,21 @@ def test_concurrent_commit_one_winner(spark, sales):
     # normal retry lands on the next free version
     c = sales._write_commit("TEST B", {}, [], [])
     assert c.version == stale_next + 1
+
+
+def test_checkpointing_matches_full_replay(spark, sales):
+    """After >10 commits a checkpoint exists, and checkpoint-based
+    snapshots are identical to a from-scratch replay at every version."""
+    for i in range(12):
+        sales.set_properties({"k": str(i)})
+    cps = sales._checkpoint_versions()
+    assert cps and cps[-1] >= 10
+
+    for v in (0, 5, 10, sales.latest_version()):
+        with_cp = sales.snapshot(version=v)
+        scratch = sales._replay(v, from_version=None)
+        assert [f.path for f in with_cp.files] == [f.path for f in scratch.files]
+        assert with_cp.properties == scratch.properties
+        assert with_cp.schema_json == scratch.schema_json
+    # reads still work and see all data
+    assert sales.load().count() == sales.load(version=0).count()
