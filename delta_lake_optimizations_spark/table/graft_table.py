@@ -522,7 +522,15 @@ class GraftTable:
         if extra_parameters:
             params.update(extra_parameters)
         metadata = self._metadata_for(df, partition_by, properties, base if mode == "append" else None)
-        return self._write_commit(operation, params, adds, remove, metadata)
+        commit = self._write_commit(operation, params, adds, remove, metadata)
+        # T1 parity: "statistics collected automatically at write time"
+        # (reference docs/02-lab-optimizations.md:591-596), opted in via the
+        # reference's own table property (:621-628).
+        if metadata["properties"].get("delta.stats.extended.collect") == "true":
+            from delta_lake_optimizations_spark.stats import StatisticsStore
+
+            StatisticsStore(self).collect()
+        return commit
 
     # -- read paths --------------------------------------------------------
 

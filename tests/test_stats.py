@@ -75,3 +75,21 @@ def test_inject_requires_single_dir(spark, orders_table):
     orders_table.write(orders_table.load().limit(5), mode="append")
     with pytest.raises(ValueError, match="optimize"):
         inject_cbo_stats(spark, "orders_cbo2", orders_table)
+
+
+def test_auto_stats_at_write(spark, tmp_path):
+    """T1 narrative: with delta.stats.extended.collect=true, every write
+    persists column stats automatically — no explicit collect() call."""
+    from delta_lake_optimizations_spark.table import GraftTable
+
+    df = spark.read.parquet(f"{SF_DIR}/nation.parquet")
+    t = GraftTable(spark, str(tmp_path / "n"))
+    t.write(df, properties={"delta.stats.extended.collect": "true"})
+    store = StatisticsStore(t)
+    s = store.get()
+    assert s is not None and s["version"] == 0
+    assert s["rowCount"] == df.count()
+    # appends keep collecting (property persists in metadata)
+    t.write(df.limit(3), mode="append")
+    assert store.get()["version"] == 1
+    assert store.get()["rowCount"] == df.count() + 3
