@@ -35,6 +35,7 @@ from delta_lake_optimizations_spark.table import (
     merge,
     optimize,
     restore,
+    update,
     vacuum,
 )
 
@@ -46,6 +47,31 @@ def _unquote(s: str) -> str:
     if len(s) >= 2 and s[0] == s[-1] and s[0] in ("'", '"', "`"):
         return s[1:-1]
     return s
+
+
+def _split_top_level_commas(s: str) -> list[str]:
+    """Split on commas not inside parens or quotes (SET a=1, b=f(x, y))."""
+    out, depth, quote, cur = [], 0, None, []
+    for ch in s:
+        if quote:
+            cur.append(ch)
+            if ch == quote:
+                quote = None
+            continue
+        if ch in ("'", '"'):
+            quote = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            out.append("".join(cur))
+            cur = []
+            continue
+        cur.append(ch)
+    if cur:
+        out.append("".join(cur))
+    return [p for p in (x.strip() for x in out) if p]
 
 
 class GraftCatalog:
@@ -203,6 +229,20 @@ class GraftCatalog:
         commit = self.table(name).set_properties(props)
         return self._row(("table", "version"), (name, commit.version))
 
+    def _h_update(self, m: re.Match) -> DataFrame:
+        name = m.group("table")
+        assignments: dict[str, str] = {}
+        for part in _split_top_level_commas(m.group("sets")):
+            col, _, expr_text = part.partition("=")
+            assignments[col.strip().strip("`")] = expr_text.strip()
+        commit = update(self.table(name), assignments, m.group("pred"))
+        self._refresh(name)
+        return self._row(
+            ("table", "version", "numRewrittenFiles"),
+            (name, commit.version,
+             commit.operation_parameters.get("numRewrittenFiles", 0)),
+        )
+
     def _h_merge(self, m: re.Match) -> DataFrame:
         """The common MERGE form: UPDATE SET * / INSERT * with equi-keys.
         The USING side is any query or registered view — evaluated by
@@ -267,6 +307,14 @@ class GraftCatalog:
                 rf"DELETE\s+FROM\s+(?P<table>{_IDENT})\s+WHERE\s+(?P<pred>.+)$", re.I | re.S
             ),
             _h_delete,
+        ),
+        (
+            re.compile(
+                rf"UPDATE\s+(?P<table>{_IDENT})\s+SET\s+(?P<sets>.+?)"
+                rf"(?:\s+WHERE\s+(?P<pred>.+))?$",
+                re.I | re.S,
+            ),
+            _h_update,
         ),
         (
             re.compile(

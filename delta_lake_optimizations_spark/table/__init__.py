@@ -28,6 +28,7 @@ from delta_lake_optimizations_spark.table.maintenance import (
     delete,
     optimize,
     restore,
+    update,
     vacuum,
 )
 from delta_lake_optimizations_spark.table.merge import merge
@@ -42,5 +43,6 @@ __all__ = [
     "merge",
     "optimize",
     "restore",
+    "update",
     "vacuum",
 ]

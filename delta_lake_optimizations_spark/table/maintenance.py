@@ -208,6 +208,69 @@ def delete(table: GraftTable, predicate: str) -> Commit:
 
 
 # ---------------------------------------------------------------------------
+# UPDATE — copy-on-write (Delta's fourth DML verb; beyond the reference's
+# taught surface but required for completeness)
+# ---------------------------------------------------------------------------
+
+
+def update(
+    table: GraftTable, set: dict[str, Any], predicate: str | None = None
+) -> Commit:
+    """``UPDATE t SET c = expr [WHERE p]``: rewrite only the files that
+    contain matching rows; each is rewritten with
+    ``CASE WHEN p THEN expr ELSE c END`` per updated column. ``set`` maps
+    column name -> SQL expression string or Column."""
+    snap = table.snapshot()
+    df = table._read_files(snap, snap.files)
+    pred = F.expr(predicate) if predicate is not None else F.lit(True)
+
+    if predicate is not None:
+        hit_rows = (
+            df.filter(pred)
+            .select(F.input_file_name().alias("__f"))
+            .distinct()
+            .collect()
+        )
+        hit_paths = {
+            os.path.relpath(_strip_file_uri(r["__f"]), table.path) for r in hit_rows
+        }
+        hit_files = [f for f in snap.files if f.path in hit_paths]
+    else:
+        hit_files = list(snap.files)
+    if not hit_files:
+        return table._write_commit(
+            "UPDATE", {"predicate": predicate, "numRewrittenFiles": 0}, [], []
+        )
+
+    touched = table._read_files(snap, hit_files)
+    exprs = []
+    for c in touched.columns:
+        if c in set:
+            new_val = set[c] if isinstance(set[c], Column) else F.expr(str(set[c]))
+            exprs.append(
+                F.when(pred, new_val.cast(touched.schema[c].dataType))
+                .otherwise(F.col(c))
+                .alias(c)
+            )
+        else:
+            exprs.append(F.col(c))
+    rewritten = touched.select(*exprs)
+
+    rel_dir = table._new_data_dir(snap.version + 1)
+    writer = rewritten.write.mode("overwrite")
+    if snap.partition_columns:
+        writer = writer.partitionBy(*snap.partition_columns)
+    writer.parquet(os.path.join(table.path, rel_dir))
+    adds = table._scan_written_files(rel_dir)
+    return table._write_commit(
+        "UPDATE",
+        {"predicate": predicate, "numRewrittenFiles": len(hit_files)},
+        adds,
+        [f.path for f in hit_files],
+    )
+
+
+# ---------------------------------------------------------------------------
 # RESTORE (M10)
 # ---------------------------------------------------------------------------
 

@@ -161,3 +161,23 @@ def test_merge_statement(cat, spark):
         "SELECT COUNT(*) AS n FROM sales WHERE o_totalprice = 0.0"
     ).collect()[0]["n"]
     assert zeroed == 6
+
+
+def test_update_statement(cat):
+    n_f = cat.sql("SELECT COUNT(*) AS n FROM sales WHERE o_orderstatus = 'F'").collect()[0]["n"]
+    assert n_f > 0
+    res = cat.sql(
+        "UPDATE sales SET o_totalprice = o_totalprice * 2, o_orderstatus = 'X' "
+        "WHERE o_orderstatus = 'F'"
+    ).collect()[0]
+    assert res["numRewrittenFiles"] >= 1
+    assert cat.sql(
+        "SELECT COUNT(*) AS n FROM sales WHERE o_orderstatus = 'F'"
+    ).collect()[0]["n"] == 0
+    assert cat.sql(
+        "SELECT COUNT(*) AS n FROM sales WHERE o_orderstatus = 'X'"
+    ).collect()[0]["n"] == n_f
+    # untouched rows unchanged, update is time-travelable
+    assert cat.sql(
+        "SELECT COUNT(*) AS n FROM sales VERSION AS OF 0 WHERE o_orderstatus = 'F'"
+    ).collect()[0]["n"] == n_f

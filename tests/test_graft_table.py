@@ -283,3 +283,24 @@ def test_checkpointing_matches_full_replay(spark, sales):
         assert with_cp.schema_json == scratch.schema_json
     # reads still work and see all data
     assert sales.load().count() == sales.load(version=0).count()
+
+
+def test_update_copy_on_write(spark, sales):
+    from delta_lake_optimizations_spark.table import update
+
+    n0 = sales.load().count()
+    total0 = sales.load().agg(F.round(F.sum("l_extendedprice"), 2)).collect()[0][0]
+    commit = update(
+        sales, {"l_quantity": "l_quantity + 100"}, predicate="l_returnflag = 'R'"
+    )
+    assert commit.operation_parameters["numRewrittenFiles"] >= 1
+    after = sales.load()
+    assert after.count() == n0
+    # only matching rows changed; other columns untouched
+    assert after.filter("l_returnflag = 'R' AND l_quantity <= 100").count() == 0
+    assert (
+        after.agg(F.round(F.sum("l_extendedprice"), 2)).collect()[0][0] == total0
+    )
+    # no-match predicate rewrites nothing
+    c2 = update(sales, {"l_quantity": "0"}, predicate="l_returnflag = 'ZZZ'")
+    assert c2.operation_parameters["numRewrittenFiles"] == 0
