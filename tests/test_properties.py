@@ -1,0 +1,112 @@
+"""Property-based tests (hypothesis): the custom operators with the
+subtlest semantics — as-of join and exact NTILE — hold against brute-force
+ground truths on randomized inputs, not just hand-picked fixtures.
+
+Example counts are small: every example runs real Spark jobs.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from delta_lake_optimizations_spark.operators.asof import asof_join
+from delta_lake_optimizations_spark.operators.ranking import ntile_exact
+
+_BASE = dt.datetime(2024, 1, 1)
+
+_events = st.lists(
+    st.tuples(
+        st.sampled_from(["A", "B", "C"]),          # key
+        st.integers(min_value=0, max_value=500),   # minutes offset
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(left=_events, right=_events, strict=st.booleans())
+def test_asof_matches_bruteforce(spark, left, right, strict):
+    lrows = [
+        (k, _BASE + dt.timedelta(minutes=m), i) for i, (k, m) in enumerate(left)
+    ]
+    rrows = [
+        (k, _BASE + dt.timedelta(minutes=m), float(i)) for i, (k, m) in enumerate(right)
+    ]
+    ldf = spark.createDataFrame(
+        lrows,
+        T.StructType([
+            T.StructField("k", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("lid", T.IntegerType()),
+        ]),
+    )
+    rdf = spark.createDataFrame(
+        rrows,
+        T.StructType([
+            T.StructField("k", T.StringType()),
+            T.StructField("rts", T.TimestampType()),
+            T.StructField("val", T.DoubleType()),
+        ]),
+    )
+    got = {
+        r["lid"]: r["val_asof"]
+        for r in asof_join(ldf, rdf, "k", "ts", "rts", strict=strict).collect()
+    }
+
+    def naive(lk, lt):
+        best = None
+        for rk, rt, v in rrows:
+            if rk != lk:
+                continue
+            ok = rt < lt if strict else rt <= lt
+            # ties on rt: the window picks the LAST right row in
+            # (time, input) order -> max value wins ties deterministically
+            if ok and (best is None or rt > best[0] or (rt == best[0])):
+                if best is None or rt > best[0]:
+                    best = (rt, v)
+                else:
+                    best = (rt, max(best[1], v))
+        return best[1] if best else None
+
+    for lk, lt, lid in lrows:
+        want = naive(lk, lt)
+        g = got[lid]
+        if want is None:
+            assert g is None
+        else:
+            # equal-timestamp right rows are an arbitrary-but-valid pick
+            candidates = {
+                v for rk, rt, v in rrows
+                if rk == lk and rt == max(
+                    rt2 for rk2, rt2, _ in rrows
+                    if rk2 == lk and (rt2 < lt if strict else rt2 <= lt)
+                )
+            }
+            assert g in candidates
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    n_rows=st.integers(min_value=1, max_value=200),
+    k=st.integers(min_value=1, max_value=12),
+)
+def test_ntile_matches_window(spark, n_rows, k):
+    df = spark.range(n_rows).select(
+        (F.col("id") * 37 % 101).alias("v"), F.col("id")
+    )
+    got = {
+        r["id"]: r["b"]
+        for r in ntile_exact(df, k, ["v", "id"], bucket_col="b", num_partitions=4).collect()
+    }
+    want = {
+        r["id"]: r["b"]
+        for r in df.withColumn("b", F.ntile(k).over(W.orderBy("v", "id"))).collect()
+    }
+    assert got == want
