@@ -1,0 +1,145 @@
+"""Training-data curation pipeline: the operators composed end-to-end.
+
+The north-star use case is an LLM training-data pipeline at 100 TB; this
+module is the composition layer — quality scoring, language ID, token
+counting, and deduplication chained into one curation flow that lands in
+a versioned GraftTable (so curation runs are time-travelable and
+incremental via MERGE).
+
+The whole pipeline is one Catalyst plan until the write: no collects, no
+Python in the data path (the dedup groupBy is the only shuffle besides
+the final write).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from delta_lake_optimizations_spark.catalog import load_table
+from delta_lake_optimizations_spark.operators.textstats import lang_id, text_quality
+from delta_lake_optimizations_spark.registry import query
+
+DEFAULT_FILTERS = {
+    "min_tokens": 5,
+    "max_tokens": 100_000,
+    "min_alpha_ratio": 0.5,
+    "max_punct_ratio": 0.2,
+}
+
+
+def curate_documents(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    filters: dict | None = None,
+) -> DataFrame:
+    """Quality-filter + language-tag + exact-dedup a document corpus.
+
+    Returns one row per surviving document: id, pred_lang, quality
+    features, and n_copies (how many exact duplicates it represents).
+    Survivor = lowest id per distinct text (deterministic).
+    """
+    f = {**DEFAULT_FILTERS, **(filters or {})}
+    quality = text_quality(docs, id_col, text_col)
+    langs = lang_id(docs, id_col, text_col)
+
+    scored = (
+        docs.select(id_col, text_col)
+        .join(quality, id_col)
+        .join(langs, id_col)
+        .filter(
+            (F.col("n_tokens") >= f["min_tokens"])
+            & (F.col("n_tokens") <= f["max_tokens"])
+            & (F.col("alpha_ratio") >= f["min_alpha_ratio"])
+            & (F.col("punct_ratio") <= f["max_punct_ratio"])
+        )
+    )
+    # exact dedup among survivors: keep lowest id per text hash, count copies
+    ranked = scored.withColumn("content_hash", F.sha2(F.col(text_col), 256))
+    keep = (
+        ranked.groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+    return (
+        ranked.join(keep, (F.col(id_col) == F.col("keep_id")))
+        .select(
+            F.col(id_col),
+            "pred_lang",
+            "n_tokens",
+            "alpha_ratio",
+            "punct_ratio",
+            "stopword_ratio",
+            "n_copies",
+        )
+    )
+
+
+@query(
+    "pipeline_curate_documents",
+    tags=("pipeline", "dedup", "text"),
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, text,
+                   string_split_regex(lower(trim(text)), '\\s+') AS t
+            FROM documents
+        ),
+        feats AS (
+            SELECT
+                doc_id, text,
+                len(t) AS n_tokens,
+                ROUND(CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[A-Za-z]', '', 'g'))
+                      AS DOUBLE) / CAST(LENGTH(text) AS DOUBLE), 6) AS alpha_ratio,
+                ROUND(CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[.,;:!?]', '', 'g'))
+                      AS DOUBLE) / CAST(LENGTH(text) AS DOUBLE), 6) AS punct_ratio,
+                ROUND(CAST(len(list_filter(t, x -> x IN
+                    ('the','a','an','and','or','of','to','in','is','it','on','for')))
+                      AS DOUBLE) / CAST(len(t) AS DOUBLE), 6) AS stopword_ratio,
+                CASE
+                    WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+                    WHEN len(list_filter(t, x -> x IN ('the','and','of','to','is'))) = 0
+                     AND len(list_filter(t, x -> x IN ('el','la','de','que','los'))) = 0
+                     AND len(list_filter(t, x -> x IN ('le','les','des','est','une'))) = 0
+                     AND len(list_filter(t, x -> x IN ('der','die','und','ist','das'))) = 0
+                        THEN 'und'
+                    WHEN len(list_filter(t, x -> x IN ('the','and','of','to','is')))
+                      >= len(list_filter(t, x -> x IN ('el','la','de','que','los')))
+                     AND len(list_filter(t, x -> x IN ('the','and','of','to','is')))
+                      >= len(list_filter(t, x -> x IN ('le','les','des','est','une')))
+                     AND len(list_filter(t, x -> x IN ('the','and','of','to','is')))
+                      >= len(list_filter(t, x -> x IN ('der','die','und','ist','das')))
+                        THEN 'en'
+                    WHEN len(list_filter(t, x -> x IN ('el','la','de','que','los')))
+                      >= len(list_filter(t, x -> x IN ('le','les','des','est','une')))
+                     AND len(list_filter(t, x -> x IN ('el','la','de','que','los')))
+                      >= len(list_filter(t, x -> x IN ('der','die','und','ist','das')))
+                        THEN 'es'
+                    WHEN len(list_filter(t, x -> x IN ('le','les','des','est','une')))
+                      >= len(list_filter(t, x -> x IN ('der','die','und','ist','das')))
+                        THEN 'fr'
+                    ELSE 'de'
+                END AS pred_lang
+            FROM toks
+        ),
+        survivors AS (
+            SELECT * FROM feats
+            WHERE n_tokens BETWEEN 5 AND 100000
+              AND alpha_ratio >= 0.5
+              AND punct_ratio <= 0.2
+        ),
+        keep AS (
+            SELECT sha256(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+            FROM survivors GROUP BY sha256(text)
+        )
+        SELECT s.doc_id, s.pred_lang, s.n_tokens, s.alpha_ratio,
+               s.punct_ratio, s.stopword_ratio, k.n_copies
+        FROM survivors s JOIN keep k ON s.doc_id = k.keep_id
+    """,
+)
+def pipeline_curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation pipeline over the documents corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curate_documents(docs)

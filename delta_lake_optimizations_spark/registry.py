@@ -38,6 +38,7 @@ _QUERY_MODULES = (
     "delta_lake_optimizations_spark.operators.similarity",
     "delta_lake_optimizations_spark.operators.ivf",
     "delta_lake_optimizations_spark.operators.asof",
+    "delta_lake_optimizations_spark.operators.pipeline",
     "delta_lake_optimizations_spark.operators.textstats",
     "delta_lake_optimizations_spark.operators.multimodal",
 )

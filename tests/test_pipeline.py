@@ -1,0 +1,65 @@
+"""Curation-pipeline integration: curate -> land in a GraftTable ->
+optimize -> stats — the end-to-end training-data flow on the engine."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from delta_lake_optimizations_spark.catalog import load_table
+from delta_lake_optimizations_spark.operators.pipeline import curate_documents
+from delta_lake_optimizations_spark.stats import StatisticsStore
+from delta_lake_optimizations_spark.table import GraftTable, optimize
+
+from .conftest import SF_DIR
+
+
+def test_curation_lands_in_versioned_table(spark, tmp_path):
+    base = load_table(spark, SF_DIR, "documents")
+    # inject exact duplicates (new ids, same text) plus junk that the
+    # quality filters must drop
+    dupes = base.limit(20).withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    junk = spark.createDataFrame(
+        [(2_000_000 + i, "!!! ??? ...", "und", "synthetic") for i in range(5)],
+        "doc_id long, text string, lang string, source string",
+    )
+    docs = base.unionByName(dupes.select(*base.columns)).unionByName(
+        junk.select(*[c for c in base.columns if c in junk.columns]
+                    + [F.lit(None).cast("string").alias(c)
+                       for c in base.columns if c not in junk.columns]),
+        allowMissingColumns=True,
+    ).select(*base.columns)
+    curated = curate_documents(docs)
+
+    n_in, n_out = docs.count(), curated.count()
+    assert 0 < n_out < n_in  # junk filtered, duplicates collapsed
+    # every duplicated text is represented once, by its LOWEST id (the
+    # original, not the +1M copy)
+    assert curated.filter(F.col("doc_id") >= 1_000_000).count() == 0
+    assert curated.filter(F.col("n_copies") == 2).count() == 20
+    assert curated.select("doc_id").distinct().count() == n_out
+
+    t = GraftTable(spark, str(tmp_path / "curated"))
+    t.write(curated.repartition(4), properties={"delta.stats.extended.collect": "true"})
+    optimize(t, target_file_mb=512)
+    assert t.load().count() == n_out
+    assert StatisticsStore(t).get()["rowCount"] == n_out
+    ops = [r["operation"] for r in t.history().collect()]
+    assert ops == ["OPTIMIZE", "CREATE TABLE AS SELECT"]
+
+
+def test_curation_incremental_merge(spark, tmp_path):
+    """Second curation run upserts via MERGE — the incremental pattern."""
+    from delta_lake_optimizations_spark.table.merge import merge
+
+    docs = load_table(spark, SF_DIR, "documents")
+    curated = curate_documents(docs)
+    t = GraftTable(spark, str(tmp_path / "cur"))
+    t.write(curated.repartition(2))
+    n0 = t.load().count()
+
+    # re-run over the same corpus: all keys match, nothing new inserted
+    commit = merge(t, curate_documents(docs), on=["doc_id"],
+                   when_matched_update="*", when_not_matched_insert="*")
+    assert t.load().count() == n0
+    assert t.history().collect()[0]["operation"] == "MERGE"
+    assert commit.operation_parameters["numTargetFilesRewritten"] >= 1
