@@ -2,8 +2,8 @@
 
 Batch event-time windowing with ``F.window`` — the Structured Streaming
 variant of the same aggregation lives in
-``delta_lake_optimizations_spark.streaming.windows`` (same logical plan,
-incremental execution).
+``delta_lake_optimizations_spark.streaming.events_stream`` (same logical
+plan, incremental execution).
 
 DuckDB-oracle note: Spark's tumbling windows are epoch-aligned, so the
 oracle computes the bucket with explicit epoch arithmetic
