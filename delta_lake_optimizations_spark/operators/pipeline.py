@@ -80,6 +80,7 @@ def curate_documents(
 
 @query(
     "pipeline_curate_documents",
+    headline=True,
     tags=("pipeline", "dedup", "text"),
     oracle="""
         WITH toks AS (

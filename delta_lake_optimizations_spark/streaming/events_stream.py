@@ -139,7 +139,10 @@ def _session_fn(
         total += v
 
     state.update((start_us, last_us, n, total))
-    state.setTimeoutDuration(60 * 60 * 1000)  # close idle sessions after 1h
+    try:
+        state.setTimeoutDuration(60 * 60 * 1000)  # close idle sessions after 1h
+    except Exception:
+        pass  # NoTimeout mode (finite backfills): open sessions stay in state
     if finished:
         yield pd.DataFrame(
             {
@@ -152,9 +155,21 @@ def _session_fn(
         )
 
 
-def sessionize_stream(events: DataFrame) -> DataFrame:
+def sessionize_stream(events: DataFrame, idle_timeout: bool = False) -> DataFrame:
     """Custom stateful operator (applyInPandasWithState): per-user sessions
-    split on >30 min inactivity. State is one small tuple per live user."""
+    split on >30 min inactivity. State is one small tuple per live user.
+
+    ``idle_timeout=True`` enables processing-time timeouts so idle users'
+    open sessions eventually flush — the long-running-service mode. Leave
+    it off for finite drains (availableNow backfills): a query with
+    processing-time timeouts keeps scheduling timeout batches and never
+    self-terminates.
+    """
+    conf = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if idle_timeout
+        else GroupStateTimeout.NoTimeout
+    )
     return (
         events.groupBy("user_id")
         .applyInPandasWithState(
@@ -162,7 +177,7 @@ def sessionize_stream(events: DataFrame) -> DataFrame:
             outputStructType=_SESSION_OUT_SCHEMA,
             stateStructType=_SESSION_STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+            timeoutConf=conf,
         )
     )
 

@@ -29,7 +29,7 @@ def events_dir(spark, tmp_path_factory):
     # a real landing zone (the sessionizer tolerates bounded disorder too)
     (
         load_table(spark, SF_DIR, "events")
-        .repartitionByRange(4, "ts")
+        .repartitionByRange(2, "ts")
         .sortWithinPartitions("ts")
         .write.mode("overwrite")
         .parquet(str(d / "events"))
