@@ -540,14 +540,31 @@ class GraftTable:
             if schema is None:
                 raise ValueError("empty table with no schema")
             return self.spark.createDataFrame([], schema)
-        paths = [os.path.join(self.path, f.path) for f in files]
-        reader = self.spark.read
-        if snap.partition_columns:
-            # basePath keeps hive partition columns when reading explicit files
-            reader = reader.option("basePath", os.path.join(self.path))
-        if snap.schema is not None and not snap.partition_columns:
-            reader = reader.schema(snap.schema)
-        return reader.parquet(*paths)
+        if not snap.partition_columns:
+            reader = self.spark.read
+            if snap.schema is not None:
+                reader = reader.schema(snap.schema)
+            return reader.parquet(*[os.path.join(self.path, f.path) for f in files])
+
+        # Partitioned: hive partition values live in directory names UNDER
+        # each commit dir (data/vNNN-uuid/country=US/...). Partition
+        # discovery needs one basePath per commit dir — a snapshot can mix
+        # files from several commits (e.g. after a partition-scoped
+        # OPTIMIZE), so group by commit dir, scan each group with its own
+        # basePath, and union. Group count is bounded by commit history
+        # between compactions, not by data size.
+        groups: dict[str, list[str]] = {}
+        for f in files:
+            parts = f.path.split(os.sep)
+            base = os.path.join(self.path, parts[0], parts[1])
+            groups.setdefault(base, []).append(os.path.join(self.path, f.path))
+        out: DataFrame | None = None
+        for base in sorted(groups):
+            part_df = (
+                self.spark.read.option("basePath", base).parquet(*groups[base])
+            )
+            out = part_df if out is None else out.unionByName(part_df)
+        return out
 
     def load(
         self,

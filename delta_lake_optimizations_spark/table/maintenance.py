@@ -39,6 +39,7 @@ def optimize(
     vorder: bool = False,
     vorder_sort_by: list[str] | None = None,
     target_files: int | None = None,
+    where: dict[str, str] | None = None,
 ) -> Commit:
     """Bin-packing compaction: rewrite the active file set into
     ``ceil(total_bytes / target)`` files (reference M1: "many small files
@@ -55,16 +56,37 @@ def optimize(
     on ``vorder_sort_by`` (default: all zorder/first columns) to improve
     run-length/dictionary compression, plus the ``vorder.enabled`` table
     property that DESCRIBE EXTENDED surfaces (mirrors ``:150``).
+
+    ``where``: partition-column equality map (``{"country": "US"}``) —
+    Delta's ``OPTIMIZE t WHERE ...``: compact ONLY the matching
+    partitions' files; everything else carries over untouched. At 100 TB
+    you compact the fragmented partitions, never the whole table.
     """
     snap = table.snapshot()
-    df = table.load()
-    total_bytes = snap.size_bytes
+    if where:
+        bad = [k for k in where if k not in snap.partition_columns]
+        if bad:
+            raise ValueError(
+                f"optimize where supports partition columns only; {bad} not in "
+                f"{snap.partition_columns}"
+            )
+        targets = [
+            f for f in snap.files
+            if all(f.partition_values.get(k) == str(v) for k, v in where.items())
+        ]
+        df = table._read_files(snap, targets)
+    else:
+        targets = list(snap.files)
+        df = table.load()
+    total_bytes = sum(f.size for f in targets)
     if target_files is not None:
         n_files = target_files
     else:
         n_files = max(1, -(-total_bytes // (target_file_mb * 1024 * 1024)))
 
-    params: dict[str, Any] = {"targetFileMb": target_file_mb, "numFilesBefore": len(snap.files)}
+    params: dict[str, Any] = {"targetFileMb": target_file_mb, "numFilesBefore": len(targets)}
+    if where:
+        params["where"] = dict(where)
     if zorder_by:
         params["zOrderBy"] = list(zorder_by)
         df = _zorder_layout(df, zorder_by, n_files)
@@ -95,7 +117,7 @@ def optimize(
             "properties": props,
         }
     return table._write_commit(
-        "OPTIMIZE", params, adds, [f.path for f in snap.files], metadata
+        "OPTIMIZE", params, adds, [f.path for f in targets], metadata
     )
 
 

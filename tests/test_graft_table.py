@@ -304,3 +304,38 @@ def test_update_copy_on_write(spark, sales):
     # no-match predicate rewrites nothing
     c2 = update(sales, {"l_quantity": "0"}, predicate="l_returnflag = 'ZZZ'")
     assert c2.operation_parameters["numRewrittenFiles"] == 0
+
+
+def test_optimize_single_partition_only(spark, tmp_path):
+    """Delta's OPTIMIZE ... WHERE: compact one partition's files; other
+    partitions' files carry over byte-identical."""
+    df = (
+        spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .withColumn("o_year", F.year("o_orderdate"))
+        .repartition(4)
+    )
+    t = GraftTable(spark, str(tmp_path / "part_opt"))
+    t.write(df, partition_by=["o_year"])
+    snap0 = t.snapshot()
+    years = sorted({f.partition_values["o_year"] for f in snap0.files})
+    target_year = years[0]
+    n_target = sum(1 for f in snap0.files if f.partition_values["o_year"] == target_year)
+    others_before = {f.path for f in snap0.files
+                     if f.partition_values["o_year"] != target_year}
+    n_total = t.load().count()
+
+    commit = optimize(t, target_files=1, where={"o_year": target_year})
+
+    snap1 = t.snapshot()
+    # untouched partitions identical
+    others_after = {f.path for f in snap1.files
+                    if f.partition_values["o_year"] != target_year}
+    assert others_after == others_before
+    # target partition compacted
+    now_target = [f for f in snap1.files if f.partition_values["o_year"] == target_year]
+    assert len(now_target) < n_target or n_target == 1
+    assert len(commit.remove) == n_target
+    # data unchanged
+    assert t.load().count() == n_total
+    with pytest.raises(ValueError, match="partition columns only"):
+        optimize(t, where={"o_orderkey": "1"})
