@@ -339,3 +339,16 @@ def test_optimize_single_partition_only(spark, tmp_path):
     assert t.load().count() == n_total
     with pytest.raises(ValueError, match="partition columns only"):
         optimize(t, where={"o_orderkey": "1"})
+
+
+def test_schema_evolution_null_fills_old_files(spark, sales):
+    """Append with an added column (overwrite_schema): old files lack the
+    column and must read as NULL; new rows carry values."""
+    evolved = sales.load().limit(10).withColumn("quality", F.lit(0.9))
+    n0 = sales.load().count()
+    sales.write(evolved, mode="append", overwrite_schema=True)
+    cur = sales.load()
+    assert "quality" in cur.columns
+    assert cur.count() == n0 + 10
+    assert cur.filter(F.col("quality").isNull()).count() == n0
+    assert cur.filter(F.col("quality") == 0.9).count() == 10
