@@ -40,32 +40,38 @@ def curate_documents(
     features, and n_copies (how many exact duplicates it represents).
     Survivor = lowest id per distinct text (deterministic).
     """
-    f = {**DEFAULT_FILTERS, **(filters or {})}
-    quality = text_quality(docs, id_col, text_col)
-    langs = lang_id(docs, id_col, text_col)
+    from delta_lake_optimizations_spark.operators.textstats import (
+        lang_expr,
+        quality_exprs,
+    )
 
-    scored = (
-        docs.select(id_col, text_col)
-        .join(quality, id_col)
-        .join(langs, id_col)
-        .filter(
-            (F.col("n_tokens") >= f["min_tokens"])
-            & (F.col("n_tokens") <= f["max_tokens"])
-            & (F.col("alpha_ratio") >= f["min_alpha_ratio"])
-            & (F.col("punct_ratio") <= f["max_punct_ratio"])
-        )
+    f = {**DEFAULT_FILTERS, **(filters or {})}
+    # quality + lang features are pure per-row projections — computed
+    # inline in ONE select (joining them back to the same scan, as a
+    # naive composition would, shuffles the corpus twice for nothing; this
+    # way the first shuffle in the whole pipeline is the dedup groupBy)
+    scored = docs.select(
+        id_col,
+        text_col,
+        *quality_exprs(text_col),
+        lang_expr(text_col).alias("pred_lang"),
+    ).filter(
+        (F.col("n_tokens") >= f["min_tokens"])
+        & (F.col("n_tokens") <= f["max_tokens"])
+        & (F.col("alpha_ratio") >= f["min_alpha_ratio"])
+        & (F.col("punct_ratio") <= f["max_punct_ratio"])
     )
-    # exact dedup among survivors: keep lowest id per text hash, count copies
-    ranked = scored.withColumn("content_hash", F.sha2(F.col(text_col), 256))
-    keep = (
-        ranked.groupBy("content_hash")
-        .agg(
-            F.min(id_col).alias("keep_id"),
-            F.count(F.lit(1)).alias("n_copies"),
-        )
-    )
+    # exact dedup among survivors: keep lowest id per text hash, count
+    # copies — ONE window over the content hash (single shuffle), not a
+    # groupBy + join-back (two shuffles of the corpus)
+    from pyspark.sql import Window as W
+
+    wh = W.partitionBy("content_hash")
     return (
-        ranked.join(keep, (F.col(id_col) == F.col("keep_id")))
+        scored.withColumn("content_hash", F.sha2(F.col(text_col), 256))
+        .withColumn("rn", F.row_number().over(wh.orderBy(id_col)))
+        .withColumn("n_copies", F.count(F.lit(1)).over(wh))
+        .filter(F.col("rn") == 1)
         .select(
             F.col(id_col),
             "pred_lang",

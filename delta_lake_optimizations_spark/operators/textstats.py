@@ -36,17 +36,16 @@ def _count_in(tokens: Column, words: tuple[str, ...]) -> Column:
     return F.size(F.filter(tokens, lambda t: t.isin(*words)))
 
 
-def text_quality(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Quality-scoring features: token/char counts, mean token length,
-    punctuation ratio, stopword ratio, alpha ratio."""
+def quality_exprs(text_col: str) -> list[Column]:
+    """The quality-feature expressions as aliased Columns — usable inline
+    in any select (no join needed to attach features to a frame)."""
     toks = tokenize(F.col(text_col))
     n_tokens = F.size(toks)
     n_chars = F.length(text_col)
     n_punct = n_chars - F.length(F.regexp_replace(F.col(text_col), "[.,;:!?]", ""))
     n_alpha = n_chars - F.length(F.regexp_replace(F.col(text_col), "[A-Za-z]", ""))
     n_stop = _count_in(toks, _EN_STOPWORDS)
-    return df.select(
-        F.col(id_col),
+    return [
         n_tokens.alias("n_tokens"),
         n_chars.alias("n_chars_m"),
         F.round(n_chars.cast("double") / n_tokens.cast("double"), 6).alias(
@@ -57,7 +56,13 @@ def text_quality(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             "stopword_ratio"
         ),
         F.round(n_alpha.cast("double") / n_chars.cast("double"), 6).alias("alpha_ratio"),
-    )
+    ]
+
+
+def text_quality(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Quality-scoring features: token/char counts, mean token length,
+    punctuation ratio, stopword ratio, alpha ratio."""
+    return df.select(F.col(id_col), *quality_exprs(text_col))
 
 
 @query(
@@ -102,9 +107,9 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_quality(documents, "doc_id", "text")
 
 
-def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Heuristic language ID: CJK-character presence, else most stopword
-    votes (ties broken by fixed language order), else 'und'."""
+def lang_expr(text_col: str) -> Column:
+    """Heuristic language-ID expression: CJK-character presence, else most
+    stopword votes (ties broken by fixed language order), else 'und'."""
     toks = tokenize(F.col(text_col))
     votes = {lang: _count_in(toks, words) for lang, words in _LANG_STOPWORDS.items()}
     has_cjk = F.col(text_col).rlike("[\\u4e00-\\u9fff]")
@@ -116,8 +121,12 @@ def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         is_better = votes[lang] > best_votes
         best = F.when(is_better, F.lit(lang)).otherwise(best)
         best_votes = F.when(is_better, votes[lang]).otherwise(best_votes)
-    pred = F.when(has_cjk, F.lit("zh")).otherwise(best)
-    return df.select(F.col(id_col), pred.alias("pred_lang"))
+    return F.when(has_cjk, F.lit("zh")).otherwise(best)
+
+
+def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Language ID as a frame: id + pred_lang."""
+    return df.select(F.col(id_col), lang_expr(text_col).alias("pred_lang"))
 
 
 @query(
