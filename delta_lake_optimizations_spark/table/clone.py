@@ -1,0 +1,99 @@
+"""CLONE and version-diff (change-feed) utilities over GraftTable.
+
+- ``clone``: Delta-style table clone. Shallow = the new table's first
+  commit REFERENCES the source's current data files (zero data copied,
+  instant); deep = files are copied. Shallow clones share Delta's
+  documented caveat: VACUUM on the source can break the clone.
+- ``diff_versions``: row-level changes between two versions, computed as
+  a distributed multiset diff (``exceptAll`` both ways) — correct for
+  every operation mix (a pure OPTIMIZE diff is empty even though every
+  file changed, because the ROWS are identical).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from delta_lake_optimizations_spark.table.graft_table import (
+    AddFile,
+    GraftTable,
+)
+
+
+def clone(
+    source: GraftTable,
+    dest_path: str,
+    shallow: bool = True,
+    version: int | None = None,
+) -> GraftTable:
+    """Clone ``source`` (optionally at a historical ``version``) to
+    ``dest_path``. Returns the new table handle."""
+    spark = source.spark
+    snap = source.snapshot(version=version)
+    dest = GraftTable(spark, dest_path)
+    if dest.exists():
+        raise FileExistsError(f"table already exists at {dest_path}")
+
+    metadata = {
+        "schemaJson": snap.schema_json,
+        "partitionColumns": snap.partition_columns,
+        "properties": dict(snap.properties),
+    }
+    adds: list[AddFile] = []
+    if shallow:
+        for f in snap.files:
+            # reference the source's file by absolute path — os.path.join
+            # in the read path passes absolute components through
+            adds.append(
+                AddFile(
+                    path=os.path.join(source.path, f.path),
+                    size=f.size,
+                    num_records=f.num_records,
+                    partition_values=dict(f.partition_values),
+                    stats=dict(f.stats),
+                )
+            )
+    else:
+        rel_dir = dest._new_data_dir(0)
+        for f in snap.files:
+            rel_target = os.path.join(rel_dir, f.path.replace(os.sep, "_"))
+            abs_target = os.path.join(dest.path, rel_target)
+            os.makedirs(os.path.dirname(abs_target), exist_ok=True)
+            shutil.copy2(os.path.join(source.path, f.path), abs_target)
+            adds.append(
+                AddFile(
+                    path=rel_target,
+                    size=f.size,
+                    num_records=f.num_records,
+                    partition_values=dict(f.partition_values),
+                    stats=dict(f.stats),
+                )
+            )
+    dest._write_commit(
+        "CLONE",
+        {
+            "source": source.path,
+            "sourceVersion": snap.version,
+            "shallow": shallow,
+        },
+        adds,
+        [],
+        metadata,
+    )
+    return dest
+
+
+def diff_versions(table: GraftTable, from_version: int, to_version: int | None = None) -> DataFrame:
+    """Row-level change feed between two versions: one output row per
+    inserted/deleted row (an update appears as delete + insert), tagged
+    ``_change_type``. Multiset semantics (``exceptAll``), fully
+    distributed — one shuffle per side."""
+    old = table.load(version=from_version)
+    new = table.load(version=to_version) if to_version is not None else table.load()
+    inserts = new.exceptAll(old).withColumn("_change_type", F.lit("insert"))
+    deletes = old.exceptAll(new).withColumn("_change_type", F.lit("delete"))
+    return inserts.unionByName(deletes)

@@ -69,6 +69,12 @@ CHECKPOINT_INTERVAL = 10  # write a full-snapshot checkpoint every N commits
                           # (Delta's own default cadence) so replay cost is
                           # O(interval), not O(total commits)
 
+_CONSTRAINT_PREFIX = "constraint."
+
+
+class ConstraintViolationError(ValueError):
+    """A write contained rows violating a CHECK constraint."""
+
 
 # ---------------------------------------------------------------------------
 # Commit / snapshot model
@@ -503,6 +509,21 @@ class GraftTable:
                         f"{base_schema.fieldNames()} vs {df.schema.fieldNames()}"
                     )
 
+        # CHECK-constraint enforcement (schema-on-write ACID guarantee,
+        # Delta's ALTER TABLE ADD CONSTRAINT semantics): reject the whole
+        # write if any incoming row violates any registered constraint.
+        merged_props = dict(base.properties) if base is not None else {}
+        if properties:
+            merged_props.update(properties)
+        for key, expr_text in merged_props.items():
+            if key.startswith(_CONSTRAINT_PREFIX):
+                bad = df.filter(~F.expr(expr_text)).count()
+                if bad:
+                    raise ConstraintViolationError(
+                        f"{bad} row(s) violate CHECK constraint "
+                        f"{key[len(_CONSTRAINT_PREFIX):]!r}: {expr_text}"
+                    )
+
         version_hint = (base.version + 1) if base is not None else 0
         rel_dir = self._new_data_dir(version_hint)
         writer = df.write.mode("overwrite")
@@ -555,9 +576,13 @@ class GraftTable:
         # between compactions, not by data size.
         groups: dict[str, list[str]] = {}
         for f in files:
-            parts = f.path.split(os.sep)
-            base = os.path.join(self.path, parts[0], parts[1])
-            groups.setdefault(base, []).append(os.path.join(self.path, f.path))
+            abs_f = os.path.join(self.path, f.path)  # passthrough if absolute
+            # basePath = ancestor above the hive partition dirs: strip the
+            # filename, then every trailing `k=v` path component
+            base = os.path.dirname(abs_f)
+            while "=" in os.path.basename(base):
+                base = os.path.dirname(base)
+            groups.setdefault(base, []).append(abs_f)
         out: DataFrame | None = None
         for base in sorted(groups):
             part_df = (
@@ -675,6 +700,31 @@ class GraftTable:
             ]
         )
         return self.spark.createDataFrame(rows, out_schema)
+
+    def add_constraint(self, name: str, expression: str) -> Commit:
+        """ALTER TABLE ADD CONSTRAINT (CHECK): existing data must already
+        satisfy it (Delta semantics); future writes are rejected on
+        violation."""
+        bad = self.load().filter(~F.expr(expression)).count()
+        if bad:
+            raise ConstraintViolationError(
+                f"cannot add constraint {name!r}: {bad} existing row(s) violate "
+                f"{expression}"
+            )
+        return self.set_properties({_CONSTRAINT_PREFIX + name: expression})
+
+    def drop_constraint(self, name: str) -> Commit:
+        snap = self.snapshot()
+        props = dict(snap.properties)
+        props.pop(_CONSTRAINT_PREFIX + name, None)
+        metadata = {
+            "schemaJson": snap.schema_json,
+            "partitionColumns": snap.partition_columns,
+            "properties": props,
+        }
+        return self._write_commit(
+            "DROP CONSTRAINT", {"name": name}, [], [], metadata
+        )
 
     def set_properties(self, properties: dict[str, str]) -> Commit:
         """ALTER TABLE ... SET TBLPROPERTIES (M13)."""

@@ -190,6 +190,21 @@ def _strip_file_uri(p: str) -> str:
     return p
 
 
+def _hit_files(table: GraftTable, snap, provenance_rows) -> list:
+    """Map ``input_file_name()`` provenance back to snapshot AddFiles by
+    absolute path (AddFile paths may be table-relative OR absolute — the
+    latter for shallow clones)."""
+    by_abs = {
+        os.path.abspath(os.path.join(table.path, f.path)): f for f in snap.files
+    }
+    out = []
+    for r in provenance_rows:
+        f = by_abs.get(os.path.abspath(_strip_file_uri(r["__f"])))
+        if f is not None:
+            out.append(f)
+    return out
+
+
 def delete(table: GraftTable, predicate: str) -> Commit:
     """``DELETE FROM t WHERE predicate`` (reference M9,
     docs/02-lab-optimizations.md:223): rewrite only the files that contain
@@ -207,8 +222,7 @@ def delete(table: GraftTable, predicate: str) -> Commit:
         .distinct()
         .collect()
     )
-    hit_paths = {os.path.relpath(_strip_file_uri(r["__f"]), table.path) for r in hit_rows}
-    hit_files = [f for f in snap.files if f.path in hit_paths]
+    hit_files = _hit_files(table, snap, hit_rows)
     if not hit_files:
         return table._write_commit(
             "DELETE", {"predicate": predicate, "numRemovedFiles": 0}, [], []
@@ -253,10 +267,7 @@ def update(
             .distinct()
             .collect()
         )
-        hit_paths = {
-            os.path.relpath(_strip_file_uri(r["__f"]), table.path) for r in hit_rows
-        }
-        hit_files = [f for f in snap.files if f.path in hit_paths]
+        hit_files = _hit_files(table, snap, hit_rows)
     else:
         hit_files = list(snap.files)
     if not hit_files:

@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from delta_lake_optimizations_spark.table.graft_table import Commit, GraftTable
-from delta_lake_optimizations_spark.table.maintenance import _strip_file_uri
+from delta_lake_optimizations_spark.table.maintenance import _hit_files
 
 
 def merge(
@@ -67,14 +67,13 @@ def merge(
 
     # 1. which target files contain matches? (file-granular copy-on-write)
     hits = (
-        df.withColumn("__file", F.input_file_name())
+        df.withColumn("__f", F.input_file_name())
         .join(src_pref, join_cond, "left_semi")
-        .select("__file")
+        .select("__f")
         .distinct()
         .collect()
     )
-    hit_paths = {os.path.relpath(_strip_file_uri(r["__file"]), table.path) for r in hits}
-    hit_files = [f for f in snap.files if f.path in hit_paths]
+    hit_files = _hit_files(table, snap, hits)
 
     out_parts: list[DataFrame] = []
 

@@ -1,0 +1,92 @@
+"""CLONE, version-diff change feed, and CHECK-constraint tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from delta_lake_optimizations_spark.table import GraftTable, delete, optimize
+from delta_lake_optimizations_spark.table.clone import clone, diff_versions
+from delta_lake_optimizations_spark.table.graft_table import ConstraintViolationError
+
+from .conftest import SF_DIR
+
+
+@pytest.fixture()
+def src(spark, tmp_path):
+    df = spark.read.parquet(f"{SF_DIR}/supplier.parquet").repartition(4)
+    t = GraftTable(spark, str(tmp_path / "src"))
+    t.write(df)
+    return t
+
+
+def test_shallow_clone_zero_copy(spark, src, tmp_path):
+    c = clone(src, str(tmp_path / "shallow"))
+    assert c.load().count() == src.load().count()
+    # zero data copied: no data/ dir of its own
+    import os
+
+    assert not any(
+        fn.endswith(".parquet")
+        for _, _, fns in os.walk(str(tmp_path / "shallow"))
+        for fn in fns
+    )
+    # clone is independent: deleting in the clone leaves the source intact
+    delete(c, "s_suppkey % 2 = 0")
+    assert src.load().filter("s_suppkey % 2 = 0").count() > 0
+    assert c.load().filter("s_suppkey % 2 = 0").count() == 0
+
+
+def test_deep_clone_and_historical_version(spark, src, tmp_path):
+    n0 = src.load().count()
+    delete(src, "s_suppkey % 2 = 0")
+    c = clone(src, str(tmp_path / "deep"), shallow=False, version=0)
+    assert c.load().count() == n0
+    # fully independent files
+    delete(src, "s_acctbal > 1000")
+    assert c.load().count() == n0
+
+
+def test_shallow_clone_partitioned(spark, tmp_path):
+    df = spark.read.parquet(f"{SF_DIR}/orders.parquet").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    t = GraftTable(spark, str(tmp_path / "p_src"))
+    t.write(df, partition_by=["o_year"])
+    c = clone(t, str(tmp_path / "p_clone"))
+    assert c.load().count() == t.load().count()
+    assert "o_year" in c.load().columns
+
+
+def test_diff_versions_change_feed(spark, src):
+    n0 = src.load().count()
+    delete(src, "s_suppkey % 2 = 0")
+    n_deleted = n0 - src.load().count()
+    assert n_deleted > 0
+
+    changes = diff_versions(src, 0)
+    assert changes.filter(F.col("_change_type") == "delete").count() == n_deleted
+    assert changes.filter(F.col("_change_type") == "insert").count() == 0
+
+    # OPTIMIZE rewrites every file but changes no rows -> empty diff
+    v_before = src.latest_version()
+    optimize(src, target_file_mb=512)
+    assert diff_versions(src, v_before).count() == 0
+
+
+def test_check_constraint_enforced(spark, src):
+    src.add_constraint("positive_key", "s_suppkey >= 0")
+    ok = src.load().limit(3)
+    src.write(ok, mode="append")  # satisfies the constraint
+
+    bad = src.load().limit(2).withColumn("s_suppkey", F.lit(-5).cast("long"))
+    with pytest.raises(ConstraintViolationError, match="positive_key"):
+        src.write(bad, mode="append")
+
+    # constraint that existing data violates cannot be added
+    with pytest.raises(ConstraintViolationError, match="existing"):
+        src.add_constraint("impossible", "s_acctbal > 1e12")
+
+    src.drop_constraint("positive_key")
+    src.write(bad, mode="append")  # now allowed
+    assert src.load().filter("s_suppkey = -5").count() == 2
