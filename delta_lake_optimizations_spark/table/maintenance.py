@@ -364,6 +364,15 @@ def vacuum(
         p for p, ts in removed_at.items() if p not in live and ts <= horizon_ms
     )
 
+    # Shallow-clone safety: files referenced by absolute path OUTSIDE this
+    # table's root belong to the clone source — never delete them (their
+    # lifecycle is the source's vacuum, same caveat Delta documents).
+    root = os.path.abspath(table.path) + os.sep
+    candidates = [
+        p for p in candidates
+        if os.path.abspath(os.path.join(table.path, p)).startswith(root)
+    ]
+
     if not dry_run:
         for rel in candidates:
             abs_f = os.path.join(table.path, rel)

@@ -90,3 +90,22 @@ def test_check_constraint_enforced(spark, src):
     src.drop_constraint("positive_key")
     src.write(bad, mode="append")  # now allowed
     assert src.load().filter("s_suppkey = -5").count() == 2
+
+
+def test_vacuum_on_shallow_clone_never_touches_source(spark, src, tmp_path):
+    from delta_lake_optimizations_spark.table import optimize, vacuum
+
+    c = clone(src, str(tmp_path / "cl"))
+    # rewrite everything inside the clone, tombstoning the source-referenced
+    # files in the CLONE's log
+    optimize(c, target_file_mb=512)
+    removed = vacuum(c, retain_hours=0)
+    # the source's files must not be deletion candidates
+    import os
+    for p in removed:
+        assert os.path.abspath(os.path.join(c.path, p)).startswith(
+            os.path.abspath(c.path) + os.sep
+        )
+    # source untouched and fully readable
+    assert src.load().count() > 0
+    assert c.load().count() == src.load().count()
