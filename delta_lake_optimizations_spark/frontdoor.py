@@ -229,6 +229,29 @@ class GraftCatalog:
         commit = self.table(name).set_properties(props)
         return self._row(("table", "version"), (name, commit.version))
 
+    def _h_clone(self, m: re.Match) -> DataFrame:
+        from delta_lake_optimizations_spark.table.clone import clone
+
+        shallow = m.group("deep") is None
+        src = self.table(m.group("src"))
+        dest = clone(src, _unquote(m.group("loc")), shallow=shallow)
+        self._tables[m.group("table")] = dest
+        self._refresh(m.group("table"))
+        return self._row(
+            ("table", "source", "shallow"),
+            (m.group("table"), m.group("src"), str(shallow).lower()),
+        )
+
+    def _h_add_constraint(self, m: re.Match) -> DataFrame:
+        commit = self.table(m.group("table")).add_constraint(
+            m.group("name"), m.group("expr").strip().strip("()")
+        )
+        return self._row(("table", "version"), (m.group("table"), commit.version))
+
+    def _h_drop_constraint(self, m: re.Match) -> DataFrame:
+        commit = self.table(m.group("table")).drop_constraint(m.group("name"))
+        return self._row(("table", "version"), (m.group("table"), commit.version))
+
     def _h_update(self, m: re.Match) -> DataFrame:
         name = m.group("table")
         assignments: dict[str, str] = {}
@@ -337,6 +360,30 @@ class GraftCatalog:
                 re.I,
             ),
             _h_create_location,
+        ),
+        (
+            re.compile(
+                rf"CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<table>{_IDENT})\s+"
+                rf"(?:(?P<deep>DEEP)\s+|SHALLOW\s+)?CLONE\s+(?P<src>{_IDENT})\s+"
+                rf"LOCATION\s+(?P<loc>'[^']*'|\"[^\"]*\")$",
+                re.I,
+            ),
+            _h_clone,
+        ),
+        (
+            re.compile(
+                rf"ALTER\s+TABLE\s+(?P<table>{_IDENT})\s+ADD\s+CONSTRAINT\s+"
+                rf"(?P<name>\w+)\s+CHECK\s*(?P<expr>\(.+\))$",
+                re.I | re.S,
+            ),
+            _h_add_constraint,
+        ),
+        (
+            re.compile(
+                rf"ALTER\s+TABLE\s+(?P<table>{_IDENT})\s+DROP\s+CONSTRAINT\s+(?P<name>\w+)$",
+                re.I,
+            ),
+            _h_drop_constraint,
         ),
         (
             re.compile(

@@ -378,6 +378,53 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_levenshtein_prefix_block",
+    tags=("dedup",),
+    oracle="""
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) AS edit_dist
+        FROM documents a
+        JOIN documents b
+          ON substr(a.text, 1, 8) = substr(b.text, 1, 8)
+         AND a.source = b.source
+         AND a.doc_id < b.doc_id
+        WHERE levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) <= 5
+    """,
+)
+def dedup_levenshtein_prefix_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup pairs, prefix-blocked.
+
+    Levenshtein is O(len^2) per pair, so it only ever runs on candidates
+    from cheap blocking (equal 8-char prefix + same source), and on a
+    40-char head, not full documents — the standard cascade: cheap block
+    -> bounded expensive verify."""
+    documents = load_table(spark, sf_dir, "documents")
+    a = documents.select(
+        F.col("doc_id").alias("doc_a"),
+        F.substring("text", 1, 8).alias("_blk"),
+        F.col("source").alias("_src"),
+        F.substring("text", 1, 40).alias("_head_a"),
+    )
+    b = documents.select(
+        F.col("doc_id").alias("doc_b"),
+        F.substring("text", 1, 8).alias("_blk2"),
+        F.col("source").alias("_src2"),
+        F.substring("text", 1, 40).alias("_head_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("_blk") == F.col("_blk2"))
+            & (F.col("_src") == F.col("_src2"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .withColumn("edit_dist", F.levenshtein("_head_a", "_head_b"))
+        .filter(F.col("edit_dist") <= 5)
+        .select("doc_a", "doc_b", "edit_dist")
+    )
+
+
+@query(
     "dedup_ngram_jaccard",
     tags=("dedup",),
     oracle="""

@@ -181,3 +181,28 @@ def test_update_statement(cat):
     assert cat.sql(
         "SELECT COUNT(*) AS n FROM sales VERSION AS OF 0 WHERE o_orderstatus = 'F'"
     ).collect()[0]["n"] == n_f
+
+
+def test_clone_and_constraint_statements(cat, tmp_path):
+    from delta_lake_optimizations_spark.table.graft_table import (
+        ConstraintViolationError,
+    )
+
+    loc = str(tmp_path / "sales_clone")
+    res = cat.sql(f"CREATE TABLE sales_copy SHALLOW CLONE sales LOCATION '{loc}'").collect()[0]
+    assert res["shallow"] == "true"
+    n = cat.sql("SELECT COUNT(*) AS n FROM sales_copy").collect()[0]["n"]
+    assert n == cat.sql("SELECT COUNT(*) AS n FROM sales").collect()[0]["n"]
+
+    cat.sql("ALTER TABLE sales_copy ADD CONSTRAINT pos_price CHECK (o_totalprice >= 0)")
+    assert "constraint.pos_price" in cat.table("sales_copy").snapshot().properties
+    import pytest as _pytest
+
+    bad = cat.table("sales_copy").load().limit(1).selectExpr(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        "CAST(-1.0 AS DOUBLE) AS o_totalprice", "o_orderdate",
+    )
+    with _pytest.raises(ConstraintViolationError):
+        cat.table("sales_copy").write(bad, mode="append")
+    cat.sql("ALTER TABLE sales_copy DROP CONSTRAINT pos_price")
+    cat.table("sales_copy").write(bad, mode="append")
