@@ -403,3 +403,29 @@ def column_stats_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(F.length("l_returnflag")), 4).alias("avg_flag_len"),
         F.max(F.length("l_linestatus")).alias("max_status_len"),
     )
+
+
+@query(
+    "group_percentiles",
+    tags=("agg", "percentile"),
+    oracle="""
+        SELECT l_returnflag,
+               quantile_cont(l_extendedprice, 0.5) AS med_price,
+               quantile_cont(l_extendedprice, 0.9) AS p90_price,
+               quantile_cont(l_extendedprice, 0.25) AS p25_price
+        FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (median/p25/p90).
+
+    Spark's ``percentile`` and DuckDB's ``quantile_cont`` share the
+    linear-interpolation definition, so results are bitwise identical —
+    no rounding needed. At scale, swap to ``approx_percentile`` (t-digest
+    sketch, map-side combinable) when exactness isn't required."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return lineitem.groupBy("l_returnflag").agg(
+        F.median("l_extendedprice").alias("med_price"),
+        F.percentile("l_extendedprice", 0.9).alias("p90_price"),
+        F.percentile("l_extendedprice", 0.25).alias("p25_price"),
+    )

@@ -110,3 +110,31 @@ def test_ntile_matches_window(spark, n_rows, k):
         for r in df.withColumn("b", F.ntile(k).over(W.orderBy("v", "id"))).collect()
     }
     assert got == want
+
+
+_keysets = st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=15, unique=True)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(target_keys=_keysets, source_keys=_keysets)
+def test_merge_upsert_semantics(spark, tmp_path_factory, target_keys, source_keys):
+    """Random key sets: post-merge table == (target rows, updated where
+    matched) + (source rows whose key is new)."""
+    from delta_lake_optimizations_spark.table import GraftTable
+    from delta_lake_optimizations_spark.table.merge import merge
+
+    root = tmp_path_factory.mktemp("merge_prop")
+    tdf = spark.createDataFrame(
+        [(k, float(k)) for k in target_keys], "k long, v double"
+    ).repartition(2)
+    sdf = spark.createDataFrame(
+        [(k, float(k) + 1000.0) for k in source_keys], "k long, v double"
+    )
+    t = GraftTable(spark, str(root / "t"))
+    t.write(tdf)
+    merge(t, sdf, on=["k"], when_matched_update="*", when_not_matched_insert="*")
+
+    got = {r["k"]: r["v"] for r in t.load().collect()}
+    want = {k: float(k) for k in target_keys}
+    want.update({k: float(k) + 1000.0 for k in source_keys})
+    assert got == want
