@@ -231,3 +231,61 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_count(F.col("bucket").bitwiseXOR(F.lit(qbucket))) <= 2
     )
     return topk_cosine(cand, qv, k=10)
+
+
+@query(
+    "semantic_search_with_text",
+    tags=("similarity", "vector", "join"),
+    oracle="""
+        WITH q AS (
+            SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+        ),
+        scored AS (
+            SELECT
+                vec_id,
+                ROUND(
+                    list_sum(list_transform(
+                        list_zip(embedding, q.qv),
+                        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)
+                    ))
+                    / (
+                        SQRT(list_sum(list_transform(
+                            embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                        )))
+                        * SQRT(list_sum(list_transform(
+                            q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                        )))
+                    ),
+                    6
+                ) AS cos_sim
+            FROM embeddings, q
+        ),
+        topk AS (
+            SELECT vec_id, cos_sim FROM scored
+            ORDER BY cos_sim DESC, vec_id LIMIT 10
+        )
+        SELECT t.vec_id, t.cos_sim, d.lang,
+               SUBSTR(d.text, 1, 80) AS snippet
+        FROM topk t JOIN documents d ON t.vec_id = d.doc_id
+    """,
+)
+def semantic_search_with_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal retrieval: vector top-k over embeddings, then a
+    broadcast join back to documents for the text payload — the RAG-shaped
+    query (rank small, fetch text only for the winners; the document scan
+    never touches the losers)."""
+    from delta_lake_optimizations_spark.catalog import load_table
+
+    embeddings = load_table(spark, sf_dir, "embeddings")
+    documents = load_table(spark, sf_dir, "documents")
+    qv = query_vector(spark, sf_dir, 0)
+    top = topk_cosine(embeddings, qv, k=10)
+    return (
+        documents.join(F.broadcast(top), F.col("vec_id") == F.col("doc_id"))
+        .select(
+            "vec_id",
+            "cos_sim",
+            "lang",
+            F.substring("text", 1, 80).alias("snippet"),
+        )
+    )
