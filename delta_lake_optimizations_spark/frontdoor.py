@@ -173,8 +173,15 @@ class GraftCatalog:
         zorder = m.group("zorder")
         vorder = m.group("vorder") is not None
         zcols = [c.strip().strip("`") for c in zorder.split(",")] if zorder else None
+        where = None
+        if m.group("where"):
+            where = {}
+            for kv in re.finditer(
+                r"([\w`]+)\s*=\s*('[^']*'|\"[^\"]*\"|[\w.]+)", m.group("where")
+            ):
+                where[kv.group(1).strip("`")] = _unquote(kv.group(2))
         t = self.table(name)
-        commit = optimize(t, zorder_by=zcols, vorder=vorder)
+        commit = optimize(t, zorder_by=zcols, vorder=vorder, where=where)
         self._refresh(name)
         return self._row(
             ("table", "version", "operation", "numFilesAdded", "numFilesRemoved"),
@@ -307,6 +314,7 @@ class GraftCatalog:
         (
             re.compile(
                 rf"OPTIMIZE\s+(?P<table>{_IDENT})"
+                rf"(?:\s+WHERE\s+(?P<where>.+?))?"
                 rf"(?:\s+ZORDER\s+BY\s*\(\s*(?P<zorder>[^)]+)\))?"
                 rf"(?:\s+(?P<vorder>VORDER))?$",
                 re.I,

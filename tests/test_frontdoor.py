@@ -206,3 +206,22 @@ def test_clone_and_constraint_statements(cat, tmp_path):
         cat.table("sales_copy").write(bad, mode="append")
     cat.sql("ALTER TABLE sales_copy DROP CONSTRAINT pos_price")
     cat.table("sales_copy").write(bad, mode="append")
+
+
+def test_optimize_where_statement(cat, spark, tmp_path):
+    df = (
+        spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .withColumn("o_year", F.year("o_orderdate"))
+        .repartition(4)
+    )
+    cat.create("po", df, str(tmp_path / "po"), partition_by=["o_year"])
+    snap0 = cat.table("po").snapshot()
+    year = sorted({f.partition_values["o_year"] for f in snap0.files})[0]
+    res = cat.sql(f"OPTIMIZE po WHERE o_year = {year}").collect()[0]
+    assert res["operation"] == "OPTIMIZE"
+    others0 = {f.path for f in snap0.files if f.partition_values["o_year"] != year}
+    others1 = {
+        f.path for f in cat.table("po").snapshot().files
+        if f.partition_values["o_year"] != year
+    }
+    assert others0 == others1  # untouched partitions carried over
