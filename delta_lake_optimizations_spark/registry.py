@@ -40,6 +40,7 @@ _QUERY_MODULES = (
     "delta_lake_optimizations_spark.operators.asof",
     "delta_lake_optimizations_spark.operators.pipeline",
     "delta_lake_optimizations_spark.operators.rangejoin",
+    "delta_lake_optimizations_spark.operators.bm25",
     "delta_lake_optimizations_spark.operators.textstats",
     "delta_lake_optimizations_spark.operators.multimodal",
 )
