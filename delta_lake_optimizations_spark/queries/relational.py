@@ -429,3 +429,25 @@ def group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("l_extendedprice", 0.9).alias("p90_price"),
         F.percentile("l_extendedprice", 0.25).alias("p25_price"),
     )
+
+
+@query("hll_distinct_parts_by_flag", tags=("agg", "sketch"))
+def hll_distinct_parts_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable approximate distinct counts via Datasketches HLL
+    (rows-only driver check; pytest pins accuracy vs exact and
+    sketch-merge associativity).
+
+    At 100 TB, COUNT(DISTINCT x) per group forces a full shuffle of x;
+    hll_sketch_agg is map-side combinable and its sketches union across
+    groups/partitions/days — the pattern for distinct-count rollups."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.groupBy("l_returnflag")
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg("l_partkey")
+            ).alias("approx_parts"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -40,3 +40,25 @@ def test_global_rank_no_single_partition_exchange(spark):
     plan = global_rank(df, ["o_totalprice", "o_orderkey"], num_partitions=8)._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     assert "SinglePartition" not in plan
+
+
+def test_hll_sketch_accuracy_and_merge(spark):
+    """HLL estimates within 5% of exact; per-group sketches union to the
+    global estimate (merge associativity — the property that makes the
+    sketch usable for rollups without rescanning)."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    exact = li.select("l_partkey").distinct().count()
+    est = li.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("l_partkey")).alias("e")
+    ).collect()[0]["e"]
+    assert abs(est - exact) / exact < 0.05
+
+    merged = (
+        li.groupBy("l_returnflag")
+        .agg(F.hll_sketch_agg("l_partkey").alias("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("e"))
+        .collect()[0]["e"]
+    )
+    assert merged == est
