@@ -139,8 +139,8 @@ def main() -> None:
     parser.add_argument("--warmup", type=int, default=1)
     parser.add_argument("--no-maintenance", action="store_true")
     parser.add_argument(
-        "--workshop", action="store_true",
-        help="also run the reference lab at its published scale (5M rows, 400 files)",
+        "--no-workshop", action="store_true",
+        help="skip the reference-scale lab reproduction (5M rows, 400 files)",
     )
     parser.add_argument("--workshop-rows", type=int, default=5_000_000)
     parser.add_argument("--workshop-files", type=int, default=400)
@@ -170,7 +170,7 @@ def main() -> None:
     }
     if not args.no_maintenance:
         doc["maintenance"] = _bench_maintenance(spark, args.sf_dir)
-    if args.workshop:
+    if not args.no_workshop:
         doc["workshop_scale"] = _bench_workshop_scale(
             spark, args.workshop_rows, args.workshop_files
         )
