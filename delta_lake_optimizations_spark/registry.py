@@ -28,6 +28,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 _QUERY_MODULES = (
     "delta_lake_optimizations_spark.queries.relational",
     "delta_lake_optimizations_spark.queries.tpch_extra",
+    "delta_lake_optimizations_spark.queries.tpch_full",
     "delta_lake_optimizations_spark.queries.windows",
     "delta_lake_optimizations_spark.queries.setops",
     "delta_lake_optimizations_spark.queries.scalar",
