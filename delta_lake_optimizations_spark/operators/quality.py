@@ -1,0 +1,187 @@
+"""Repetition / n-gram / redaction operators over ``documents`` (SURVEY
+§2.9 X5 extensions — the Gopher-style quality-filter signals and the
+corpus-level n-gram statistics an LLM-data pipeline runs before training).
+
+All three are pure built-in-function plans (whole-stage codegen, no
+Python in the data path):
+
+- per-document repetition scores stay entirely within the row (array
+  lambdas over the token list — zero shuffle, linear scan);
+- corpus n-gram counts are one explode + one hash aggregate (map-side
+  partial combine collapses the per-partition duplicates before the
+  single shuffle; top-k is a tiny sorted tail);
+- PII redaction is regexp_replace / regexp_extract_all over each row
+  (patterns kept to the RE2-compatible subset so the DuckDB oracle can
+  run the identical regex).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from delta_lake_optimizations_spark.catalog import load_table
+from delta_lake_optimizations_spark.operators.dedup import tokenize
+from delta_lake_optimizations_spark.registry import query
+
+# RE2-and-Java-compatible PII patterns (no lookarounds, no backrefs).
+EMAIL_PATTERN = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PHONE_PATTERN = "\\b[0-9]{3}-[0-9]{4}\\b"
+
+
+def _bigrams(toks: Column) -> Column:
+    """Adjacent-token bigrams as 'a b' strings (empty array below 2 tokens)."""
+    n = F.size(toks)
+    return F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_exprs(text_col: str) -> list[Column]:
+    """Gopher-style within-document repetition signals (Rae et al. 2021,
+    'Scaling Language Models' §A1.1, public arXiv:2112.11446): the
+    fraction of duplicated words and the fraction of tokens covered by
+    the single most-repeated bigram. High values mark boilerplate /
+    degenerate documents that quality filters drop before training."""
+    toks = tokenize(F.col(text_col))
+    n = F.size(toks)
+    bg = _bigrams(toks)
+    # max multiplicity of any bigram, computed row-locally (docs are short;
+    # distinct-x-filter is O(d*n) inside codegen, no shuffle)
+    top_bg_count = F.when(
+        F.size(bg) >= 1,
+        F.array_max(
+            F.transform(
+                F.array_distinct(bg),
+                lambda x: F.size(F.filter(bg, lambda y: y == x)),
+            )
+        ),
+    ).otherwise(F.lit(0))
+    return [
+        n.alias("n_tokens"),
+        F.round(1.0 - F.size(F.array_distinct(toks)).cast("double") / n.cast("double"), 6).alias(
+            "dup_word_fraction"
+        ),
+        F.round(
+            F.when(n >= 2, (2.0 * top_bg_count.cast("double")) / n.cast("double")).otherwise(0.0),
+            6,
+        ).alias("top_bigram_fraction"),
+    ]
+
+
+@query(
+    "text_repetition_scores",
+    tags=("text", "quality"),
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+            FROM documents
+        ),
+        bg AS (
+            SELECT doc_id, t,
+                   CASE WHEN len(t) >= 2
+                        THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+                        ELSE [] END AS b
+            FROM toks
+        )
+        SELECT doc_id,
+               len(t) AS n_tokens,
+               ROUND(1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 6)
+                   AS dup_word_fraction,
+               ROUND(CASE WHEN len(t) >= 2 THEN
+                   2.0 * list_max(list_transform(list_distinct(b),
+                                  x -> len(list_filter(b, y -> y = x)))) / len(t)
+                   ELSE 0.0 END, 6) AS top_bigram_fraction
+        FROM bg
+    """,
+)
+def text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition quality signals (duplicate-word fraction,
+    top-bigram coverage) — row-local array lambdas, zero shuffle."""
+    documents = load_table(spark, sf_dir, "documents")
+    return documents.select("doc_id", *repetition_exprs("text"))
+
+
+@query(
+    "corpus_top_bigrams",
+    tags=("text", "ngram"),
+    oracle="""
+        WITH toks AS (
+            SELECT string_split_regex(lower(trim(text)), '\\s+') AS t
+            FROM documents
+        ),
+        bg AS (
+            SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))
+                   AS bigram
+            FROM toks WHERE len(t) >= 2
+        )
+        SELECT bigram, COUNT(*) AS cnt
+        FROM bg
+        GROUP BY bigram
+        ORDER BY cnt DESC, bigram
+        LIMIT 20
+    """,
+)
+def corpus_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level most-frequent word bigrams: explode + one hash
+    aggregate (map-side partial combine) + tiny top-k tail. At 100 TB
+    this is the canonical 'global n-gram counts' job — one shuffle on
+    the bigram key, skew absorbed by the partial aggregation."""
+    documents = load_table(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    return (
+        documents.select(F.explode(_bigrams(toks)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("bigram"))
+        .limit(20)
+    )
+
+
+@query(
+    "pii_redaction_counts",
+    tags=("text", "redaction"),
+    oracle=f"""
+        WITH enriched AS (
+            SELECT doc_id,
+                   text || ' contact: user' || CAST(doc_id AS VARCHAR)
+                        || '@example.com or call 555-' ||
+                        CAST(1000 + doc_id % 9000 AS VARCHAR) AS text
+            FROM documents
+        )
+        SELECT doc_id,
+               len(regexp_extract_all(text, '{EMAIL_PATTERN}')) AS n_emails,
+               len(regexp_extract_all(text, '{PHONE_PATTERN}')) AS n_phones,
+               LENGTH(regexp_replace(regexp_replace(text,
+                   '{EMAIL_PATTERN}', '[EMAIL]', 'g'),
+                   '{PHONE_PATTERN}', '[PHONE]', 'g')) AS redacted_len
+        FROM enriched
+    """,
+)
+def pii_redaction_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing for training data: count and replace email/phone
+    patterns. The corpus is synthetic, so a deterministic contact line is
+    appended first (identically in the oracle) — the assertion is that
+    the redaction regexes actually fire, not that the corpus is dirty."""
+    documents = load_table(spark, sf_dir, "documents")
+    enriched = F.concat(
+        F.col("text"),
+        F.lit(" contact: user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or call 555-"),
+        (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(enriched, EMAIL_PATTERN, "[EMAIL]"), PHONE_PATTERN, "[PHONE]"
+    )
+    return documents.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(enriched, F.lit(EMAIL_PATTERN), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all(enriched, F.lit(PHONE_PATTERN), 0)).alias("n_phones"),
+        F.length(redacted).alias("redacted_len"),
+    )
