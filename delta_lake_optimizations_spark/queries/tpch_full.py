@@ -99,6 +99,7 @@ def q8_national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q9_product_type_profit",
+    headline=True,
     tags=("join", "agg", "tpch"),
     oracle="""
         SELECT nation, o_year,
@@ -285,6 +286,7 @@ def q20_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q21_suppliers_kept_orders_waiting",
+    headline=True,
     tags=("join", "exists", "not-exists", "tpch"),
     oracle="""
         WITH li AS (
@@ -314,8 +316,12 @@ def q21_suppliers_kept_orders_waiting(spark: SparkSession, sf_dir: str) -> DataF
     multi-supplier order ('late' = shipped >60 days after order date; the
     corpus lacks commit/receipt dates). The spec's EXISTS (another supplier
     on the order) and NOT EXISTS (another LATE supplier) are both answered
-    by one (orderkey, suppkey) rollup plus one per-order count — two
-    aggregations instead of two correlated fact-fact joins."""
+    by ONE (orderkey, suppkey) rollup plus a window over l_orderkey — the
+    window reuses the rollup's rows in place, so the whole query is two
+    fact shuffles (rollup key, then order key) instead of the correlated
+    form's two extra fact-fact joins."""
+    from pyspark.sql import Window
+
     lineitem = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     supplier = load_table(spark, sf_dir, "supplier")
@@ -333,15 +339,11 @@ def q21_suppliers_kept_orders_waiting(spark: SparkSession, sf_dir: str) -> DataF
             ).alias("is_late")
         )
     )
-    ord_stats = li.groupBy(F.col("l_orderkey").alias("ord_key")).agg(
-        F.count(F.lit(1)).alias("n_supps"), F.sum("is_late").alias("n_late")
-    )
+    w = Window.partitionBy("l_orderkey")
     return (
-        li.filter(F.col("is_late") == 1)
-        .join(
-            ord_stats.filter((F.col("n_supps") > 1) & (F.col("n_late") == 1)),
-            F.col("l_orderkey") == F.col("ord_key"),
-        )
+        li.withColumn("n_supps", F.count(F.lit(1)).over(w))
+        .withColumn("n_late", F.sum("is_late").over(w))
+        .filter((F.col("is_late") == 1) & (F.col("n_supps") > 1) & (F.col("n_late") == 1))
         .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))

@@ -61,3 +61,31 @@ def test_topk_compiles_to_take_ordered(spark):
     df = _DEFS["q3_top_unshipped_orders"].fn(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan, "LIMIT after ORDER BY must not global-sort"
+
+
+def test_q9_broadcasts_all_dims(spark):
+    df = _DEFS["q9_product_type_profit"].fn(spark, SF_DIR)
+    s = plan_summary(df)
+    # part (LIKE-filtered), supplier, nation all broadcast; only the
+    # lineitem<->orders fact join may shuffle
+    assert s["broadcast_hash_joins"] >= 3, s
+    assert s["sort_merge_joins"] + s["shuffled_hash_joins"] <= 1, s
+
+
+def test_q16_anti_join_broadcasts_and_prunes(spark):
+    df = _DEFS["q16_supplier_count_by_part"].fn(spark, SF_DIR)
+    s = plan_summary(df)
+    assert s["broadcast_hash_joins"] >= 2, s  # exclusion list + filtered part
+    cols = read_columns(df)
+    # lineitem scan needs only the two keys
+    assert any(set(c) <= {"l_partkey", "l_suppkey"} for c in cols), cols
+
+
+def test_q21_take_ordered_and_bounded_exchanges(spark):
+    df = _DEFS["q21_suppliers_kept_orders_waiting"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, "top-25 must not global-sort"
+    s = plan_summary(df)
+    # decorrelated form: one rollup + one window, not correlated per-row
+    # subqueries — at most: orders join, rollup key, order key, s_name agg
+    assert s["exchanges"] <= 5, s
