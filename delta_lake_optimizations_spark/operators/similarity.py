@@ -289,3 +289,167 @@ def semantic_search_with_text(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.substring("text", 1, 80).alias("snippet"),
         )
     )
+
+
+def knn_join(
+    df: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = None,
+) -> DataFrame:
+    """k-nearest-neighbour self-join: top-k cosine neighbours for EVERY
+    row (not one query vector) — the batch op behind embedding-based
+    near-dup clustering and hard-negative mining.
+
+    Without ``block_col`` this is an explicit O(n^2) cross join: correct,
+    and only for oracle-scale inputs. At 100 TB pass a blocking column
+    (e.g. the hyperplane-LSH ``bucket`` from :func:`ann_lsh_buckets`):
+    the pair space becomes an equi-join per bucket — shuffle on the
+    bucket key, quadratic only within each (small) bucket — and the
+    window top-k keeps k rows per src partition-locally before any
+    global movement.
+    """
+    from pyspark.sql import Window
+
+    left = df.select(
+        F.col(id_col).alias("src_id"),
+        F.col(vec_col).alias("_qv"),
+        *([F.col(block_col).alias("_blk_l")] if block_col else []),
+    )
+    right = df.select(
+        F.col(id_col).alias("nbr_id"),
+        F.col(vec_col).alias("_nv"),
+        *([F.col(block_col).alias("_blk_r")] if block_col else []),
+    )
+    cond = F.col("src_id") != F.col("nbr_id")
+    if block_col:
+        cond = cond & (F.col("_blk_l") == F.col("_blk_r"))
+    w = Window.partitionBy("src_id").orderBy(F.col("cos_sim").desc(), F.col("nbr_id"))
+    return (
+        left.join(right, cond)
+        .select(
+            "src_id",
+            "nbr_id",
+            F.round(cosine(F.col("_qv"), F.col("_nv")), 6).alias("cos_sim"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+@query(
+    "knn_join_exact",
+    tags=("similarity", "vector", "knn"),
+    oracle="""
+        WITH pairs AS (
+            SELECT a.vec_id AS src_id, b.vec_id AS nbr_id,
+                   ROUND(
+                       list_sum(list_transform(
+                           list_zip(a.embedding, b.embedding),
+                           p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)
+                       ))
+                       / (
+                           SQRT(list_sum(list_transform(
+                               a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                           * SQRT(list_sum(list_transform(
+                               b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                       ),
+                       6
+                   ) AS cos_sim
+            FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        ),
+        ranked AS (
+            SELECT src_id, nbr_id, cos_sim,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY src_id ORDER BY cos_sim DESC, nbr_id
+                   ) AS rn
+            FROM pairs
+        )
+        SELECT src_id, nbr_id, cos_sim FROM ranked WHERE rn <= 3
+    """,
+)
+def knn_join_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-NN for every embedding — the correctness baseline the
+    LSH-blocked variant is measured against."""
+    embeddings = load_table(spark, sf_dir, "embeddings")
+    return knn_join(embeddings, k=3)
+
+
+def knn_join_lsh_multitable(
+    df: DataFrame,
+    dim: int,
+    k: int = 3,
+    n_tables: int = 8,
+    n_planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate k-NN join via multi-table hyperplane LSH.
+
+    Each row gets ``n_tables`` independent bucket codes (disjoint plane
+    sets); a ``posexplode`` turns them into (table, bucket) rows so ALL
+    tables resolve through ONE self equi-join on (table, bucket) — not T
+    separate joins. Candidate pairs found by any table are deduped BEFORE
+    the cosine is computed, then a per-src window keeps the top k.
+
+    Recall/cost dial (measured on the sf0.01 corpus, uniform synthetic
+    vectors — real embedding clusters do better): 8x6 ≈ 0.35 recall
+    touching ~13% of the n^2 pair space; 12x5 ≈ 0.66 at ~33%.
+    """
+    from pyspark.sql import Window
+
+    bucket_exprs = []
+    for t in range(n_tables):
+        b: Column = F.lit(0).cast("long")
+        for i in range(n_planes):
+            plane = F.array(*[F.lit(v) for v in _hyperplane(dim, t * n_planes + i)])
+            bit = F.when(dot(F.col(vec_col), plane) >= 0, F.lit(1).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+            b = b.bitwiseOR(F.shiftleft(bit, i))
+        bucket_exprs.append(b)
+    coded = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.posexplode(F.array(*bucket_exprs)).alias("tbl", "bucket"),
+    )
+    left = coded.select(
+        F.col(id_col).alias("src_id"), F.col(vec_col).alias("_qv"), "tbl", "bucket"
+    )
+    right = coded.select(
+        F.col(id_col).alias("nbr_id"),
+        F.col(vec_col).alias("_nv"),
+        F.col("tbl").alias("_tbl2"),
+        F.col("bucket").alias("_bkt2"),
+    )
+    pairs = (
+        left.join(
+            right,
+            (F.col("tbl") == F.col("_tbl2"))
+            & (F.col("bucket") == F.col("_bkt2"))
+            & (F.col("src_id") != F.col("nbr_id")),
+        )
+        .select("src_id", "nbr_id", "_qv", "_nv")
+        .dropDuplicates(["src_id", "nbr_id"])
+    )
+    w = Window.partitionBy("src_id").orderBy(F.col("cos_sim").desc(), F.col("nbr_id"))
+    return (
+        pairs.select(
+            "src_id", "nbr_id", F.round(cosine(F.col("_qv"), F.col("_nv")), 6).alias("cos_sim")
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+@query("knn_join_lsh", tags=("similarity", "approx", "knn"))
+def knn_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate 3-NN join, multi-table LSH blocked (8 tables x 6
+    planes). (Rows-only driver check; pytest measures recall vs
+    ``knn_join_exact`` and bounds the candidate-pair count.)"""
+    embeddings = load_table(spark, sf_dir, "embeddings")
+    dim = len(query_vector(spark, sf_dir, 0))
+    return knn_join_lsh_multitable(embeddings, dim=dim, k=3)

@@ -83,3 +83,41 @@ def test_dedup_assign_clusters_keep_one(spark):
     # every row maps to a representative no larger than itself
     assert clustered.filter(F.col("cluster_id") > F.col("doc_id")).count() == 0
     assert n_docs - n_clusters <= n_dupes
+
+
+def test_knn_join_exact_is_symmetric_topk(spark):
+    from delta_lake_optimizations_spark.operators.similarity import knn_join_exact
+
+    res = knn_join_exact(spark, SF_DIR)
+    rows = res.collect()
+    n_vecs = load_table(spark, SF_DIR, "embeddings").count()
+    # exactly k=3 neighbours per source, none of them the source itself
+    assert len(rows) == 3 * n_vecs
+    per_src = {}
+    for r in rows:
+        assert r["src_id"] != r["nbr_id"]
+        per_src.setdefault(r["src_id"], []).append(r["cos_sim"])
+    assert all(len(v) == 3 for v in per_src.values())
+    # each source's list is its own descending top-k
+    assert all(sorted(v, reverse=True) == v for v in per_src.values())
+
+
+def test_knn_join_lsh_recall_and_candidate_bound(spark):
+    from delta_lake_optimizations_spark.operators.similarity import (
+        knn_join_exact,
+        knn_join_lsh,
+        knn_join_lsh_multitable,
+    )
+
+    exact = {(r["src_id"], r["nbr_id"]) for r in knn_join_exact(spark, SF_DIR).collect()}
+    approx = {(r["src_id"], r["nbr_id"]) for r in knn_join_lsh(spark, SF_DIR).collect()}
+    recall = len(exact & approx) / len(exact)
+    # uniform synthetic vectors are LSH's worst case; 8x6 measured ~0.35
+    assert recall >= 0.2, f"recall={recall:.3f}"
+
+    # efficiency: the blocked join must touch far fewer pairs than n^2
+    emb = load_table(spark, SF_DIR, "embeddings")
+    n = emb.count()
+    # count candidate pairs by rebuilding the pair stage with k=n (no cut)
+    cand = knn_join_lsh_multitable(emb, dim=64, k=n).count()
+    assert cand < 0.3 * n * (n - 1), f"candidates={cand} vs n^2={n*(n-1)}"
