@@ -303,6 +303,22 @@ class GraftCatalog:
         self.register(m.group("table"), _unquote(m.group("loc")))
         return self._row(("table",), (m.group("table"),))
 
+    def _h_analyze(self, m: re.Match) -> DataFrame:
+        """ANALYZE TABLE t COMPUTE STATISTICS [FOR ALL COLUMNS] — the
+        reference's T2 stats-injection flow (docs/02-lab-optimizations.md:
+        605-610): registers the snapshot as catalog table ``t_cbo`` and
+        feeds Spark's CBO full column statistics."""
+        from delta_lake_optimizations_spark.stats import inject_cbo_stats, plan_stats
+
+        name = m.group("table")
+        cbo_name = f"{name}_cbo"
+        inject_cbo_stats(self.spark, cbo_name, self.table(name))
+        ps = plan_stats(self.spark.table(cbo_name))
+        return self._row(
+            ("table", "catalogTable", "rowCount"),
+            (name, cbo_name, int(ps["rowCount"])),
+        )
+
     def _row(self, cols: tuple[str, ...], vals: tuple) -> DataFrame:
         fields = [
             T.StructField(c, T.LongType() if isinstance(v, int) else T.StringType())
@@ -403,5 +419,13 @@ class GraftCatalog:
                 re.I | re.S,
             ),
             _h_merge,
+        ),
+        (
+            re.compile(
+                rf"ANALYZE\s+TABLE\s+(?P<table>{_IDENT})\s+COMPUTE\s+STATISTICS"
+                rf"(?:\s+FOR\s+ALL\s+COLUMNS)?$",
+                re.I,
+            ),
+            _h_analyze,
         ),
     ]

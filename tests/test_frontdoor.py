@@ -225,3 +225,19 @@ def test_optimize_where_statement(cat, spark, tmp_path):
         if f.partition_values["o_year"] != year
     }
     assert others0 == others1  # untouched partitions carried over
+
+
+def test_analyze_table_statement(cat, spark, tmp_path):
+    df = spark.read.parquet(f"{SF_DIR}/orders.parquet").repartition(4)
+    cat.create("ana", df, str(tmp_path / "ana"))
+    cat.sql("OPTIMIZE ana")
+    try:
+        res = cat.sql("ANALYZE TABLE ana COMPUTE STATISTICS FOR ALL COLUMNS").collect()[0]
+        assert res["catalogTable"] == "ana_cbo"
+        assert int(res["rowCount"]) == cat.table("ana").load().count()
+        # the CBO now sees an exact row count on the catalog table
+        from delta_lake_optimizations_spark.stats import plan_stats
+
+        assert plan_stats(spark.table("ana_cbo"))["rowCount"] == int(res["rowCount"])
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ana_cbo")
