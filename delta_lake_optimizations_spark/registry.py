@@ -44,6 +44,7 @@ _QUERY_MODULES = (
     "delta_lake_optimizations_spark.operators.bm25",
     "delta_lake_optimizations_spark.operators.textstats",
     "delta_lake_optimizations_spark.operators.quality",
+    "delta_lake_optimizations_spark.operators.sampling",
     "delta_lake_optimizations_spark.operators.multimodal",
 )
 
