@@ -451,3 +451,26 @@ def hll_distinct_parts_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "array_agg_status_profile",
+    tags=("agg", "array"),
+    oracle="""
+        SELECT o_custkey,
+               list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+               COUNT(*) AS n_orders
+        FROM orders
+        GROUP BY o_custkey
+    """,
+)
+def array_agg_status_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation: per-customer distinct order statuses collected
+    into a sorted array (sorting makes the set deterministic across
+    partition merge order on both engines) plus an order count — one hash
+    aggregate, map-side partial on both measures."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_custkey").agg(
+        F.array_sort(F.collect_set("o_orderstatus")).alias("statuses"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
