@@ -128,3 +128,113 @@ def events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)), 2
         ).alias("purchase_value"),
     )
+
+
+@query(
+    "events_session_window",
+    tags=("events", "session"),
+    oracle="""
+        WITH flagged AS (
+            SELECT
+                user_id,
+                event_id,
+                ts,
+                value,
+                CASE
+                    WHEN LAG(ts) OVER w IS NULL THEN 1
+                    WHEN epoch(ts) - epoch(LAG(ts) OVER w) >= 1800 THEN 1
+                    ELSE 0
+                END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        numbered AS (
+            SELECT *, SUM(new_session) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING
+            ) AS session_id
+            FROM flagged
+        )
+        SELECT
+            user_id,
+            MIN(ts) AS session_start,
+            COUNT(*) AS n_events,
+            ROUND(SUM(value), 2) AS session_value
+        FROM numbered
+        GROUP BY user_id, session_id
+    """,
+)
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session rows via Spark's native ``F.session_window`` operator
+    (30-minute gap): one row per (user, session) with start/size/value.
+
+    This is the built-in operator form of ``events_sessionize`` — the same
+    logical op Structured Streaming runs incrementally with state. Spark
+    merges events whose gap is < 30 min, so a gap of exactly 1800 s starts a
+    new session (window is ``[start, start+gap)``); the oracle's island SQL
+    uses ``>= 1800`` to match. One shuffle on user_id.
+    """
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.session_window("ts", "30 minutes").alias("sw"), "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+@query(
+    "events_sliding_window",
+    tags=("events", "window-agg"),
+    oracle="""
+        SELECT
+            make_timestamp(ws * 1000000) AS window_start,
+            event_type,
+            COUNT(*) AS n_events,
+            ROUND(SUM(value), 2) AS total_value
+        FROM (
+            SELECT
+                event_type,
+                value,
+                unnest([
+                    CAST(FLOOR(epoch(ts) / 300) * 300 AS BIGINT),
+                    CAST(FLOOR(epoch(ts) / 300) * 300 - 300 AS BIGINT)
+                ]) AS ws
+            FROM events
+        )
+        GROUP BY 1, 2
+    """,
+)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) 10-minute windows every 5 minutes by event type.
+
+    Each event lands in exactly 600/300 = 2 windows; Spark expands then
+    hash-aggregates (map-side partial, one shuffle). The oracle unnests the
+    two epoch-aligned candidate starts explicitly — both always qualify
+    because ts - start < 300 + 300 = 600 s.
+    """
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )

@@ -474,3 +474,38 @@ def array_agg_status_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_sort(F.collect_set("o_orderstatus")).alias("statuses"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+@query(
+    "stats_corr_covar",
+    tags=("agg", "statistics"),
+    oracle="""
+        SELECT l_returnflag,
+               ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+               ROUND(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price,
+               ROUND(stddev_samp(l_extendedprice), 2) AS stddev_price,
+               ROUND(var_samp(l_discount), 6) AS var_discount,
+               ROUND(AVG(l_quantity), 4) AS avg_qty
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+)
+def stats_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates per group: Pearson correlation, sample
+    covariance/stddev/variance (the OLAP stats surface the reference's CBO
+    discussion presumes, ``docs/02-lab-optimizations.md:591-599``).
+
+    All five are single-pass, map-side-combinable moments aggregates in
+    Spark (partial ``HashAggregate`` with sum/sum-of-squares/co-moments), so
+    at 100 TB this is one shuffle of 5 doubles per group — no second pass.
+    Rounded on both sides: the moment recurrences are mathematically
+    identical but accumulate in different partition orders.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return lineitem.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("covar_qty_price"),
+        F.round(F.stddev_samp("l_extendedprice"), 2).alias("stddev_price"),
+        F.round(F.var_samp("l_discount"), 6).alias("var_discount"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+    )
