@@ -152,3 +152,56 @@ def window_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ntile_exact(
         orders, 4, ["o_totalprice", "o_orderkey"], bucket_col="price_quartile"
     ).select("o_orderkey", "price_quartile")
+
+
+@query(
+    "window_range_moving_sum",
+    tags=("window", "range-frame"),
+    oracle="""
+        SELECT
+            o_orderkey,
+            o_custkey,
+            o_orderdate,
+            ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DOUBLE), 2)
+                AS moving_sum_30d,
+            COUNT(*) OVER w AS n_orders_30d
+        FROM orders
+        WINDOW w AS (
+            PARTITION BY o_custkey
+            ORDER BY datediff('day', DATE '1970-01-01', o_orderdate)
+            RANGE BETWEEN 29 PRECEDING AND CURRENT ROW
+        )
+    """,
+)
+def window_range_moving_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-day moving order value and order count per customer — a RANGE
+    window frame (value-defined, not row-defined), the shape the
+    rows-based windows above can't express.
+
+    Both engines order by integer epoch-days so ``RANGE 29 PRECEDING``
+    means the same calendar window; a value-defined frame is also
+    deterministic under same-date ties (all peers are in the frame), so no
+    tiebreaker column is needed. One shuffle on o_custkey; the frame scan
+    is a single ordered pass per partition.
+
+    The sum accumulates in DECIMAL(18,4) — associative, so partition order
+    can't flip low bits — and the inputs carry two decimal places, so the
+    final round-to-2 is never at a half boundary (a plain double moving
+    AVG here disagrees between engines by one cent on exact .xx5
+    quotients).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    days = F.datediff("o_orderdate", F.lit("1970-01-01"))
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(days)
+        .rangeBetween(-29, W.currentRow)
+    )
+    price_dec = F.col("o_totalprice").cast("decimal(18,4)")
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.round(F.sum(price_dec).over(w).cast("double"), 2).alias("moving_sum_30d"),
+        F.count(F.lit(1)).over(w).alias("n_orders_30d"),
+    )
