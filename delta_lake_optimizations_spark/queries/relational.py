@@ -431,6 +431,28 @@ def group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("approx_percentiles_sketch", tags=("agg", "percentile", "sketch"))
+def approx_percentiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate per-group percentiles via Spark's mergeable quantile
+    sketch (``approx_percentile``, Greenwald-Khanna with accuracy 10000 →
+    max rank error 1e-4). Rows-only driver check; pytest pins the error
+    against the exact interpolated percentiles of ``group_percentiles``.
+
+    This is the 100 TB path the exact query's docstring points at: exact
+    ``percentile`` must shuffle every value to its group to sort, while
+    the sketch is map-side combinable — each partition ships a bounded
+    summary, so the shuffle is O(groups x sketch), not O(rows)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    p = F.percentile_approx(
+        "l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.9)), 10000
+    )
+    return lineitem.groupBy("l_returnflag").agg(
+        p.getItem(0).alias("p25_price"),
+        p.getItem(1).alias("med_price"),
+        p.getItem(2).alias("p90_price"),
+    )
+
+
 @query("hll_distinct_parts_by_flag", tags=("agg", "sketch"))
 def hll_distinct_parts_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable approximate distinct counts via Datasketches HLL

@@ -62,3 +62,26 @@ def test_hll_sketch_accuracy_and_merge(spark):
         .collect()[0]["e"]
     )
     assert merged == est
+
+
+def test_approx_percentile_close_to_exact(spark):
+    from delta_lake_optimizations_spark.queries.relational import (
+        approx_percentiles_sketch,
+        group_percentiles,
+    )
+
+    exact = {
+        r["l_returnflag"]: r.asDict() for r in group_percentiles(spark, SF_DIR).collect()
+    }
+    approx = {
+        r["l_returnflag"]: r.asDict()
+        for r in approx_percentiles_sketch(spark, SF_DIR).collect()
+    }
+    assert set(exact) == set(approx)
+    for flag, e in exact.items():
+        a = approx[flag]
+        for col in ("p25_price", "med_price", "p90_price"):
+            # rank error 1e-4 at accuracy=10000; at sf0.001 group sizes the
+            # sketch is effectively exact up to the nearest actual value —
+            # 1% relative tolerance is generous headroom.
+            assert abs(a[col] - e[col]) <= 0.01 * abs(e[col]), (flag, col, a[col], e[col])
