@@ -89,3 +89,22 @@ def test_q21_take_ordered_and_bounded_exchanges(spark):
     # decorrelated form: one rollup + one window, not correlated per-row
     # subqueries — at most: orders join, rollup key, order key, s_name agg
     assert s["exchanges"] <= 5, s
+
+
+def test_new_window_shapes_single_shuffle(spark):
+    # Each of these must be one hash-partition exchange on its grouping
+    # key — no global window, no single-partition funnel.
+    for name in (
+        "stats_corr_covar",
+        "events_session_window",
+        "events_sliding_window",
+        "window_range_moving_sum",
+    ):
+        df = _DEFS[name].fn(spark, SF_DIR)
+        s = plan_summary(df)
+        assert not (s["single_partition"] and s["global_window"]), name
+        assert s["exchanges"] <= 2, (name, s["exchanges"])
+        assert (
+            s["broadcast_hash_joins"] + s["sort_merge_joins"] + s["shuffled_hash_joins"]
+            == 0
+        ), name
