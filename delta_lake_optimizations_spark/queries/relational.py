@@ -531,3 +531,45 @@ def stats_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.var_samp("l_discount"), 6).alias("var_discount"),
         F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
     )
+
+
+@query(
+    "histogram_price_fixed_width",
+    tags=("agg", "histogram", "profiling"),
+    oracle="""
+        SELECT
+            CAST(LEAST(FLOOR(l_extendedprice / 5000), 23) AS BIGINT) * 5000
+                AS bucket_start,
+            COUNT(*) AS n_rows,
+            ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 2)
+                AS bucket_value
+        FROM lineitem
+        GROUP BY 1
+    """,
+)
+def histogram_price_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of line-item price (24 x 5000-wide buckets,
+    top bucket open-ended) — the data-profiling shape behind the
+    reference's column-statistics discussion
+    (``docs/02-lab-optimizations.md:591-599``).
+
+    Fixed literal bounds keep it a single map-side-combinable hash
+    aggregate — a data-dependent min/max would cost a second full pass at
+    100 TB. Bucket math is FLOOR of an IEEE double division, identical in
+    both engines; the per-bucket sum accumulates in DECIMAL(18,4) so
+    partition order can't flip the rounded output.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    bucket = (
+        F.least(F.floor(F.col("l_extendedprice") / 5000), F.lit(23)).cast("long")
+        * 5000
+    ).alias("bucket_start")
+    return (
+        lineitem.groupBy(bucket)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double"), 2
+            ).alias("bucket_value"),
+        )
+    )
