@@ -54,3 +54,84 @@ def write_stream_to_graft(
         .trigger(availableNow=True)
         .start()
     )
+
+
+class GraftStreamMergeWriter:
+    """foreachBatch handler UPSERTing each micro-batch into a GraftTable —
+    the CDC sink pattern (Delta's ``foreachBatch`` + ``MERGE`` recipe).
+
+    Each batch is first deduplicated on the merge keys, keeping the row
+    with the highest ``sequence_col`` (merge requires unique source keys;
+    a CDC batch can carry several updates for one key). The merge commit
+    records the batch id, so a replayed batch after query restart is
+    skipped — exactly-once per batch, same as the append writer.
+
+    Scale note: the batch side is broadcast into the file-granular
+    copy-on-write merge, so a steady trickle of small CDC batches only
+    rewrites the target files that actually contain matched keys.
+    """
+
+    def __init__(self, table: GraftTable, on: list[str], sequence_col: str):
+        self.table = table
+        self.on = on
+        self.sequence_col = sequence_col
+
+    def _committed_batches(self) -> set[int]:
+        out = set()
+        for c in self.table.commits():
+            b = c.operation_parameters.get("streamingBatchId")
+            if b is not None:
+                out.add(int(b))
+        return out
+
+    def _latest_per_key(self, batch_df: DataFrame) -> DataFrame:
+        from pyspark.sql import Window as W
+        from pyspark.sql import functions as F
+
+        w = W.partitionBy(*self.on).orderBy(F.col(self.sequence_col).desc())
+        return (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from delta_lake_optimizations_spark.table.merge import merge
+
+        exists = self.table.exists()
+        if exists and batch_id in self._committed_batches():
+            return  # replayed batch after restart — already committed
+        latest = self._latest_per_key(batch_df)
+        if not exists:
+            self.table.write(
+                latest,
+                mode="overwrite",
+                extra_parameters={"streamingBatchId": int(batch_id)},
+            )
+            return
+        merge(
+            self.table,
+            latest,
+            on=self.on,
+            when_matched_update="*",
+            when_not_matched_insert="*",
+            extra_parameters={"streamingBatchId": int(batch_id)},
+        )
+
+
+def upsert_stream_to_graft(
+    stream_df: DataFrame,
+    table: GraftTable,
+    on: list[str],
+    sequence_col: str,
+    checkpoint_dir: str,
+    query_name: str = "graft_merge_sink",
+) -> StreamingQuery:
+    """Start an availableNow streaming upsert (CDC apply) into ``table``."""
+    return (
+        stream_df.writeStream.foreachBatch(GraftStreamMergeWriter(table, on, sequence_col))
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )

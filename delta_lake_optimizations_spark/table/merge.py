@@ -40,6 +40,7 @@ def merge(
     when_not_matched_insert: dict[str, Any] | str | None = "*",
     when_matched_delete: bool = False,
     broadcast_source: bool = True,
+    extra_parameters: dict[str, Any] | None = None,
 ) -> Commit:
     """Upsert ``source`` into ``table`` keyed on ``on`` columns.
 
@@ -122,7 +123,12 @@ def merge(
         out_parts.append(inserts)
 
     if not out_parts:
-        return table._write_commit("MERGE", {"numSourceRows": src.count()}, [], [])
+        return table._write_commit(
+            "MERGE",
+            {"numSourceRows": src.count(), **(extra_parameters or {})},
+            [],
+            [],
+        )
 
     new_data = out_parts[0]
     for p in out_parts[1:]:
@@ -141,6 +147,7 @@ def merge(
             "mergeKeys": list(on),
             "numTargetFilesRewritten": len(hit_files),
             "matchedAction": "delete" if when_matched_delete else "update",
+            **(extra_parameters or {}),
         },
         adds,
         [f.path for f in hit_files],
