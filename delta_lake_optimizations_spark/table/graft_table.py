@@ -551,7 +551,27 @@ class GraftTable:
             from delta_lake_optimizations_spark.stats import StatisticsStore
 
             StatisticsStore(self).collect()
+        # Auto-compaction (Delta's delta.autoOptimize.autoCompact): after a
+        # write lands, if the table has accumulated enough small files,
+        # immediately bin-pack them. The OPTIMIZE is its own commit, so the
+        # write above is already durable; a steady stream of small appends
+        # (e.g. the streaming sink) self-heals instead of degrading scans.
+        if metadata["properties"].get("delta.autoOptimize.autoCompact") == "true":
+            self._maybe_auto_compact(metadata["properties"])
         return commit
+
+    def _maybe_auto_compact(self, props: dict[str, str]) -> None:
+        from delta_lake_optimizations_spark.table.maintenance import (
+            DEFAULT_TARGET_FILE_MB,
+            optimize,
+        )
+
+        min_files = int(props.get("delta.autoOptimize.minNumFiles", "10"))
+        small_cutoff = DEFAULT_TARGET_FILE_MB * 1024 * 1024 // 4
+        snap = self.snapshot()
+        small = [f for f in snap.files if f.size < small_cutoff]
+        if len(small) >= min_files:
+            optimize(self)
 
     # -- read paths --------------------------------------------------------
 

@@ -352,3 +352,32 @@ def test_schema_evolution_null_fills_old_files(spark, sales):
     assert cur.count() == n0 + 10
     assert cur.filter(F.col("quality").isNull()).count() == n0
     assert cur.filter(F.col("quality") == 0.9).count() == 10
+
+
+def test_auto_compact_triggers_after_small_appends(spark, tmp_path):
+    from delta_lake_optimizations_spark.table import GraftTable
+
+    t = GraftTable(spark, str(tmp_path / "t"))
+    one_file = lambda n: spark.range(n).withColumnRenamed("id", "k").repartition(1)
+    t.write(
+        one_file(100).repartition(2),
+        properties={
+            "delta.autoOptimize.autoCompact": "true",
+            "delta.autoOptimize.minNumFiles": "4",
+        },
+    )
+    t.write(one_file(100), mode="append")  # 3 files < 4: no compaction yet
+    assert [c.operation for c in t.commits()].count("OPTIMIZE") == 0
+    t.write(one_file(100), mode="append")  # 4 files: compaction fires
+
+    ops = [c.operation for c in t.commits()]
+    assert ops.count("OPTIMIZE") == 1, ops
+    snap = t.snapshot()
+    assert len(snap.files) < 4
+    assert t.load().count() == 300
+    # compaction stops once the table is packed: another single-file append
+    # (2 active files < 4) must not optimize again
+    t.write(one_file(10), mode="append")
+    ops2 = [c.operation for c in t.commits()]
+    assert ops2.count("OPTIMIZE") == 1, ops2
+    assert t.load().count() == 310
