@@ -215,3 +215,59 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     pins determinism and collision-on-duplicate behaviour)."""
     documents = load_table(spark, sf_dir, "documents")
     return fingerprint(documents, "doc_id", "text").orderBy("doc_id")
+
+
+def chunk_windows(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    size: int = 500,
+    stride: int = 400,
+) -> DataFrame:
+    """Split documents into fixed-size overlapping character windows — the
+    standard pre-embedding chunking step of an LLM data pipeline.
+
+    Pure generate+explode: ``sequence`` builds the chunk starts per row,
+    ``posexplode`` fans them out, ``substring`` slices — all JVM-side
+    whole-stage codegen, no shuffle at all (narrow transformation), so at
+    100 TB it streams through the scan at I/O speed.
+    """
+    n = F.length(F.col(text_col))
+    starts = F.sequence(F.lit(0), n - 1, F.lit(stride))
+    return (
+        df.filter(n > 0)
+        .select(F.col(id_col), F.col(text_col), F.posexplode(starts).alias("chunk_idx", "chunk_start"))
+        .select(
+            F.col(id_col),
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.col("chunk_start").cast("long").alias("chunk_start"),
+            F.length(F.substring(F.col(text_col), F.col("chunk_start") + 1, size)).cast("long").alias("chunk_len"),
+            F.md5(F.substring(F.col(text_col), F.col("chunk_start") + 1, size)).alias("chunk_md5"),
+        )
+    )
+
+
+@query(
+    "doc_chunk_windows",
+    tags=("text", "chunking", "pipeline"),
+    oracle="""
+        SELECT
+            doc_id,
+            CAST(cs / 400 AS BIGINT) AS chunk_idx,
+            CAST(cs AS BIGINT) AS chunk_start,
+            CAST(length(substr(text, CAST(cs + 1 AS BIGINT), 500)) AS BIGINT) AS chunk_len,
+            md5(substr(text, CAST(cs + 1 AS BIGINT), 500)) AS chunk_md5
+        FROM (
+            SELECT doc_id, text,
+                   unnest(range(0, CAST(length(text) AS BIGINT), 400)) AS cs
+            FROM documents
+            WHERE length(text) > 0
+        )
+    """,
+)
+def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """500-char chunks with 100-char overlap (stride 400) over every
+    document; chunks identified by content hash so the oracle compares
+    values without shipping the chunk text itself."""
+    documents = load_table(spark, sf_dir, "documents")
+    return chunk_windows(documents, "doc_id", "text", size=500, stride=400)
