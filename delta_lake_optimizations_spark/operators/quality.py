@@ -185,3 +185,44 @@ def pii_redaction_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all(enriched, F.lit(PHONE_PATTERN), 0)).alias("n_phones"),
         F.length(redacted).alias("redacted_len"),
     )
+
+
+@query(
+    "corpus_vocabulary",
+    tags=("text", "vocabulary", "pipeline"),
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+            FROM documents
+        )
+        SELECT token,
+               COUNT(*) AS term_freq,
+               COUNT(DISTINCT doc_id) AS doc_freq
+        FROM toks
+        WHERE token <> ''
+        GROUP BY token
+        HAVING COUNT(*) >= 5
+    """,
+)
+def corpus_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary induction: corpus-wide term and document frequencies for
+    every token seen at least 5 times — the input to tokenizer training,
+    IDF weighting, and stopword discovery.
+
+    Explode + one hash aggregate; term_freq is map-side combinable, and
+    doc_freq's COUNT(DISTINCT) rides the same shuffle on the token key
+    (partial distinct within partitions under AQE). The min-count HAVING
+    prunes the long hapax tail before any driver collect."""
+    documents = load_table(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    return (
+        documents.select("doc_id", F.explode(toks).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("term_freq"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+        .filter(F.col("term_freq") >= 5)
+    )
