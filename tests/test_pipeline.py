@@ -63,3 +63,30 @@ def test_curation_incremental_merge(spark, tmp_path):
     assert t.load().count() == n0
     assert t.history().collect()[0]["operation"] == "MERGE"
     assert commit.operation_parameters["numTargetFilesRewritten"] >= 1
+
+
+def test_chunk_windows_edge_cases(spark):
+    from delta_lake_optimizations_spark.operators.textstats import chunk_windows
+
+    df = spark.createDataFrame(
+        [
+            (1, ""),               # empty: dropped entirely
+            (2, "x" * 100),        # shorter than one chunk: 1 chunk
+            (3, "y" * 500),        # exactly one chunk size: starts 0 and 400
+            (4, "z" * 900),        # 0,400,800 -> 3 chunks, last is 100 long
+        ],
+        "doc_id INT, text STRING",
+    )
+    rows = {
+        (r["doc_id"], r["chunk_idx"]): (r["chunk_start"], r["chunk_len"])
+        for r in chunk_windows(df, "doc_id", "text", size=500, stride=400).collect()
+    }
+    assert not any(k[0] == 1 for k in rows)
+    assert rows[(2, 0)] == (0, 100)
+    assert rows[(3, 0)] == (0, 500) and rows[(3, 1)] == (400, 100)
+    assert rows[(4, 2)] == (800, 100)
+    assert len(rows) == 6
+    # every chunk covers the doc with the declared overlap: successive
+    # starts differ by exactly the stride
+    starts_4 = sorted(v[0] for k, v in rows.items() if k[0] == 4)
+    assert starts_4 == [0, 400, 800]
