@@ -108,3 +108,21 @@ def test_new_window_shapes_single_shuffle(spark):
             s["broadcast_hash_joins"] + s["sort_merge_joins"] + s["shuffled_hash_joins"]
             == 0
         ), name
+
+
+def test_chunking_is_narrow_and_prunes_columns(spark):
+    df = _DEFS["doc_chunk_windows"].fn(spark, SF_DIR)
+    s = plan_summary(df)
+    # generate+explode is a narrow transformation: no shuffle at all
+    assert s["exchanges"] == 0, s["exchanges"]
+    cols = read_columns(df)
+    assert cols and all(set(c) <= {"doc_id", "text"} for c in cols), cols
+
+
+def test_vocabulary_single_shuffle_prunes_columns(spark):
+    df = _DEFS["corpus_vocabulary"].fn(spark, SF_DIR)
+    s = plan_summary(df)
+    # one hash aggregate on the token key
+    assert s["exchanges"] <= 2, s["exchanges"]
+    cols = read_columns(df)
+    assert cols and all(set(c) <= {"doc_id", "text"} for c in cols), cols
