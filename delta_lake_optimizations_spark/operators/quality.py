@@ -226,3 +226,39 @@ def corpus_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("term_freq") >= 5)
     )
+
+
+@query(
+    "dataset_card_by_source",
+    tags=("text", "profiling", "pipeline"),
+    oracle="""
+        SELECT source,
+               COUNT(*) AS n_docs,
+               SUM(n_chars) AS total_chars,
+               ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 4) AS avg_chars,
+               COUNT(DISTINCT lang) AS n_langs,
+               SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_en,
+               MIN(n_chars) AS min_chars,
+               MAX(n_chars) AS max_chars
+        FROM documents
+        GROUP BY source
+    """,
+)
+def dataset_card_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card profile per corpus source: volume, length moments,
+    language spread — the summary a curation pipeline publishes per slice.
+
+    One hash aggregate over integer columns; the mean is exact integer
+    SUM/COUNT divided as identical doubles on both sides, so no float
+    drift. At 100 TB each source's card is a handful of counters — fully
+    map-side combinable, shuffle carries one row per source."""
+    documents = load_table(spark, sf_dir, "documents")
+    return documents.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.sum("n_chars").cast("double") / F.count(F.lit(1)), 4).alias("avg_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("n_en"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
