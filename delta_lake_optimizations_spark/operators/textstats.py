@@ -223,6 +223,7 @@ def chunk_windows(
     text_col: str,
     size: int = 500,
     stride: int = 400,
+    include_text: bool = False,
 ) -> DataFrame:
     """Split documents into fixed-size overlapping character windows — the
     standard pre-embedding chunking step of an LLM data pipeline.
@@ -231,19 +232,28 @@ def chunk_windows(
     ``posexplode`` fans them out, ``substring`` slices — all JVM-side
     whole-stage codegen, no shuffle at all (narrow transformation), so at
     100 TB it streams through the scan at I/O speed.
+
+    ``include_text=True`` adds the chunk text itself (``chunk_text``) for
+    feeding an embedding stage; the default keeps only the content hash,
+    which is what profiling/dedup needs and avoids re-materializing the
+    corpus.
     """
     n = F.length(F.col(text_col))
     starts = F.sequence(F.lit(0), n - 1, F.lit(stride))
+    chunk = F.substring(F.col(text_col), F.col("chunk_start") + 1, size)
+    cols = [
+        F.col(id_col),
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("chunk_start").cast("long").alias("chunk_start"),
+        F.length(chunk).cast("long").alias("chunk_len"),
+        F.md5(chunk).alias("chunk_md5"),
+    ]
+    if include_text:
+        cols.append(chunk.alias("chunk_text"))
     return (
         df.filter(n > 0)
         .select(F.col(id_col), F.col(text_col), F.posexplode(starts).alias("chunk_idx", "chunk_start"))
-        .select(
-            F.col(id_col),
-            F.col("chunk_idx").cast("long").alias("chunk_idx"),
-            F.col("chunk_start").cast("long").alias("chunk_start"),
-            F.length(F.substring(F.col(text_col), F.col("chunk_start") + 1, size)).cast("long").alias("chunk_len"),
-            F.md5(F.substring(F.col(text_col), F.col("chunk_start") + 1, size)).alias("chunk_md5"),
-        )
+        .select(*cols)
     )
 
 

@@ -138,3 +138,36 @@ def test_merge_upsert_semantics(spark, tmp_path_factory, target_keys, source_key
     want = {k: float(k) for k in target_keys}
     want.update({k: float(k) + 1000.0 for k in source_keys})
     assert got == want
+
+
+_texts = st.lists(
+    st.text(alphabet=st.characters(codec="ascii", exclude_characters="\x00"), max_size=1200),
+    min_size=1,
+    max_size=5,
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_texts, st.integers(2, 40), st.integers(1, 39))
+def test_chunk_windows_reconstructs_documents(spark, texts, size, stride_raw):
+    from delta_lake_optimizations_spark.operators.textstats import chunk_windows
+
+    stride = min(stride_raw, size)  # overlap >= 0
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    got = chunk_windows(df, "doc_id", "text", size=size, stride=stride, include_text=True)
+    by_doc: dict[int, list] = {}
+    for r in got.collect():
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, t in rows:
+        chunks = sorted(by_doc.get(i, []), key=lambda r: r["chunk_start"])
+        if len(t) == 0:
+            assert not chunks
+            continue
+        # starts tile the text at exactly `stride`; stitching the first
+        # `stride` chars of each chunk plus the final chunk's tail
+        # reconstructs the document byte-for-byte
+        assert [c["chunk_start"] for c in chunks] == list(range(0, len(t), stride))
+        rebuilt = "".join(c["chunk_text"][:stride] for c in chunks[:-1]) + chunks[-1]["chunk_text"]
+        assert rebuilt == t
+        assert all(c["chunk_len"] == len(c["chunk_text"]) for c in chunks)
