@@ -150,3 +150,41 @@ def pipeline_curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full curation pipeline over the documents corpus."""
     docs = load_table(spark, sf_dir, "documents")
     return curate_documents(docs)
+
+
+def hash_embed(col, dim: int = 8):
+    """Deterministic pseudo-embedding of a string column: ``dim`` xxhash64
+    projections scaled into [-1, 1). A stand-in for a real encoder (model
+    inference isn't available in this container) with the same Spark-side
+    shape: pure JVM expressions, whole-stage codegen, no Python.
+    """
+    return F.array(
+        *[
+            (F.pmod(F.xxhash64(col, F.lit(d)), F.lit(1000003)) / 1000003.0) * 2 - 1
+            for d in range(dim)
+        ]
+    )
+
+
+@query("pipeline_chunk_embed", tags=("pipeline", "chunking", "vector"))
+def pipeline_chunk_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-ingest path: chunk every document into overlapping windows and
+    attach a chunk-level embedding (deterministic hash stub — swap
+    ``hash_embed`` for a real encoder UDF in production; the plumbing is
+    identical). Rows-only driver check; pytest pins determinism.
+
+    Chunking is a narrow explode and the embedding is per-row expression
+    work, so the whole ingest is shuffle-free — at 100 TB it runs at scan
+    speed and the output partitioning follows the input, ready for an
+    IVF/LSH index build as the next stage (operators/ivf.py).
+    """
+    from delta_lake_optimizations_spark.operators.textstats import chunk_windows
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = chunk_windows(docs, "doc_id", "text", size=500, stride=400, include_text=True)
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        "chunk_len",
+        hash_embed(F.col("chunk_text")).alias("embedding"),
+    )

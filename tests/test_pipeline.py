@@ -90,3 +90,19 @@ def test_chunk_windows_edge_cases(spark):
     # starts differ by exactly the stride
     starts_4 = sorted(v[0] for k, v in rows.items() if k[0] == 4)
     assert starts_4 == [0, 400, 800]
+
+
+def test_chunk_embed_deterministic_and_shuffle_free(spark):
+    from delta_lake_optimizations_spark.operators.pipeline import pipeline_chunk_embed
+    from delta_lake_optimizations_spark.plans.inspect import plan_summary
+
+    from .conftest import SF_DIR
+
+    a = pipeline_chunk_embed(spark, SF_DIR)
+    assert plan_summary(a)["exchanges"] == 0  # pure scan-speed ingest
+    ra = {(r["doc_id"], r["chunk_idx"]): tuple(r["embedding"]) for r in a.collect()}
+    rb = {(r["doc_id"], r["chunk_idx"]): tuple(r["embedding"])
+          for r in pipeline_chunk_embed(spark, SF_DIR).collect()}
+    assert ra == rb and ra  # deterministic across runs
+    for v in list(ra.values())[:20]:
+        assert len(v) == 8 and all(-1.0 <= x < 1.0 for x in v)
