@@ -202,3 +202,24 @@ def run_stream_to_memory(
     )
     q.awaitTermination(timeout_sec)
     q.stop()
+
+
+def dedup_events_stream(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming deduplication: drop events whose key re-appears within
+    the watermark horizon (``dropDuplicatesWithinWatermark``) — the
+    standard cleanup for at-least-once upstream delivery.
+
+    State is bounded by the watermark: each key is remembered only until
+    the event-time clock passes its timestamp + horizon, so at 100 TB of
+    events per day state size tracks the duplicate window, not history.
+    Falls back to plain ``dropDuplicates`` for batch DataFrames (same
+    semantics when the whole input is visible at once).
+    """
+    keys = keys or ["event_id"]
+    if not events.isStreaming:
+        return events.dropDuplicates(keys)
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)

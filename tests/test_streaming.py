@@ -73,3 +73,34 @@ def test_sessionize_stream_runs_and_gaps_hold(spark, events_dir):
         > F.col("n_events") * 1800
     ).count()
     assert bad == 0
+
+
+def test_dedup_events_stream_drops_replayed_events(spark, tmp_path):
+    from delta_lake_optimizations_spark.streaming.events_stream import (
+        dedup_events_stream,
+        read_events_stream,
+    )
+
+    src_dir = str(tmp_path / "src")
+    base = load_table(spark, SF_DIR, "events").limit(200).cache()
+    # write the same 200 events twice (simulated at-least-once replay),
+    # as two files so they arrive in separate micro-batches
+    base.coalesce(1).write.mode("append").parquet(src_dir)
+    base.coalesce(1).write.mode("append").parquet(src_dir)
+
+    deduped = dedup_events_stream(read_events_stream(spark, src_dir))
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.table("dedup_out")
+    assert out.count() == 200
+    assert out.select("event_id").distinct().count() == 200
+    # batch fallback path: same answer without streaming
+    twice = base.unionAll(base)
+    assert dedup_events_stream(twice).count() == 200
+    base.unpersist()
