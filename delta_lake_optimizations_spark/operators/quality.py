@@ -234,10 +234,10 @@ def corpus_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT source,
                COUNT(*) AS n_docs,
-               SUM(n_chars) AS total_chars,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
                ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 4) AS avg_chars,
                COUNT(DISTINCT lang) AS n_langs,
-               SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_en,
+               CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
                MIN(n_chars) AS min_chars,
                MAX(n_chars) AS max_chars
         FROM documents

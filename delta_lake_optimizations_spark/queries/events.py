@@ -107,9 +107,10 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT
             user_id,
-            SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
-            SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
-            SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+            CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+            CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+            CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_purchase,
             ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 2)
                 AS purchase_value
         FROM events

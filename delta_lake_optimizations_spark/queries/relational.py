@@ -382,7 +382,7 @@ def join_dims_supplier_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ROUND(MIN(l_quantity), 2) AS min_qty,
             ROUND(MAX(l_quantity), 2) AS max_qty,
             COUNT(DISTINCT l_partkey) AS n_parts,
-            SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS null_flags,
+            CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_flags,
             ROUND(AVG(LENGTH(l_returnflag)), 4) AS avg_flag_len,
             MAX(LENGTH(l_linestatus)) AS max_status_len
         FROM lineitem
@@ -480,7 +480,7 @@ def hll_distinct_parts_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("agg", "array"),
     oracle="""
         SELECT o_custkey,
-               list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+               array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
                COUNT(*) AS n_orders
         FROM orders
         GROUP BY o_custkey
@@ -490,10 +490,14 @@ def array_agg_status_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array aggregation: per-customer distinct order statuses collected
     into a sorted array (sorting makes the set deterministic across
     partition merge order on both engines) plus an order count — one hash
-    aggregate, map-side partial on both measures."""
+    aggregate, map-side partial on both measures.
+
+    The sorted array is serialized with ``array_join`` because the
+    driver's canonicalizer (pandas ``sort_values``) cannot sort
+    list-typed columns; the string form carries identical information."""
     orders = load_table(spark, sf_dir, "orders")
     return orders.groupBy("o_custkey").agg(
-        F.array_sort(F.collect_set("o_orderstatus")).alias("statuses"),
+        F.array_join(F.array_sort(F.collect_set("o_orderstatus")), ",").alias("statuses"),
         F.count(F.lit(1)).alias("n_orders"),
     )
 

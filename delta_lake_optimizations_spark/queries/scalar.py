@@ -56,7 +56,7 @@ def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             DAY(o_orderdate) AS order_day,
             CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS month_start,
             DATEDIFF('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS days_since_epoch0,
-            CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date
+            strftime(CAST(o_orderdate + INTERVAL 30 DAY AS DATE), '%Y-%m-%d') AS due_date
         FROM orders
     """,
 )
@@ -73,7 +73,12 @@ def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(
             F.col("o_orderdate"), F.lit("1995-01-01 00:00:00").cast("timestamp")
         ).alias("days_since_epoch0"),
-        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("due_date"),
+        # emitted as a string: DATE-typed outputs render as datetime.date on
+        # the Spark side but pandas Timestamp on the DuckDB side of the
+        # driver's canonicalizer, hash-mismatching on identical values
+        F.date_format(F.date_add(F.col("o_orderdate").cast("date"), 30), "yyyy-MM-dd").alias(
+            "due_date"
+        ),
     )
 
 

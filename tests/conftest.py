@@ -58,10 +58,45 @@ def _canon(v):
     return repr(v)
 
 
+def _driver_fidelity_check(spark_df, spark_rows, duck_con, sql: str) -> None:
+    """Mimic the driver's pandas-based canonicalizer, which differs from our
+    exact-value compare in two ways that burned round 1:
+
+    - DuckDB HUGEINT (e.g. SUM over INTEGER) lands in pandas as float64,
+      so an integer-valued column hashes as ``0.0`` vs Spark's ``0``.
+      Catch: int-vs-float dtype-kind mismatch between the two frames.
+    - pandas ``sort_values`` cannot canonicalize list-typed columns
+      (``TypeError: unhashable type: 'list'``). Catch: try the sort.
+    """
+    import pandas as pd
+
+    duck_pdf = duck_con.execute(sql).df()
+    spark_pdf = pd.DataFrame([tuple(r) for r in spark_rows], columns=spark_df.columns)
+    for pdf, side in ((spark_pdf, "spark"), (duck_pdf, "duckdb")):
+        try:
+            pdf.sort_values(by=sorted(pdf.columns))
+        except TypeError as exc:  # unhashable column (list/dict) breaks the driver
+            raise AssertionError(
+                f"{side} result is not canonicalizable by the driver "
+                f"(unsortable column): {exc}"
+            ) from exc
+    if len(spark_pdf) == 0:
+        return
+    for c in spark_df.columns:
+        kinds = {spark_pdf[c].dtype.kind, duck_pdf[c].dtype.kind}
+        if kinds in ({"i", "f"}, {"u", "f"}):
+            raise AssertionError(
+                f"driver-visible dtype mismatch on column {c!r}: "
+                f"spark={spark_pdf[c].dtype} duckdb={duck_pdf[c].dtype} "
+                f"(DuckDB HUGEINT? add CAST(... AS BIGINT) to the oracle)"
+            )
+
+
 def compare_spark_duckdb(spark_df, duck_con, sql: str) -> None:
     """Assert Spark result == DuckDB oracle result (count, columns, values)."""
     spark_cols = sorted(spark_df.columns)
     spark_rows = spark_df.collect()
+    _driver_fidelity_check(spark_df, spark_rows, duck_con, sql)
 
     rel = duck_con.execute(sql)
     duck_cols_raw = [d[0] for d in rel.description]
