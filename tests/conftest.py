@@ -90,6 +90,15 @@ def _driver_fidelity_check(spark_df, spark_rows, duck_con, sql: str) -> None:
                 f"spark={spark_pdf[c].dtype} duckdb={duck_pdf[c].dtype} "
                 f"(DuckDB HUGEINT? add CAST(... AS BIGINT) to the oracle)"
             )
+        if kinds == {"O", "M"}:
+            # DATE-typed oracle outputs become pandas Timestamps while
+            # Spark dates stay datetime.date objects — identical values,
+            # different driver-side renderings. Emit date strings instead.
+            raise AssertionError(
+                f"driver-visible date/datetime split on column {c!r}: "
+                f"spark={spark_pdf[c].dtype} duckdb={duck_pdf[c].dtype} "
+                f"(emit the date as a yyyy-MM-dd string on both sides)"
+            )
 
 
 def compare_spark_duckdb(spark_df, duck_con, sql: str) -> None:
