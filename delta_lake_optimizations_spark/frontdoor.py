@@ -279,11 +279,22 @@ class GraftCatalog:
         Catalyst, then handed to the native merge."""
         name = m.group("table")
         source = self.spark.sql(f"SELECT * FROM {m.group('src')}")
-        # ON t.k = s.k AND t.k2 = s.k2 -> [k, k2] (same-named equi-keys)
-        keys = [
-            mk.group(1).strip("`")
-            for mk in re.finditer(r"(?:[\w`]+\.)?([\w`]+)\s*=", m.group("onclause"))
-        ]
+        # ON t.k = s.k AND t.k2 = s.k2 -> [k, k2]. Only same-named
+        # equi-join terms are supported; anything else (literals,
+        # differently-named columns, non-equality predicates) would
+        # silently change merge semantics, so reject it loudly.
+        keys = []
+        for term in re.split(r"(?i)\s+AND\s+", m.group("onclause").strip()):
+            tm = re.fullmatch(
+                r"\s*(?:[\w]+\.)?`?(\w+)`?\s*=\s*(?:[\w]+\.)?`?(\w+)`?\s*", term
+            )
+            if not tm or tm.group(1) != tm.group(2):
+                raise ValueError(
+                    f"unsupported MERGE ON term {term.strip()!r}: only "
+                    "same-named equi-join terms (t.col = s.col) are "
+                    "supported; put extra filters in the USING subquery"
+                )
+            keys.append(tm.group(1))
         has_update = m.group("upd") is not None
         has_insert = m.group("ins") is not None
         commit = merge(

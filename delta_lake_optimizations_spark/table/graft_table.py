@@ -276,10 +276,26 @@ class GraftTable:
         add: list[AddFile],
         remove: list[str],
         metadata: dict[str, Any] | None = None,
+        base_version: int | None = None,
     ) -> Commit:
+        """Append one commit to the log.
+
+        ``base_version`` is the snapshot version the operation READ (-1 for
+        a brand-new table). When given, the commit is attempted at exactly
+        ``base_version + 1``, so a writer holding a stale snapshot (read v5
+        while another writer landed v6) collides on the link(2) check and
+        raises ``ConcurrentCommitError`` instead of silently committing
+        add/remove lists computed against the stale snapshot. When omitted
+        (None), falls back to latest+1 from a directory listing — that form
+        only detects two writers racing the SAME version, so every
+        snapshot-deriving caller should pass ``base_version``.
+        """
         os.makedirs(self._log_path, exist_ok=True)
-        versions = self._versions()
-        version = (versions[-1] + 1) if versions else 0
+        if base_version is not None:
+            version = base_version + 1
+        else:
+            versions = self._versions()
+            version = (versions[-1] + 1) if versions else 0
         commit = Commit(
             version=version,
             timestamp_ms=int(time.time() * 1000),
@@ -503,10 +519,19 @@ class GraftTable:
                 partition_by = base.partition_columns
             base_schema = base.schema
             if base_schema is not None and not overwrite_schema:
-                if [f.name for f in base_schema.fields] != df.schema.fieldNames():
+                # Compare names AND types (in order): a same-named column
+                # with a different type would commit a new schemaJson that
+                # _read_files then applies to historical parquet files,
+                # corrupting old data. Type changes must go through the
+                # explicit overwrite_schema path. (Nullability is excluded:
+                # Spark flips it freely across transformations.)
+                base_sig = [(f.name, f.dataType) for f in base_schema.fields]
+                new_sig = [(f.name, f.dataType) for f in df.schema.fields]
+                if base_sig != new_sig:
                     raise ValueError(
                         "schema mismatch on append (pass overwrite_schema=True to evolve): "
-                        f"{base_schema.fieldNames()} vs {df.schema.fieldNames()}"
+                        f"{[(n, t.simpleString()) for n, t in base_sig]} vs "
+                        f"{[(n, t.simpleString()) for n, t in new_sig]}"
                     )
 
         # CHECK-constraint enforcement (schema-on-write ACID guarantee,
@@ -542,8 +567,14 @@ class GraftTable:
             params = {"mode": "Overwrite" if existed else "ErrorIfExists"}
         if extra_parameters:
             params.update(extra_parameters)
-        metadata = self._metadata_for(df, partition_by, properties, base if mode == "append" else None)
-        commit = self._write_commit(operation, params, adds, remove, metadata)
+        # Pass ``base`` for overwrite too: Delta preserves table properties
+        # (constraints, autoCompact, stats flags) across a plain
+        # mode=overwrite — only the data and schema are replaced.
+        metadata = self._metadata_for(df, partition_by, properties, base)
+        commit = self._write_commit(
+            operation, params, adds, remove, metadata,
+            base_version=base.version if base is not None else -1,
+        )
         # T1 parity: "statistics collected automatically at write time"
         # (reference docs/02-lab-optimizations.md:591-596), opted in via the
         # reference's own table property (:621-628).
@@ -743,7 +774,8 @@ class GraftTable:
             "properties": props,
         }
         return self._write_commit(
-            "DROP CONSTRAINT", {"name": name}, [], [], metadata
+            "DROP CONSTRAINT", {"name": name}, [], [], metadata,
+            base_version=snap.version,
         )
 
     def set_properties(self, properties: dict[str, str]) -> Commit:
@@ -757,7 +789,8 @@ class GraftTable:
             "properties": props,
         }
         return self._write_commit(
-            "SET TBLPROPERTIES", {"properties": json.dumps(properties)}, [], [], metadata
+            "SET TBLPROPERTIES", {"properties": json.dumps(properties)}, [], [], metadata,
+            base_version=snap.version,
         )
 
     def register(self, name: str, version: int | None = None) -> None:

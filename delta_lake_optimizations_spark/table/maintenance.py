@@ -117,7 +117,8 @@ def optimize(
             "properties": props,
         }
     return table._write_commit(
-        "OPTIMIZE", params, adds, [f.path for f in targets], metadata
+        "OPTIMIZE", params, adds, [f.path for f in targets], metadata,
+        base_version=snap.version,
     )
 
 
@@ -225,7 +226,8 @@ def delete(table: GraftTable, predicate: str) -> Commit:
     hit_files = _hit_files(table, snap, hit_rows)
     if not hit_files:
         return table._write_commit(
-            "DELETE", {"predicate": predicate, "numRemovedFiles": 0}, [], []
+            "DELETE", {"predicate": predicate, "numRemovedFiles": 0}, [], [],
+            base_version=snap.version,
         )
 
     keep_df = table._read_files(snap, hit_files).filter(~pred)
@@ -240,6 +242,7 @@ def delete(table: GraftTable, predicate: str) -> Commit:
         {"predicate": predicate, "numRemovedFiles": len(hit_files)},
         adds,
         [f.path for f in hit_files],
+        base_version=snap.version,
     )
 
 
@@ -272,7 +275,8 @@ def update(
         hit_files = list(snap.files)
     if not hit_files:
         return table._write_commit(
-            "UPDATE", {"predicate": predicate, "numRewrittenFiles": 0}, [], []
+            "UPDATE", {"predicate": predicate, "numRewrittenFiles": 0}, [], [],
+            base_version=snap.version,
         )
 
     touched = table._read_files(snap, hit_files)
@@ -300,6 +304,7 @@ def update(
         {"predicate": predicate, "numRewrittenFiles": len(hit_files)},
         adds,
         [f.path for f in hit_files],
+        base_version=snap.version,
     )
 
 
@@ -325,6 +330,7 @@ def restore(table: GraftTable, version: int) -> Commit:
         old.files,
         [f.path for f in cur.files if f.path not in {o.path for o in old.files}],
         metadata,
+        base_version=cur.version,
     )
 
 

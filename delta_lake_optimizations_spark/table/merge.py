@@ -16,8 +16,9 @@ Semantics (Delta-style):
 Scale design: like DELETE (M9), only the files that CONTAIN matches are
 rewritten — the touched-file set comes from one semi-join aggregation
 over file provenance (``input_file_name``); untouched files carry over in
-the commit unchanged. The source is joined once; a broadcast hint is
-applied when the source is a dimension-sized frame.
+the commit unchanged. The source is joined once; join strategy is left to
+AQE by default (runtime broadcast iff the source is actually small), with
+``broadcast_source=True`` as an explicit dimension-table override.
 """
 
 from __future__ import annotations
@@ -39,13 +40,19 @@ def merge(
     when_matched_update: dict[str, Any] | str | None = None,
     when_not_matched_insert: dict[str, Any] | str | None = "*",
     when_matched_delete: bool = False,
-    broadcast_source: bool = True,
+    broadcast_source: bool | None = None,
     extra_parameters: dict[str, Any] | None = None,
 ) -> Commit:
     """Upsert ``source`` into ``table`` keyed on ``on`` columns.
 
     Source keys must be unique (Delta's own precondition): duplicate
     source keys would multiply matched target rows through the join.
+
+    ``broadcast_source``: None (default) lets AQE pick the join strategy —
+    it broadcasts at runtime when the source's actual size is under
+    ``spark.sql.autoBroadcastJoinThreshold``. Force with True only when
+    you KNOW the source is dimension-sized; an unconditional broadcast of
+    a large source (the 100 TB CDC story) would OOM the driver.
     """
     if when_matched_delete and when_matched_update:
         raise ValueError("choose update OR delete for matched rows")
@@ -62,7 +69,7 @@ def merge(
             raise ValueError(f"merge key {c!r} missing from source")
     # prefix source columns so expressions can reference both sides
     src_pref = src.select(*[F.col(c).alias(f"s_{c}") for c in src.columns])
-    if broadcast_source:
+    if broadcast_source is True:
         src_pref = F.broadcast(src_pref)
     join_cond = [F.col(c) == F.col(f"s_{c}") for c in on]
 
@@ -128,6 +135,7 @@ def merge(
             {"numSourceRows": src.count(), **(extra_parameters or {})},
             [],
             [],
+            base_version=snap.version,
         )
 
     new_data = out_parts[0]
@@ -151,4 +159,5 @@ def merge(
         },
         adds,
         [f.path for f in hit_files],
+        base_version=snap.version,
     )

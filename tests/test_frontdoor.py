@@ -241,3 +241,28 @@ def test_analyze_table_statement(cat, spark, tmp_path):
         assert plan_stats(spark.table("ana_cbo"))["rowCount"] == int(res["rowCount"])
     finally:
         spark.sql("DROP TABLE IF EXISTS ana_cbo")
+
+
+def test_merge_on_clause_rejects_non_equi_terms(cat, spark):
+    """The ON parser accepts only same-named alias.col = alias.col terms;
+    a filter term like t.region = 'EU' must raise, not silently become a
+    merge key (which would change the semantics vs real MERGE INTO)."""
+    import pytest
+
+    cat.sql("SELECT o_orderkey, o_custkey FROM sales LIMIT 1").createOrReplaceTempView(
+        "bad_src"
+    )
+    for bad_on in (
+        "t.o_orderkey = s.o_orderkey AND t.o_orderstatus = 'O'",
+        "t.o_orderkey = s.o_custkey",
+        "t.o_orderkey < s.o_orderkey",
+    ):
+        with pytest.raises(ValueError, match="unsupported MERGE ON term"):
+            cat.sql(
+                f"""
+                MERGE INTO sales t USING bad_src s
+                ON {bad_on}
+                WHEN MATCHED THEN UPDATE SET *
+                WHEN NOT MATCHED THEN INSERT *
+                """
+            )

@@ -381,3 +381,91 @@ def test_auto_compact_triggers_after_small_appends(spark, tmp_path):
     ops2 = [c.operation for c in t.commits()]
     assert ops2.count("OPTIMIZE") == 1, ops2
     assert t.load().count() == 310
+
+
+def test_stale_snapshot_commit_conflicts(spark, sales):
+    """A writer holding a STALE snapshot (read v5 while another writer
+    landed v6) must fail its commit, not silently land at v7 with
+    add/remove lists computed against v5 — e.g. an OPTIMIZE that would
+    resurrect rows a concurrent DELETE removed."""
+    from delta_lake_optimizations_spark.table.graft_table import (
+        ConcurrentCommitError,
+    )
+
+    stale_version = sales.latest_version()
+    # another writer commits first
+    sales._write_commit("TEST OTHER", {}, [], [], base_version=stale_version)
+    # the stale writer tries to commit against the snapshot it read
+    with pytest.raises(ConcurrentCommitError):
+        sales._write_commit("TEST STALE", {}, [], [], base_version=stale_version)
+    # retry after reload lands cleanly
+    c = sales._write_commit(
+        "TEST RETRY", {}, [], [], base_version=sales.latest_version()
+    )
+    assert c.version == stale_version + 2
+
+
+def test_stale_optimize_vs_delete_conflicts(spark, sales):
+    """End-to-end stale-writer scenario: OPTIMIZE reads its snapshot, a
+    DELETE lands in between, the OPTIMIZE commit must abort (it would
+    re-add files containing the deleted rows)."""
+    from unittest.mock import patch
+
+    from delta_lake_optimizations_spark.table.graft_table import (
+        ConcurrentCommitError,
+    )
+
+    real_snapshot = type(sales).snapshot
+    state = {"injected": False}
+
+    def delayed_snapshot(self, *a, **kw):
+        snap = real_snapshot(self, *a, **kw)
+        if not state["injected"] and not a and not kw:
+            state["injected"] = True
+            # a concurrent DELETE commits AFTER optimize read its snapshot
+            delete(self, "l_quantity < 10")
+        return snap
+
+    with patch.object(type(sales), "snapshot", delayed_snapshot):
+        with pytest.raises(ConcurrentCommitError):
+            optimize(sales)
+    # the delete survived; a fresh optimize works and preserves it
+    assert sales.load().filter(F.col("l_quantity") < 10).count() == 0
+    optimize(sales)
+    assert sales.load().filter(F.col("l_quantity") < 10).count() == 0
+
+
+def test_overwrite_preserves_table_properties(spark, sales):
+    """Plain mode=overwrite replaces data, not table metadata: properties
+    (constraints, autoCompact, stats flags) persist like Delta's."""
+    sales.set_properties({"delta.autoOptimize.autoCompact": "false", "team": "ml"})
+    sales.add_constraint("qty_nonneg", "l_quantity >= 0")
+    df = sales.load().limit(50)
+    sales.write(df, mode="overwrite")
+    props = sales.snapshot().properties
+    assert props["team"] == "ml"
+    assert props["constraint.qty_nonneg"] == "l_quantity >= 0"
+    # and the preserved constraint still enforces on the NEXT write
+    from delta_lake_optimizations_spark.table.graft_table import (
+        ConstraintViolationError,
+    )
+
+    bad = df.withColumn("l_quantity", F.lit(-1.0))
+    with pytest.raises(ConstraintViolationError):
+        sales.write(bad, mode="append")
+    # explicit property overrides still win over carried-over values
+    sales.write(df, mode="overwrite", properties={"team": "infra"})
+    assert sales.snapshot().properties["team"] == "infra"
+
+
+def test_append_rejects_type_change(spark, sales):
+    """Same column names, different type: must be rejected on append —
+    committing the new schemaJson would corrupt reads of historical
+    parquet files."""
+    bad = sales.load().withColumn(
+        "l_quantity", F.col("l_quantity").cast("string")
+    )
+    with pytest.raises(ValueError, match="schema mismatch"):
+        sales.write(bad, mode="append")
+    # the explicit evolution path still allows it
+    sales.write(bad, mode="append", overwrite_schema=True)
