@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from delta_lake_optimizations_spark.operators.similarity import topk_cosine
+from delta_lake_optimizations_spark.queries.vectors import cosine
 from delta_lake_optimizations_spark.registry import query
 
 
@@ -74,6 +75,87 @@ def ivf_search(
     probes = order[:nprobe]
     cand = assigned.filter(F.col("list_id").isin(probes))
     return topk_cosine(cand, query_vec, k=k, id_col=id_col, vec_col=vec_col)
+
+
+def ivf_knn_join(
+    df: DataFrame,
+    nlist: int = 16,
+    nprobe: int = 2,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+    sample_fraction: float | None = None,
+) -> DataFrame:
+    """Approximate k-NN JOIN (every row, not one query) blocked by IVF
+    cells: each vector's candidates are the vectors assigned to its own
+    cell plus its ``nprobe - 1`` next-nearest cells.
+
+    Scale shape: the probe map is an ``nlist x nprobe`` table built
+    driver-side from the centroid matrix (tiny by design) and broadcast;
+    the candidate join is an equi-join on the cell id — shuffle on
+    ``list_id``, quadratic only WITHIN a cell, never across the corpus.
+    On clustered embeddings (the realistic case) recall is high because
+    true neighbours share a Voronoi cell; see
+    tests/test_ann_and_components.py for the pinned recall bound.
+    """
+    import math
+
+    from pyspark.sql import Window
+
+    assigned, centroids = ivf_build(
+        df, nlist=nlist, vec_col=vec_col, id_col=id_col, seed=seed,
+        sample_fraction=sample_fraction,
+    )
+
+    def sqdist(a: list[float], b: list[float]) -> float:
+        return math.fsum((x - y) ** 2 for x, y in zip(a, b))
+
+    probe_rows = []
+    for i, ci in enumerate(centroids):
+        order = sorted(range(len(centroids)), key=lambda j: sqdist(ci, centroids[j]))
+        for j in order[:nprobe]:
+            probe_rows.append((i, j))
+    probes = df.sparkSession.createDataFrame(
+        probe_rows, "list_id int, probe_id int"
+    )
+
+    left = (
+        assigned.select(
+            F.col(id_col).alias("src_id"), F.col(vec_col).alias("_qv"), "list_id"
+        )
+        .join(F.broadcast(probes), "list_id")
+        .select("src_id", "_qv", F.col("probe_id").alias("_cell"))
+    )
+    right = assigned.select(
+        F.col(id_col).alias("nbr_id"),
+        F.col(vec_col).alias("_nv"),
+        F.col("list_id").alias("_cell"),
+    )
+    w = Window.partitionBy("src_id").orderBy(F.col("cos_sim").desc(), F.col("nbr_id"))
+    return (
+        left.join(right, ["_cell"])
+        .filter(F.col("src_id") != F.col("nbr_id"))
+        .select(
+            "src_id",
+            "nbr_id",
+            F.round(cosine(F.col("_qv"), F.col("_nv")), 6).alias("cos_sim"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+@query("knn_join_ivf", tags=("similarity", "approx", "knn"))
+def knn_join_ivf(spark, sf_dir: str) -> DataFrame:
+    """Approximate 3-NN join blocked by IVF cells (rows-only driver
+    check; pytest pins recall >= 0.8 on clustered vectors at a bounded
+    candidate fraction)."""
+    from delta_lake_optimizations_spark.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_knn_join(emb, nlist=8, nprobe=3, k=3)
 
 
 @query("ann_ivf_topk", tags=("similarity", "approx"))

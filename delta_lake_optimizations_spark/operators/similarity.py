@@ -21,6 +21,24 @@ from delta_lake_optimizations_spark.catalog import load_table
 from delta_lake_optimizations_spark.queries.vectors import cosine, dot, l2_norm_sq
 from delta_lake_optimizations_spark.registry import query
 
+# Unblocked (no block_col) pair generators are O(n^2) oracle baselines.
+# They refuse inputs beyond this row count so a config mistake cannot
+# silently launch a quadratic cross join at sf>=0.1 (2k vectors) or
+# cluster scale — pass a blocking column (label, LSH bucket, IVF list)
+# instead.
+UNBLOCKED_ROW_LIMIT = 1_000
+
+
+def _guard_unblocked(df: DataFrame, op: str, limit: int = UNBLOCKED_ROW_LIMIT) -> None:
+    n = df.limit(limit + 1).count()
+    if n > limit:
+        raise ValueError(
+            f"{op} without block_col is an O(n^2) baseline, refused for "
+            f">{limit} rows (got at least {n}). Pass block_col (label / "
+            "ann_lsh_buckets 'bucket' / ivf_build 'list_id') to bound the "
+            "pair space."
+        )
+
 
 def query_vector(spark: SparkSession, sf_dir: str, vec_id: int) -> list[float]:
     """Fetch one embedding to use as a query parameter (driver-side by
@@ -109,9 +127,12 @@ def cosine_near_dup_pairs(
     """All pairs with cosine >= threshold, equi-joined on a blocking key.
 
     With a block column the pair space is bounded per block; without one
-    this is a conscious cross join (only for small inputs). For 100 TB use
-    ``ann_lsh_buckets`` as the blocker instead.
+    this is a conscious cross join (only for small inputs — refused above
+    ``UNBLOCKED_ROW_LIMIT`` rows). For 100 TB use ``ann_lsh_buckets`` as
+    the blocker instead.
     """
+    if block_col is None:
+        _guard_unblocked(df, "cosine_near_dup_pairs")
     left = df.select(
         F.col(id_col).alias("_ida"),
         F.col(vec_col).alias("_va"),
@@ -303,7 +324,8 @@ def knn_join(
     near-dup clustering and hard-negative mining.
 
     Without ``block_col`` this is an explicit O(n^2) cross join: correct,
-    and only for oracle-scale inputs. At 100 TB pass a blocking column
+    only for oracle-scale inputs, and refused above
+    ``UNBLOCKED_ROW_LIMIT`` rows. At 100 TB pass a blocking column
     (e.g. the hyperplane-LSH ``bucket`` from :func:`ann_lsh_buckets`):
     the pair space becomes an equi-join per bucket — shuffle on the
     bucket key, quadratic only within each (small) bucket — and the
@@ -311,6 +333,9 @@ def knn_join(
     global movement.
     """
     from pyspark.sql import Window
+
+    if block_col is None:
+        _guard_unblocked(df, "knn_join")
 
     left = df.select(
         F.col(id_col).alias("src_id"),
@@ -385,6 +410,7 @@ def knn_join_lsh_multitable(
     n_planes: int = 6,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    probe_hamming: int = 0,
 ) -> DataFrame:
     """Approximate k-NN join via multi-table hyperplane LSH.
 
@@ -394,10 +420,24 @@ def knn_join_lsh_multitable(
     separate joins. Candidate pairs found by any table are deduped BEFORE
     the cosine is computed, then a per-src window keeps the top k.
 
-    Recall/cost dial (measured on the sf0.01 corpus, uniform synthetic
-    vectors — real embedding clusters do better): 8x6 ≈ 0.35 recall
-    touching ~13% of the n^2 pair space; 12x5 ≈ 0.66 at ~33%.
+    ``probe_hamming``: multi-probe LSH (Lv et al., VLDB'07 idea expressed
+    relationally) — the LEFT side additionally probes every bucket within
+    this Hamming distance of its own code (XOR-mask explode), so a true
+    neighbour that lands one sign-flip away still collides. Left row
+    multiplicity is ``sum_{j<=h} C(n_planes, j)`` (7x for 6 planes, h=1);
+    recall rises much faster than candidate count because a near-miss
+    differs in exactly one marginal plane far more often than a random
+    pair does.
+
+    Recall/cost dial, measured: on the sf0.01 corpus (uniform synthetic
+    vectors — the LSH worst case) 8x6 ≈ 0.35 recall touching ~13% of the
+    n^2 pair space, 12x5 ≈ 0.66 at ~33%. On CLUSTERED vectors (the
+    realistic encoder-output geometry) 8 tables x 12 planes with
+    probe_hamming=1 measures 0.965 recall at 8.5% of the pair space —
+    pinned in tests/test_ann_and_components.py.
     """
+    import itertools
+
     from pyspark.sql import Window
 
     bucket_exprs = []
@@ -418,6 +458,21 @@ def knn_join_lsh_multitable(
     left = coded.select(
         F.col(id_col).alias("src_id"), F.col(vec_col).alias("_qv"), "tbl", "bucket"
     )
+    if probe_hamming > 0:
+        masks = [0]
+        for r in range(1, probe_hamming + 1):
+            for combo in itertools.combinations(range(n_planes), r):
+                m = 0
+                for i in combo:
+                    m |= 1 << i
+                masks.append(m)
+        left = (
+            left.withColumn(
+                "_mask", F.explode(F.array(*[F.lit(m).cast("long") for m in masks]))
+            )
+            .withColumn("bucket", F.col("bucket").bitwiseXOR(F.col("_mask")))
+            .drop("_mask")
+        )
     right = coded.select(
         F.col(id_col).alias("nbr_id"),
         F.col(vec_col).alias("_nv"),
