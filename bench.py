@@ -149,16 +149,28 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     headline = {name: q for name, q in registry().items() if q.headline}
 
+    import statistics
+
     timings: dict[str, float] = {}
+    detail: dict[str, dict] = {}
     for name, qdef in sorted(headline.items()):
         for _ in range(args.warmup):
             qdef.fn(spark, args.sf_dir).count()
-        best = float("inf")
+        reps: list[float] = []
         for _ in range(args.reps):
             t0 = time.perf_counter()
             qdef.fn(spark, args.sf_dir).count()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
+            reps.append(round(time.perf_counter() - t0, 4))
+        timings[name] = min(reps)
+        # per-query ledger: median + all reps + input-file count, so a
+        # later round can diff regressions mechanically (a plan that
+        # suddenly reads 10x the files shows up here before it shows up
+        # in seconds)
+        detail[name] = {
+            "median_sec": round(statistics.median(reps), 4),
+            "reps_sec": reps,
+            "n_input_files": len(qdef.fn(spark, args.sf_dir).inputFiles()),
+        }
 
     total = round(sum(timings.values()), 4)
     doc = {
@@ -166,6 +178,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_detail": detail,
         "sf": _sf_from_dir(args.sf_dir),
     }
     if not args.no_maintenance:
