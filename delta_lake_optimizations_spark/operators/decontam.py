@@ -1,0 +1,153 @@
+"""Benchmark decontamination: remove training documents that overlap an
+evaluation set (SURVEY §2.9 extensions — the step every serious
+pretraining pipeline runs between crawl and train; the GPT-3 / PaLM
+papers describe exactly this n-gram-overlap form).
+
+Shape: corpus docs and benchmark docs are both exploded into distinct
+word n-grams; the benchmark gram set is tiny by definition (eval suites
+are thousands of documents, not billions) so it is ``F.broadcast`` into
+a map-side semi/inner join — the 100 TB corpus is never shuffled, each
+task filters its own partition against the broadcast gram set. The
+per-doc aggregation shuffles only (doc_id, count) pairs for the
+contaminated minority.
+
+All built-in expressions (split / transform / slice / explode) — no
+Python in the data path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from delta_lake_optimizations_spark.catalog import load_table
+from delta_lake_optimizations_spark.registry import query
+
+
+def word_ngrams(text_col: Column, n: int) -> Column:
+    """Array of word n-grams (space-joined) of ``text_col``; empty array
+    for documents shorter than ``n`` tokens. ``F.sequence`` would count
+    DOWN for stop < start, hence the explicit length guard."""
+    toks = F.split(text_col, " ")
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n))),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def ngram_overlap(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Per-corpus-document count of DISTINCT word n-grams shared with the
+    benchmark set. Only contaminated documents appear in the output."""
+    c_grams = corpus.select(
+        F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("gram")
+    ).distinct()
+    b_grams = (
+        benchmark.select(F.explode(word_ngrams(F.col(text_col), n)).alias("gram"))
+        .distinct()
+    )
+    return (
+        c_grams.join(F.broadcast(b_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    max_shared: int = 0,
+) -> DataFrame:
+    """Drop corpus documents sharing more than ``max_shared`` distinct
+    n-grams with the benchmark (default: any overlap). Anti-join on the
+    contaminated-id set, which is small — broadcast-able."""
+    bad = (
+        ngram_overlap(corpus, benchmark, id_col, text_col, n)
+        .filter(F.col("n_shared_grams") > max_shared)
+        .select(id_col)
+    )
+    return corpus.join(F.broadcast(bad), id_col, "left_anti")
+
+
+@query(
+    "decontam_ngram_overlap",
+    tags=("text", "decontam", "llm-pipeline"),
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+        ),
+        grams AS (
+            SELECT DISTINCT doc_id,
+                   array_to_string(list_slice(ts, i, i + 3), ' ') AS gram
+            FROM tok, UNNEST(generate_series(1, len(ts) - 3)) AS t(i)
+        ),
+        bench AS (
+            SELECT DISTINCT gram FROM grams WHERE doc_id % 25 = 0
+        )
+        SELECT g.doc_id, COUNT(*) AS n_shared_grams
+        FROM grams g JOIN bench b USING (gram)
+        WHERE g.doc_id % 25 <> 0
+        GROUP BY g.doc_id
+    """,
+)
+def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination report: which training docs share a word 4-gram with
+    the (synthetic) benchmark slice ``doc_id % 25 == 0``, and how many.
+    4-grams suit this short-doc tiny-vocab corpus; production uses 8-13
+    (the operator parameter)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 25 == 0)
+    train = docs.filter(F.col("doc_id") % 25 != 0)
+    return ngram_overlap(train, bench, n=4)
+
+
+@query(
+    "decontam_clean_corpus_stats",
+    tags=("text", "decontam", "llm-pipeline"),
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, source, string_split(text, ' ') AS ts FROM documents
+        ),
+        grams AS (
+            SELECT DISTINCT doc_id,
+                   array_to_string(list_slice(ts, i, i + 3), ' ') AS gram
+            FROM tok, UNNEST(generate_series(1, len(ts) - 3)) AS t(i)
+        ),
+        bench AS (
+            SELECT DISTINCT gram FROM grams WHERE doc_id % 25 = 0
+        ),
+        bad AS (
+            SELECT DISTINCT g.doc_id
+            FROM grams g JOIN bench b USING (gram)
+            WHERE g.doc_id % 25 <> 0
+        )
+        SELECT d.source,
+               COUNT(*) AS n_clean,
+               CAST(SUM(d.n_chars) AS BIGINT) AS clean_chars
+        FROM documents d
+        WHERE d.doc_id % 25 <> 0
+          AND d.doc_id NOT IN (SELECT doc_id FROM bad)
+        GROUP BY d.source
+    """,
+)
+def decontam_clean_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-decontamination corpus profile: per source, how many documents
+    and characters survive removing everything that overlaps the
+    benchmark slice."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 25 == 0)
+    train = docs.filter(F.col("doc_id") % 25 != 0)
+    clean = decontaminate(train, bench, n=4)
+    return clean.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_clean"),
+        F.sum("n_chars").alias("clean_chars"),
+    )
