@@ -126,3 +126,30 @@ def test_vocabulary_single_shuffle_prunes_columns(spark):
     assert s["exchanges"] <= 2, s["exchanges"]
     cols = read_columns(df)
     assert cols and all(set(c) <= {"doc_id", "text"} for c in cols), cols
+
+
+def test_decontam_broadcasts_benchmark_grams(spark):
+    """The eval-set gram table must broadcast — the 100 TB corpus side is
+    never shuffled for the contamination check."""
+    df = _DEFS["decontam_ngram_overlap"].fn(spark, SF_DIR)
+    s = plan_summary(df)
+    assert s["broadcast_hash_joins"] >= 1, s
+    assert s["sort_merge_joins"] == 0, s
+    cols = read_columns(df)
+    assert cols and all(set(c) <= {"doc_id", "text"} for c in cols), cols
+
+
+def test_packing_partitions_by_shard_no_funnel(spark):
+    df = _DEFS["pack_documents_by_source"].fn(spark, SF_DIR)
+    s = plan_summary(df)
+    assert not s["single_partition"], "packing must window per shard"
+    # one shuffle: the window's hash partitioning on source
+    assert s["exchanges"] <= 1, s["exchanges"]
+
+
+def test_knn_join_ivf_broadcasts_probe_map(spark):
+    df = _DEFS["knn_join_ivf"].fn(spark, SF_DIR)
+    s = plan_summary(df)
+    # probe-map join AND (at test SF) the cell equi-join resolve as
+    # broadcasts; the point is no sort-merge of the corpus against itself
+    assert s["broadcast_hash_joins"] >= 1, s
