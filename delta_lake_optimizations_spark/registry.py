@@ -55,9 +55,12 @@ _QUERY_MODULES = (
 # (registration order) each round. Round 1 verified the relational / TPC-H /
 # window / setop families green; this window rotates the never-checked
 # families (scalar, events, vectors, dedup, similarity, pipeline, text,
-# sampling, multimodal) plus the three round-1 red rows (now fixed) into
-# slots 1-50. Everything demoted out of the window stays covered by the
-# identical local gate in ``tests/test_oracle_parity.py``.
+# sampling, multimodal, decontam, packing) plus the three round-1 red rows
+# (now fixed) into slots 1-50, preferring oracle-backed entries
+# (doc_fingerprint and multimodal_decode_stub, both rows-only, ceded their
+# slots to the oracle-backed decontam/packing queries). Everything demoted
+# out of the window stays covered by the identical local gate in
+# ``tests/test_oracle_parity.py``.
 DRIVER_WINDOW = 50
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # round-1 red rows, fixed this round — must re-verify under the driver
@@ -102,8 +105,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "text_quality_scores",
     "text_lang_id",
     "token_count_bpeish",
-    "doc_fingerprint",
     "doc_chunk_windows",
+    "decontam_ngram_overlap",
+    "pack_documents_by_source",
     "pipeline_curate_documents",
     "pipeline_chunk_embed",
     "bm25_keyword_search",
@@ -117,7 +121,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "stratified_sample_by_source",
     # multimodal plumbing
     "multimodal_manifest",
-    "multimodal_decode_stub",
     "multimodal_byte_features",
 )
 
