@@ -30,4 +30,16 @@ def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
 
 
-__all__ = ["csv_read_explicit", "csv_read_inferred", "read_jsonl", "write_jsonl"]
+from delta_lake_optimizations_spark.sources.graft_datasource import (
+    GraftDataSource,
+    register_graft_source,
+)
+
+__all__ = [
+    "GraftDataSource",
+    "csv_read_explicit",
+    "csv_read_inferred",
+    "read_jsonl",
+    "register_graft_source",
+    "write_jsonl",
+]

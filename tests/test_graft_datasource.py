@@ -1,0 +1,166 @@
+"""The 'graft' Python Data Source: batch parity with GraftTable.load,
+time travel via options, hive partition reconstruction, and the streaming
+reader's offset/change-commit semantics."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from delta_lake_optimizations_spark.sources.graft_datasource import (
+    register_graft_source,
+)
+from delta_lake_optimizations_spark.table.graft_table import GraftTable
+from delta_lake_optimizations_spark.table.maintenance import delete, optimize
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture()
+def graft(spark):
+    register_graft_source(spark)
+    return spark
+
+
+def test_batch_read_matches_load(graft, tmp_path):
+    spark = graft
+    path = str(tmp_path / "t")
+    tbl = GraftTable(spark, path)
+    df = spark.range(0, 1000).select(
+        F.col("id"),
+        (F.col("id") % 7).alias("bucket"),
+        F.concat(F.lit("r"), F.col("id")).alias("tag"),
+        (F.col("id") * 1.5).alias("amount"),
+    )
+    tbl.write(df, mode="overwrite")
+    tbl.write(df.filter("id < 10"), mode="append")
+
+    via_source = spark.read.format("graft").option("path", path).load()
+    assert via_source.schema == tbl.load().schema
+    assert _rows(via_source) == _rows(tbl.load())
+
+
+def test_batch_version_as_of(graft, tmp_path):
+    spark = graft
+    path = str(tmp_path / "t")
+    tbl = GraftTable(spark, path)
+    tbl.write(spark.range(0, 5), mode="overwrite")
+    tbl.write(spark.range(100, 103), mode="append")
+
+    v0 = spark.read.format("graft").option("path", path).option("versionAsOf", 0).load()
+    assert _rows(v0) == _rows(tbl.load(version=0))
+    assert v0.count() == 5
+    latest = spark.read.format("graft").option("path", path).load()
+    assert latest.count() == 8
+
+
+def test_batch_partitioned_reconstructs_partition_columns(graft, tmp_path):
+    spark = graft
+    path = str(tmp_path / "t")
+    tbl = GraftTable(spark, path)
+    df = spark.createDataFrame(
+        [Row(id=i, country="US" if i % 2 else "DE", v=float(i)) for i in range(20)]
+    )
+    tbl.write(df, mode="overwrite", partition_by=["country"])
+
+    out = spark.read.format("graft").option("path", path).load()
+    assert dict(out.dtypes)["country"] == "string"
+    assert _rows(out.select("id", "country", "v")) == _rows(df)
+
+
+def test_stream_serves_appends_and_only_new_commits(graft, tmp_path):
+    spark = graft
+    path = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    tbl = GraftTable(spark, path)
+    tbl.write(spark.range(0, 50), mode="overwrite")
+    tbl.write(spark.range(50, 80), mode="append")
+
+    out_dir = str(tmp_path / "out")
+
+    def run_batch():
+        q = (
+            spark.readStream.format("graft")
+            .option("path", path)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        rows = [r[0] for r in spark.read.parquet(out_dir).collect()]
+        assert len(rows) == len(set(rows)), "stream re-served a commit"
+        return set(rows)
+
+    assert run_batch() == set(range(80))
+    # a restart resumes from the checkpointed offset: only the new commit
+    # is served, nothing is re-emitted
+    tbl.write(spark.range(200, 210), mode="append")
+    assert run_batch() == set(range(80)) | set(range(200, 210))
+
+
+def test_stream_change_commit_fails_by_default_and_skips_on_option(graft, tmp_path):
+    spark = graft
+    path = str(tmp_path / "t")
+    tbl = GraftTable(spark, path)
+    tbl.write(spark.range(0, 100).withColumn("k", F.col("id") % 4), mode="overwrite")
+    tbl.write(spark.range(100, 120).withColumn("k", F.col("id") % 4), mode="append")
+    optimize(tbl)  # rewrite commit: adds + removes
+
+    q = (
+        spark.readStream.format("graft")
+        .option("path", path)
+        .load()
+        .writeStream.format("memory")
+        .queryName("graft_stream_fail")
+        .option("checkpointLocation", str(tmp_path / "c1"))
+        .start()
+    )
+    with pytest.raises(Exception, match="non-append commit|StreamingQueryException"):
+        q.processAllAvailable()
+    q.stop()
+
+    q2 = (
+        spark.readStream.format("graft")
+        .option("path", path)
+        .option("skipChangeCommits", "true")
+        .load()
+        .writeStream.format("memory")
+        .queryName("graft_stream_skip")
+        .option("checkpointLocation", str(tmp_path / "c2"))
+        .start()
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    got = {r[0] for r in spark.sql("SELECT id FROM graft_stream_skip").collect()}
+    assert got == set(range(120))  # pre-OPTIMIZE appends; rewrite skipped
+
+
+def test_stream_starting_version_latest_sees_only_future(graft, tmp_path):
+    spark = graft
+    path = str(tmp_path / "t")
+    tbl = GraftTable(spark, path)
+    tbl.write(spark.range(0, 30), mode="overwrite")
+
+    q = (
+        spark.readStream.format("graft")
+        .option("path", path)
+        .option("startingVersion", "latest")
+        .load()
+        .writeStream.format("memory")
+        .queryName("graft_stream_latest")
+        .option("checkpointLocation", str(tmp_path / "c"))
+        .start()
+    )
+    q.processAllAvailable()
+    tbl.write(spark.range(1000, 1005), mode="append")
+    q.processAllAvailable()
+    q.stop()
+    got = {r[0] for r in spark.sql("SELECT id FROM graft_stream_latest").collect()}
+    assert got == set(range(1000, 1005))
