@@ -103,7 +103,12 @@ def _read_file_as_batches(
     hive directory values. Column pruning: only the schema's non-partition
     fields are read from disk."""
     arrow_schema = to_arrow_schema(schema)
-    file_cols = [f.name for f in schema.fields if f.name not in partition_values]
+    present = set(pq.read_schema(abs_path).names)
+    # Only columns that exist in THIS file are read; columns added later
+    # by merge_schema evolution null-fill (Delta read-side evolution).
+    file_cols = [
+        f.name for f in schema.fields if f.name not in partition_values and f.name in present
+    ]
     table = pq.read_table(abs_path, columns=file_cols)
     n = table.num_rows
     cols = []
@@ -111,6 +116,8 @@ def _read_file_as_batches(
         if field.name in partition_values:
             val = _parse_partition_value(partition_values[field.name], field.dataType)
             cols.append(pa.array([val] * n, type=arrow_field.type))
+        elif field.name not in present:
+            cols.append(pa.nulls(n, type=arrow_field.type))
         else:
             col = table.column(field.name)
             if col.type != arrow_field.type:

@@ -485,12 +485,14 @@ class GraftTable:
         partition_by: list[str] | None,
         properties: dict[str, str] | None,
         base: Snapshot | None,
+        schema_override: T.StructType | None = None,
     ) -> dict[str, Any]:
         props = dict(base.properties) if base else {}
         if properties:
             props.update(properties)
+        schema = schema_override if schema_override is not None else df.schema
         return {
-            "schemaJson": json.dumps(df.schema.jsonValue()),
+            "schemaJson": json.dumps(schema.jsonValue()),
             "partitionColumns": partition_by or [],
             "properties": props,
         }
@@ -502,6 +504,7 @@ class GraftTable:
         partition_by: list[str] | None = None,
         properties: dict[str, str] | None = None,
         overwrite_schema: bool = False,
+        merge_schema: bool = False,
         extra_parameters: dict[str, Any] | None = None,
     ) -> Commit:
         """Write data as a new commit.
@@ -509,16 +512,26 @@ class GraftTable:
         ``mode``: 'overwrite' (reference S2: new snapshot replaces all
         files; schema replacement mirrors ``overwriteSchema``,
         docs/02-lab-optimizations.md:73), 'append', or 'error'.
+
+        ``merge_schema``: Delta's ``mergeSchema`` evolution — the committed
+        schema becomes base-columns-then-new-columns; files written before
+        a column existed null-fill it at read time (the parquet scan gets
+        the snapshot schema, so this is read-side, no rewrite). Same-named
+        columns with different types still error: type changes must go
+        through ``overwrite_schema``, which has a defined replace policy.
         """
         existed = self.exists()
         base = self.snapshot() if existed else None
         if mode == "error" and existed:
             raise FileExistsError(f"table exists at {self.path}")
+        evolved_schema: T.StructType | None = None
+        if merge_schema and base is not None and base.schema is not None:
+            evolved_schema = _merge_schemas(base.schema, df.schema)
         if mode == "append" and base is not None:
             if partition_by is None:
                 partition_by = base.partition_columns
             base_schema = base.schema
-            if base_schema is not None and not overwrite_schema:
+            if base_schema is not None and not overwrite_schema and not merge_schema:
                 # Compare names AND types (in order): a same-named column
                 # with a different type would commit a new schemaJson that
                 # _read_files then applies to historical parquet files,
@@ -529,7 +542,8 @@ class GraftTable:
                 new_sig = [(f.name, f.dataType) for f in df.schema.fields]
                 if base_sig != new_sig:
                     raise ValueError(
-                        "schema mismatch on append (pass overwrite_schema=True to evolve): "
+                        "schema mismatch on append (pass merge_schema=True to add "
+                        "columns or overwrite_schema=True to replace the schema): "
                         f"{[(n, t.simpleString()) for n, t in base_sig]} vs "
                         f"{[(n, t.simpleString()) for n, t in new_sig]}"
                     )
@@ -570,7 +584,9 @@ class GraftTable:
         # Pass ``base`` for overwrite too: Delta preserves table properties
         # (constraints, autoCompact, stats flags) across a plain
         # mode=overwrite — only the data and schema are replaced.
-        metadata = self._metadata_for(df, partition_by, properties, base)
+        metadata = self._metadata_for(
+            df, partition_by, properties, base, schema_override=evolved_schema
+        )
         commit = self._write_commit(
             operation, params, adds, remove, metadata,
             base_version=base.version if base is not None else -1,
@@ -636,9 +652,13 @@ class GraftTable:
             groups.setdefault(base, []).append(abs_f)
         out: DataFrame | None = None
         for base in sorted(groups):
-            part_df = (
-                self.spark.read.option("basePath", base).parquet(*groups[base])
-            )
+            reader = self.spark.read.option("basePath", base)
+            if snap.schema is not None:
+                # The full snapshot schema (partition columns included) so
+                # commits that predate a merge_schema evolution null-fill
+                # the newer columns instead of failing the group union.
+                reader = reader.schema(snap.schema)
+            part_df = reader.parquet(*groups[base])
             out = part_df if out is None else out.unionByName(part_df)
         return out
 
@@ -801,6 +821,27 @@ class GraftTable:
 # ---------------------------------------------------------------------------
 # File-skipping predicate evaluation (driver-side)
 # ---------------------------------------------------------------------------
+
+
+def _merge_schemas(base: T.StructType, incoming: T.StructType) -> T.StructType:
+    """Delta ``mergeSchema`` union: base columns in base order, then new
+    columns in incoming order (nullable — historical files lack them).
+    A same-named column with a different type is rejected; widening has no
+    safe read path for already-written files without a rewrite."""
+    base_types = {f.name: f.dataType for f in base.fields}
+    for f in incoming.fields:
+        if f.name in base_types and f.dataType != base_types[f.name]:
+            raise ValueError(
+                f"merge_schema cannot change column {f.name!r} from "
+                f"{base_types[f.name].simpleString()} to {f.dataType.simpleString()}; "
+                "use overwrite_schema=True"
+            )
+    new_fields = [
+        T.StructField(f.name, f.dataType, True, f.metadata)
+        for f in incoming.fields
+        if f.name not in base_types
+    ]
+    return T.StructType(list(base.fields) + new_fields)
 
 
 def _op_expr(col: str, op: str, value: Any):
