@@ -281,3 +281,86 @@ def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     values without shipping the chunk text itself."""
     documents = load_table(spark, sf_dir, "documents")
     return chunk_windows(documents, "doc_id", "text", size=500, stride=400)
+
+
+@query(
+    "seq_length_histogram",
+    tags=("text", "profiling", "pipeline"),
+    oracle="""
+        SELECT
+            CAST(FLOOR(len(string_split_regex(trim(text), '\\s+')) / 16)
+                 * 16 AS BIGINT) AS bucket_lo,
+            COUNT(*) AS n_docs,
+            CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+                AS total_tokens
+        FROM documents
+        GROUP BY 1
+    """,
+)
+def seq_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length distribution in width-16 token buckets — the input
+    to packing/truncation planning (what fraction of the corpus exceeds a
+    context length; how much padding a given max_len costs).
+
+    One hash aggregate on a derived int key: map-side combinable, output
+    rows bounded by max_tokens/16, independent of corpus size."""
+    documents = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.trim("text"), r"\s+"))
+    return (
+        documents.select(
+            (F.floor(n_tokens / 16) * 16).cast("long").alias("bucket_lo"),
+            n_tokens.alias("_n"),
+        )
+        .groupBy("bucket_lo")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_n").cast("long").alias("total_tokens"),
+        )
+    )
+
+
+@query(
+    "zipf_top_tokens",
+    tags=("text", "vocabulary"),
+    oracle="""
+        SELECT token, term_freq, rank FROM (
+            SELECT token,
+                   term_freq,
+                   ROW_NUMBER() OVER (ORDER BY term_freq DESC, token) AS rank
+            FROM (
+                SELECT token, COUNT(*) AS term_freq
+                FROM (
+                    SELECT unnest(string_split_regex(lower(trim(text)), '\\s+'))
+                           AS token
+                    FROM documents
+                )
+                WHERE token <> ''
+                GROUP BY token
+            )
+        )
+        WHERE rank <= 20
+    """,
+)
+def zipf_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 tokens with their Zipf rank (deterministic tie-break on the
+    token itself) — the head of the frequency curve tokenizer and stopword
+    decisions are made from.
+
+    Explode + hash aggregate, then a single-partition window over ONLY the
+    aggregated vocabulary (bounded by distinct-token count, not corpus
+    size) — the window never sees row-level data, so the funnel is safe at
+    any corpus scale."""
+    from pyspark.sql import Window
+
+    documents = load_table(spark, sf_dir, "documents")
+    freqs = (
+        documents.select(F.explode(tokenize(F.col("text"))).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("term_freq"))
+    )
+    w = Window.orderBy(F.desc("term_freq"), F.asc("token"))
+    return (
+        freqs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 20)
+    )
