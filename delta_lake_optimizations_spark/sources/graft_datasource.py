@@ -48,9 +48,11 @@ from pyspark.sql import SparkSession
 from pyspark.sql import types as T
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamReader,
     InputPartition,
+    WriterCommitMessage,
 )
 from pyspark.sql.pandas.types import to_arrow_schema
 
@@ -220,6 +222,192 @@ class GraftStreamReader(DataSourceStreamReader):
         pass
 
 
+@dataclass
+class GraftWriteMessage(WriterCommitMessage):
+    """Per-task result shipped back to the driver for the log commit."""
+
+    rel_path: str | None  # None when the task had no rows
+    size: int = 0
+    num_records: int = 0
+    stats: dict | None = None
+
+
+class GraftBatchWriter(DataSourceArrowWriter):
+    """Distributed write path for ``df.write.format("graft")``.
+
+    Executors stream their partition's Arrow batches straight into one
+    parquet file each under a fresh commit directory — no driver
+    collect, no shuffle — and ship back only footer metadata
+    (path/size/numRecords/min-max stats). The driver then appends ONE
+    commit to the log, going through GraftTable._write_commit so
+    optimistic concurrency (link(2) single-winner), checkpointing, and
+    Delta-style property preservation all apply. Appends that lose a
+    commit race are rebased and retried: an append removes nothing, so
+    replaying the same add-list on the new base is conflict-free.
+
+    Unpartitioned only (Spark does not forward partitionBy to Python
+    data sources) — use GraftTable.write for hive-partitioned layouts.
+    """
+
+    def __init__(self, schema: T.StructType, options: dict, overwrite: bool):
+        self._schema = schema
+        self._options = options
+        self._overwrite = overwrite
+        self._path = _required_path(options)
+        # one shared commit dir, minted driver-side so all tasks agree
+        import uuid
+
+        self._rel_dir = os.path.join("data", f"dsw-{uuid.uuid4().hex[:12]}")
+
+    def write(self, iterator: Iterator[pa.RecordBatch]) -> GraftWriteMessage:
+        import uuid
+
+        from delta_lake_optimizations_spark.table.graft_table import (
+            collect_file_stats,
+        )
+
+        out_dir = os.path.join(self._path, self._rel_dir)
+        os.makedirs(out_dir, exist_ok=True)
+        rel_file = os.path.join(self._rel_dir, f"part-{uuid.uuid4().hex}.parquet")
+        abs_file = os.path.join(self._path, rel_file)
+        writer: pq.ParquetWriter | None = None
+        try:
+            for batch in iterator:
+                if batch.num_rows == 0:
+                    continue
+                if writer is None:
+                    writer = pq.ParquetWriter(abs_file, batch.schema)
+                writer.write_batch(batch)
+        finally:
+            if writer is not None:
+                writer.close()
+        if writer is None:
+            return GraftWriteMessage(rel_path=None)
+        n, stats = collect_file_stats(abs_file)
+        return GraftWriteMessage(
+            rel_path=rel_file,
+            size=os.path.getsize(abs_file),
+            num_records=n,
+            stats=stats,
+        )
+
+    def commit(self, messages) -> None:
+        import json
+
+        from delta_lake_optimizations_spark.table.graft_table import (
+            AddFile,
+            ConcurrentCommitError,
+            GraftTable,
+            _merge_schemas,
+        )
+
+        from delta_lake_optimizations_spark.table.graft_table import (
+            _CONSTRAINT_PREFIX,
+            ConstraintViolationError,
+        )
+
+        tbl = GraftTable(None, self._path)  # type: ignore[arg-type]
+        adds = [
+            AddFile(
+                path=m.rel_path,
+                size=m.size,
+                num_records=m.num_records,
+                stats=m.stats or {},
+            )
+            for m in messages
+            if m is not None and m.rel_path is not None
+        ]
+        # CHECK-constraint enforcement (schema-on-write): validate the
+        # just-written files — footer metadata came back, the rows stayed
+        # on disk — BEFORE anything lands in the log. This commit hook
+        # runs in a plain Python worker (no SparkSession), so constraint
+        # expressions are evaluated with DuckDB over the new files; CHECK
+        # expressions are ANSI by design, and an expression DuckDB cannot
+        # parse fails the write (enforcement never silently degrades).
+        if tbl.exists() and adds:
+            constraints = {
+                k: v
+                for k, v in tbl.snapshot().properties.items()
+                if k.startswith(_CONSTRAINT_PREFIX)
+            }
+            if constraints:
+                import duckdb
+
+                files = [os.path.join(self._path, a.path) for a in adds]
+                for key, expr_text in constraints.items():
+                    name = key[len(_CONSTRAINT_PREFIX):]
+                    try:
+                        bad = duckdb.sql(
+                            f"SELECT count(*) FROM read_parquet({files!r}) "
+                            f"WHERE NOT ({expr_text})"
+                        ).fetchone()[0]
+                    except Exception as exc:
+                        self.abort(messages)
+                        raise ConstraintViolationError(
+                            f"cannot evaluate CHECK constraint {name!r} "
+                            f"({expr_text}) on the graft write path: {exc}"
+                        ) from exc
+                    if bad:
+                        self.abort(messages)
+                        raise ConstraintViolationError(
+                            f"{bad} row(s) violate CHECK constraint "
+                            f"{name!r}: {expr_text}"
+                        )
+
+        merge = _bool_opt(self._options, "mergeschema")
+        for attempt in range(5):
+            existed = tbl.exists()
+            base = tbl.snapshot() if existed else None
+            schema = self._schema
+            if base is not None and base.schema is not None:
+                if merge:
+                    schema = _merge_schemas(base.schema, self._schema)
+                elif not self._overwrite:
+                    base_sig = [(f.name, f.dataType) for f in base.schema.fields]
+                    new_sig = [(f.name, f.dataType) for f in self._schema.fields]
+                    if base_sig != new_sig:
+                        raise ValueError(
+                            "schema mismatch on graft append (set "
+                            ".option('mergeSchema','true') to add columns): "
+                            f"{[(n, t.simpleString()) for n, t in base_sig]} vs "
+                            f"{[(n, t.simpleString()) for n, t in new_sig]}"
+                        )
+            if self._overwrite and base is not None:
+                remove = [f.path for f in base.files]
+                operation, params = "WRITE", {"mode": "Overwrite"}
+            elif base is not None:
+                remove = []
+                operation, params = "WRITE", {"mode": "Append"}
+            else:
+                remove = []
+                operation, params = "CREATE TABLE AS SELECT", {"mode": "ErrorIfExists"}
+            metadata = {
+                "schemaJson": json.dumps(schema.jsonValue()),
+                "partitionColumns": [],
+                "properties": dict(base.properties) if base is not None else {},
+            }
+            try:
+                tbl._write_commit(
+                    operation,
+                    params,
+                    adds,
+                    remove,
+                    metadata,
+                    base_version=base.version if base is not None else -1,
+                )
+                return
+            except ConcurrentCommitError:
+                if self._overwrite or attempt == 4:
+                    raise
+                # append rebase: nothing removed, so re-reading the new
+                # base and re-attempting the same add-list is conflict-free
+
+    def abort(self, messages) -> None:
+        import shutil
+
+        shutil.rmtree(os.path.join(self._path, self._rel_dir), ignore_errors=True)
+
+
 class GraftDataSource(DataSource):
     """``spark.read.format("graft")`` / ``spark.readStream.format("graft")``."""
 
@@ -249,6 +437,9 @@ class GraftDataSource(DataSource):
 
     def streamReader(self, schema: T.StructType) -> DataSourceStreamReader:
         return GraftStreamReader(schema, dict(self.options))
+
+    def writer(self, schema: T.StructType, overwrite: bool) -> GraftBatchWriter:
+        return GraftBatchWriter(schema, dict(self.options), overwrite)
 
 
 def _required_path(options: dict) -> str:

@@ -164,3 +164,63 @@ def test_stream_starting_version_latest_sees_only_future(graft, tmp_path):
     q.stop()
     got = {r[0] for r in spark.sql("SELECT id FROM graft_stream_latest").collect()}
     assert got == set(range(1000, 1005))
+
+
+def test_writer_creates_and_appends(graft, tmp_path):
+    spark = graft
+    path = str(tmp_path / "w")
+    df = spark.range(0, 500).select("id", (F.col("id") % 5).alias("k"))
+    df.write.format("graft").mode("overwrite").save(path)
+    tbl = GraftTable(spark, path)
+    assert tbl.load().count() == 500
+    assert tbl.snapshot().num_records == 500  # footer stats landed in the log
+
+    spark.range(500, 600).select("id", (F.col("id") % 5).alias("k")).write.format(
+        "graft"
+    ).mode("append").save(path)
+    assert tbl.load().count() == 600
+    assert tbl.latest_version() == 1
+    # round-trips through the reader too
+    assert spark.read.format("graft").load(path).count() == 600
+
+
+def test_writer_overwrite_replaces_and_keeps_history(graft, tmp_path):
+    spark = graft
+    path = str(tmp_path / "w")
+    spark.range(0, 100).write.format("graft").mode("overwrite").save(path)
+    spark.range(0, 7).write.format("graft").mode("overwrite").save(path)
+    tbl = GraftTable(spark, path)
+    assert tbl.load().count() == 7
+    assert tbl.load(version=0).count() == 100  # time travel across the overwrite
+
+
+def test_writer_schema_mismatch_rejected_mergeschema_evolves(graft, tmp_path):
+    spark = graft
+    path = str(tmp_path / "w")
+    spark.range(0, 10).select("id", F.lit(1.0).alias("v")).write.format(
+        "graft"
+    ).mode("overwrite").save(path)
+    extra = spark.range(10, 12).select("id", F.lit(1.0).alias("v"), F.lit("x").alias("t"))
+    with pytest.raises(Exception, match="schema mismatch|SparkRuntimeException"):
+        extra.write.format("graft").mode("append").save(path)
+    extra.write.format("graft").mode("append").option("mergeSchema", "true").save(path)
+    out = GraftTable(spark, path).load()
+    assert set(out.columns) == {"id", "v", "t"}
+    assert out.filter("t IS NULL").count() == 10
+
+
+def test_writer_enforces_check_constraints(graft, tmp_path):
+    from delta_lake_optimizations_spark.table.graft_table import (
+        ConstraintViolationError,
+    )
+
+    spark = graft
+    path = str(tmp_path / "w")
+    spark.range(0, 10).write.format("graft").mode("overwrite").save(path)
+    tbl = GraftTable(spark, path)
+    tbl.add_constraint("id_positive", "id >= 0")
+    with pytest.raises(Exception, match="id_positive|ConstraintViolation"):
+        spark.range(-5, -1).write.format("graft").mode("append").save(path)
+    assert tbl.load().count() == 10  # nothing landed
+    spark.range(10, 15).write.format("graft").mode("append").save(path)
+    assert tbl.load().count() == 15
