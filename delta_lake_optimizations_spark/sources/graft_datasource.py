@@ -64,6 +64,8 @@ class GraftFilePartition(InputPartition):
 
     abs_path: str
     partition_values: tuple[tuple[str, str], ...]  # hive col -> string value
+    logical_path: str = ""  # AddFile.path — DV rows are keyed against it
+    dv_abs_path: str | None = None  # deletion-vector parquet dir, if any
 
 
 def _snapshot(path: str, version: int | None = None, timestamp: str | None = None):
@@ -93,11 +95,32 @@ def _parse_partition_value(raw: str, dtype: T.DataType):
     return raw
 
 
+def _suffix2(p: str) -> str:
+    parts = p.rstrip(os.sep).split(os.sep)
+    return os.sep.join(parts[-2:])
+
+
+def _dv_mask(dv_abs_path: str, logical_path: str, n: int) -> "pa.Array | None":
+    """Boolean keep-mask for one file from its deletion-vector directory
+    (matched on the relocation-proof last-two-components key)."""
+    dv = pq.read_table(dv_abs_path, columns=["file_path", "row_index"])
+    want = _suffix2(logical_path)
+    keep = [True] * n
+    hit = False
+    for fp, idx in zip(dv.column("file_path").to_pylist(), dv.column("row_index").to_pylist()):
+        if _suffix2(fp) == want and 0 <= idx < n:
+            keep[idx] = False
+            hit = True
+    return pa.array(keep) if hit else None
+
+
 def _read_file_as_batches(
     abs_path: str,
     partition_values: dict[str, str],
     schema: T.StructType,
     batch_rows: int = 65536,
+    logical_path: str = "",
+    dv_abs_path: str | None = None,
 ) -> Iterator[pa.RecordBatch]:
     """Executor-side scan of one parquet file, emitted as Arrow batches
     matching the table schema exactly (order, names, types). Partition
@@ -112,6 +135,10 @@ def _read_file_as_batches(
         f.name for f in schema.fields if f.name not in partition_values and f.name in present
     ]
     table = pq.read_table(abs_path, columns=file_cols)
+    if dv_abs_path is not None:
+        mask = _dv_mask(dv_abs_path, logical_path, table.num_rows)
+        if mask is not None:
+            table = table.filter(mask)
     n = table.num_rows
     cols = []
     for field, arrow_field in zip(schema.fields, arrow_schema):
@@ -151,13 +178,19 @@ class GraftBatchReader(DataSourceReader):
             GraftFilePartition(
                 abs_path=os.path.join(path, f.path),
                 partition_values=tuple(sorted(f.partition_values.items())),
+                logical_path=f.path,
+                dv_abs_path=os.path.join(path, f.dv_path) if f.dv_path else None,
             )
             for f in snap.files
         ]
 
     def read(self, partition: GraftFilePartition) -> Iterator[pa.RecordBatch]:
         yield from _read_file_as_batches(
-            partition.abs_path, dict(partition.partition_values), self._schema
+            partition.abs_path,
+            dict(partition.partition_values),
+            self._schema,
+            logical_path=partition.logical_path,
+            dv_abs_path=partition.dv_abs_path,
         )
 
 
@@ -208,6 +241,10 @@ class GraftStreamReader(DataSourceStreamReader):
                 GraftFilePartition(
                     abs_path=os.path.join(self._path, f.path),
                     partition_values=tuple(sorted(f.partition_values.items())),
+                    logical_path=f.path,
+                    dv_abs_path=(
+                        os.path.join(self._path, f.dv_path) if f.dv_path else None
+                    ),
                 )
                 for f in commit.add
             )
@@ -215,7 +252,11 @@ class GraftStreamReader(DataSourceStreamReader):
 
     def read(self, partition: GraftFilePartition) -> Iterator[pa.RecordBatch]:
         yield from _read_file_as_batches(
-            partition.abs_path, dict(partition.partition_values), self._schema
+            partition.abs_path,
+            dict(partition.partition_values),
+            self._schema,
+            logical_path=partition.logical_path,
+            dv_abs_path=partition.dv_abs_path,
         )
 
     def commit(self, end: dict) -> None:  # offsets live in the query checkpoint

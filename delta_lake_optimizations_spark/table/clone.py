@@ -55,15 +55,33 @@ def clone(
                     num_records=f.num_records,
                     partition_values=dict(f.partition_values),
                     stats=dict(f.stats),
+                    # DV dir referenced absolutely too; the read join key
+                    # is relocation-proof (last two path components)
+                    dv_path=os.path.join(source.path, f.dv_path) if f.dv_path else None,
+                    dv_count=f.dv_count,
                 )
             )
     else:
         rel_dir = dest._new_data_dir(0)
+        copied_dvs: dict[str, str] = {}
         for f in snap.files:
-            rel_target = os.path.join(rel_dir, f.path.replace(os.sep, "_"))
+            # Preserve the source-relative structure (unique, so no
+            # collisions): the DV join key is the last two path
+            # components, which this keeps intact.
+            rel_target = os.path.join(rel_dir, f.path)
             abs_target = os.path.join(dest.path, rel_target)
             os.makedirs(os.path.dirname(abs_target), exist_ok=True)
             shutil.copy2(os.path.join(source.path, f.path), abs_target)
+            dv_target = None
+            if f.dv_path:
+                if f.dv_path not in copied_dvs:
+                    dv_rel = os.path.join(rel_dir, f.dv_path)
+                    shutil.copytree(
+                        os.path.join(source.path, f.dv_path),
+                        os.path.join(dest.path, dv_rel),
+                    )
+                    copied_dvs[f.dv_path] = dv_rel
+                dv_target = copied_dvs[f.dv_path]
             adds.append(
                 AddFile(
                     path=rel_target,
@@ -71,6 +89,8 @@ def clone(
                     num_records=f.num_records,
                     partition_values=dict(f.partition_values),
                     stats=dict(f.stats),
+                    dv_path=dv_target,
+                    dv_count=f.dv_count,
                 )
             )
     dest._write_commit(

@@ -85,27 +85,42 @@ class ConstraintViolationError(ValueError):
 class AddFile:
     path: str  # relative to table root
     size: int
-    num_records: int
+    num_records: int  # physical rows in the parquet file
     partition_values: dict[str, str] = field(default_factory=dict)
     stats: dict[str, Any] = field(default_factory=dict)
+    # Merge-on-read deletion vector (Delta DV semantics): ``dv_path`` is a
+    # parquet directory of (file_path, row_index) rows marking this file's
+    # deleted positions; ``dv_count`` is how many of num_records are dead.
+    dv_path: str | None = None
+    dv_count: int = 0
+
+    @property
+    def live_records(self) -> int:
+        return self.num_records - self.dv_count
 
     def to_json(self) -> dict[str, Any]:
-        return {
+        doc = {
             "path": self.path,
             "size": self.size,
             "numRecords": self.num_records,
             "partitionValues": self.partition_values,
             "stats": self.stats,
         }
+        if self.dv_path is not None:
+            doc["deletionVector"] = {"path": self.dv_path, "count": self.dv_count}
+        return doc
 
     @staticmethod
     def from_json(d: dict[str, Any]) -> "AddFile":
+        dv = d.get("deletionVector")
         return AddFile(
             path=d["path"],
             size=d["size"],
             num_records=d["numRecords"],
             partition_values=d.get("partitionValues", {}),
             stats=d.get("stats", {}),
+            dv_path=dv["path"] if dv else None,
+            dv_count=dv["count"] if dv else 0,
         )
 
 
@@ -165,7 +180,7 @@ class Snapshot:
 
     @property
     def num_records(self) -> int:
-        return sum(f.num_records for f in self.files)
+        return sum(f.live_records for f in self.files)
 
 
 # ---------------------------------------------------------------------------
@@ -576,7 +591,11 @@ class GraftTable:
             operation = "WRITE"
             params = {"mode": "Append"}
         else:
-            remove = [f.path for f in base.files] if base is not None else []
+            remove = (
+                expand_removes(base, [f.path for f in base.files], adds)
+                if base is not None
+                else []
+            )
             operation = "WRITE" if existed else "CREATE TABLE AS SELECT"
             params = {"mode": "Overwrite" if existed else "ErrorIfExists"}
         if extra_parameters:
@@ -622,17 +641,84 @@ class GraftTable:
 
     # -- read paths --------------------------------------------------------
 
-    def _read_files(self, snap: Snapshot, files: list[AddFile]) -> DataFrame:
+    def _rel_path_expr(self, file_path_col):
+        """Table-relative path from a ``_metadata.file_path`` URI (scheme
+        and root prefix stripped; \\Q..\\E quotes regex metacharacters)."""
+        root = os.path.abspath(self.path)
+        return F.regexp_replace(file_path_col, "^.*\\Q" + root + os.sep + "\\E", "")
+
+    def _apply_deletion_vectors(
+        self, df: DataFrame, files: list[AddFile], with_provenance: bool
+    ) -> DataFrame:
+        """Anti-join out DV-marked row positions. ``df`` must carry the
+        scan-bound ``__prov_file``/``__prov_idx`` columns (selected at the
+        file scan, BEFORE any join, where ``_metadata`` is resolvable)."""
+        dv_dirs = sorted({f.dv_path for f in files if f.dv_path})
+        if dv_dirs:
+            dv = self.spark.read.parquet(
+                *[os.path.join(self.path, d) for d in dv_dirs]
+            ).select(
+                F.col("file_path").alias("__dv_file"),
+                F.col("row_index").alias("__dv_idx"),
+            )
+            # Join on the last two path components (commit-dir/filename —
+            # globally unique thanks to per-write UUIDs in both), so DVs
+            # keep matching when the table root moves or the file is
+            # referenced absolutely by a shallow clone.
+            left_key = F.substring_index(F.col("__prov_file"), os.sep, -2)
+            right_key = F.substring_index(F.col("__dv_file"), os.sep, -2)
+            df = df.join(
+                dv,
+                (left_key == right_key) & (F.col("__prov_idx") == F.col("__dv_idx")),
+                "left_anti",
+            )
+        if not with_provenance:
+            df = df.drop("__prov_file", "__prov_idx")
+        return df
+
+    def _read_files(
+        self,
+        snap: Snapshot,
+        files: list[AddFile],
+        with_provenance: bool = False,
+    ) -> DataFrame:
+        """DataFrame over ``files``, deletion vectors applied (merge-on-
+        read). ``with_provenance=True`` keeps two scan-bound columns
+        ``__prov_file`` (absolute file path/URI) and ``__prov_idx`` (row
+        position in file) — DML verbs use these for file-granular
+        copy-on-write and DV construction; they are join-safe, unlike
+        ``input_file_name()``, because they are selected at the scan."""
+        need_meta = with_provenance or any(f.dv_path for f in files)
+
+        def attach_meta(raw: DataFrame) -> DataFrame:
+            if not need_meta:
+                return raw
+            return raw.select(
+                F.col("_metadata.file_path").alias("__prov_file"),
+                F.col("_metadata.row_index").alias("__prov_idx"),
+                "*",
+            )
+
         if not files:
             schema = snap.schema
             if schema is None:
                 raise ValueError("empty table with no schema")
-            return self.spark.createDataFrame([], schema)
+            df = self.spark.createDataFrame([], schema)
+            if with_provenance:
+                df = df.select(
+                    F.lit(None).cast("string").alias("__prov_file"),
+                    F.lit(None).cast("long").alias("__prov_idx"),
+                    "*",
+                )
+            return df
         if not snap.partition_columns:
             reader = self.spark.read
             if snap.schema is not None:
                 reader = reader.schema(snap.schema)
-            return reader.parquet(*[os.path.join(self.path, f.path) for f in files])
+            df = attach_meta(
+                reader.parquet(*[os.path.join(self.path, f.path) for f in files])
+            )
+            return self._apply_deletion_vectors(df, files, with_provenance)
 
         # Partitioned: hive partition values live in directory names UNDER
         # each commit dir (data/vNNN-uuid/country=US/...). Partition
@@ -658,9 +744,9 @@ class GraftTable:
                 # commits that predate a merge_schema evolution null-fill
                 # the newer columns instead of failing the group union.
                 reader = reader.schema(snap.schema)
-            part_df = reader.parquet(*groups[base])
+            part_df = attach_meta(reader.parquet(*groups[base]))
             out = part_df if out is None else out.unionByName(part_df)
-        return out
+        return self._apply_deletion_vectors(out, files, with_provenance)
 
     def load(
         self,
@@ -821,6 +907,34 @@ class GraftTable:
 # ---------------------------------------------------------------------------
 # File-skipping predicate evaluation (driver-side)
 # ---------------------------------------------------------------------------
+
+
+def expand_removes(
+    snap: Snapshot,
+    removed_paths: list[str],
+    new_adds: list[AddFile] | None = None,
+) -> list[str]:
+    """Extend a commit's remove list with deletion-vector directories that
+    become unreferenced once ``removed_paths`` leave the snapshot and
+    ``new_adds`` enter it. DV dirs can be shared by several files (one DV
+    write per DELETE commit), so a DV is tombstoned only when NO surviving
+    or incoming AddFile still points at it — tombstoning is what makes
+    VACUUM eventually reclaim it."""
+    removed = set(removed_paths)
+    candidate_dvs = {
+        f.dv_path for f in snap.files if f.path in removed and f.dv_path
+    }
+    if not candidate_dvs:
+        return list(removed_paths)
+    still_referenced = {
+        f.dv_path
+        for f in snap.files
+        if f.path not in removed and f.dv_path
+    }
+    for a in new_adds or []:
+        if a.dv_path:
+            still_referenced.add(a.dv_path)
+    return list(removed_paths) + sorted(candidate_dvs - still_referenced)
 
 
 def _merge_schemas(base: T.StructType, incoming: T.StructType) -> T.StructType:

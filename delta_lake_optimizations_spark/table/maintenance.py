@@ -21,6 +21,7 @@ from delta_lake_optimizations_spark.table.graft_table import (
     AddFile,
     Commit,
     GraftTable,
+    expand_removes,
 )
 
 DEFAULT_TARGET_FILE_MB = 128  # low end of the reference's 128-512 MB guidance
@@ -117,7 +118,8 @@ def optimize(
             "properties": props,
         }
     return table._write_commit(
-        "OPTIMIZE", params, adds, [f.path for f in targets], metadata,
+        "OPTIMIZE", params, adds, expand_removes(snap, [f.path for f in targets], adds),
+        metadata,
         base_version=snap.version,
     )
 
@@ -182,6 +184,13 @@ def _zorder_layout(df: DataFrame, cols: list[str], n_files: int) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _suffix2(p: str) -> str:
+    """Last two path components — the relocation-proof file identity the
+    DV machinery joins on."""
+    parts = p.rstrip(os.sep).split(os.sep)
+    return os.sep.join(parts[-2:])
+
+
 def _strip_file_uri(p: str) -> str:
     """'file:///a/b' or 'file:/a/b' -> '/a/b' (input_file_name URI form)."""
     if p.startswith("file:"):
@@ -206,20 +215,33 @@ def _hit_files(table: GraftTable, snap, provenance_rows) -> list:
     return out
 
 
-def delete(table: GraftTable, predicate: str) -> Commit:
+def delete(
+    table: GraftTable, predicate: str, deletion_vectors: bool = False
+) -> Commit:
     """``DELETE FROM t WHERE predicate`` (reference M9,
-    docs/02-lab-optimizations.md:223): rewrite only the files that contain
-    matching rows; untouched files carry over. Old versions still see the
-    deleted rows (time travel, ``:239``).
+    docs/02-lab-optimizations.md:223). Old versions still see the deleted
+    rows (time travel, ``:239``).
+
+    ``deletion_vectors=False`` (copy-on-write): rewrite only the files
+    that contain matching rows; untouched files carry over.
+
+    ``deletion_vectors=True`` (merge-on-read, Delta DV semantics): no
+    data file is rewritten — the commit writes one small parquet
+    directory of (file_path, row_index) tombstones and re-adds the hit
+    AddFiles pointing at it; scans anti-join the positions out. At
+    100 TB this turns a DELETE touching every file from a full-table
+    rewrite into an O(deleted-rows) write; run OPTIMIZE later to fold
+    DVs into clean files (any rewrite clears them naturally).
     """
     snap = table.snapshot()
-    df = table._read_files(snap, snap.files)
+    df = table._read_files(snap, snap.files, with_provenance=True)
     pred = F.expr(predicate)
 
-    # Which files contain matches? One aggregation over file provenance.
+    # Which files contain matches? One aggregation over the scan-bound
+    # provenance column (join-safe, unlike input_file_name()).
     hit_rows = (
         df.filter(pred)
-        .select(F.input_file_name().alias("__f"))
+        .select(F.col("__prov_file").alias("__f"))
         .distinct()
         .collect()
     )
@@ -229,6 +251,9 @@ def delete(table: GraftTable, predicate: str) -> Commit:
             "DELETE", {"predicate": predicate, "numRemovedFiles": 0}, [], [],
             base_version=snap.version,
         )
+
+    if deletion_vectors:
+        return _delete_with_dv(table, snap, pred, predicate, hit_files)
 
     keep_df = table._read_files(snap, hit_files).filter(~pred)
     rel_dir = table._new_data_dir(snap.version + 1)
@@ -241,7 +266,78 @@ def delete(table: GraftTable, predicate: str) -> Commit:
         "DELETE",
         {"predicate": predicate, "numRemovedFiles": len(hit_files)},
         adds,
-        [f.path for f in hit_files],
+        expand_removes(snap, [f.path for f in hit_files], adds),
+        base_version=snap.version,
+    )
+
+
+def _delete_with_dv(
+    table: GraftTable, snap, pred: Column, predicate: str, hit_files: list
+) -> Commit:
+    """Write the (file_path, row_index) tombstone set for this DELETE and
+    re-add the hit files with updated DV pointers. New positions are
+    unioned with the hit files' existing DV rows (the provenance scan
+    already excluded previously-deleted rows, so the union is disjoint)."""
+    import dataclasses
+    import uuid
+
+    prov = table._read_files(snap, hit_files, with_provenance=True)
+    rel = table._rel_path_expr(F.col("__prov_file"))
+    new_rows = prov.filter(pred).select(
+        rel.alias("file_path"), F.col("__prov_idx").alias("row_index")
+    )
+    dv_rows = new_rows
+    # All file_path matching below uses the last-two-components suffix
+    # (commit-dir/filename, unique via per-write UUIDs) — the same key the
+    # read-side DV anti-join uses — so it survives absolute paths from
+    # shallow clones and table-root moves.
+    hit_suffixes = [_suffix2(f.path) for f in hit_files]
+    old_dv_dirs = sorted({f.dv_path for f in hit_files if f.dv_path})
+    if old_dv_dirs:
+        old_rows = (
+            table.spark.read.parquet(
+                *[os.path.join(table.path, d) for d in old_dv_dirs]
+            )
+            .filter(F.substring_index(F.col("file_path"), os.sep, -2).isin(hit_suffixes))
+            .select("file_path", "row_index")
+        )
+        dv_rows = dv_rows.unionByName(old_rows)
+
+    rel_dv_dir = os.path.join(
+        "_dv", f"dv-v{snap.version + 1:011d}-{uuid.uuid4().hex[:8]}"
+    )
+    abs_dv_dir = os.path.join(table.path, rel_dv_dir)
+    # DV volume is O(deleted rows); a single output file keeps the scan
+    # side to one tiny extra input. Deletes big enough to need more files
+    # should be copy-on-write (or OPTIMIZE right after) anyway.
+    dv_rows.coalesce(1).write.mode("overwrite").parquet(abs_dv_dir)
+
+    counts = {
+        _suffix2(r["file_path"]): r["cnt"]
+        for r in table.spark.read.parquet(abs_dv_dir)
+        .groupBy("file_path")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    adds = [
+        dataclasses.replace(
+            f,
+            partition_values=dict(f.partition_values),
+            stats=dict(f.stats),
+            dv_path=rel_dv_dir,
+            dv_count=int(counts.get(_suffix2(f.path), f.dv_count)),
+        )
+        for f in hit_files
+    ]
+    return table._write_commit(
+        "DELETE",
+        {
+            "predicate": predicate,
+            "numRemovedFiles": 0,
+            "numDeletionVectorsAdded": len(adds),
+        },
+        adds,
+        expand_removes(snap, [f.path for f in hit_files], adds),
         base_version=snap.version,
     )
 
@@ -260,13 +356,13 @@ def update(
     ``CASE WHEN p THEN expr ELSE c END`` per updated column. ``set`` maps
     column name -> SQL expression string or Column."""
     snap = table.snapshot()
-    df = table._read_files(snap, snap.files)
+    df = table._read_files(snap, snap.files, with_provenance=True)
     pred = F.expr(predicate) if predicate is not None else F.lit(True)
 
     if predicate is not None:
         hit_rows = (
             df.filter(pred)
-            .select(F.input_file_name().alias("__f"))
+            .select(F.col("__prov_file").alias("__f"))
             .distinct()
             .collect()
         )
@@ -303,7 +399,7 @@ def update(
         "UPDATE",
         {"predicate": predicate, "numRewrittenFiles": len(hit_files)},
         adds,
-        [f.path for f in hit_files],
+        expand_removes(snap, [f.path for f in hit_files], adds),
         base_version=snap.version,
     )
 
@@ -328,7 +424,11 @@ def restore(table: GraftTable, version: int) -> Commit:
         "RESTORE",
         {"version": version},
         old.files,
-        [f.path for f in cur.files if f.path not in {o.path for o in old.files}],
+        expand_removes(
+            cur,
+            [f.path for f in cur.files if f.path not in {o.path for o in old.files}],
+            old.files,
+        ),
         metadata,
         base_version=cur.version,
     )
@@ -361,7 +461,9 @@ def vacuum(
     # Recent tombstones are kept so time travel within retention still works;
     # vacuuming past retention breaks travel to those versions (reference
     # docs/02-lab-optimizations.md:295-309).
-    live = {f.path for f in table.snapshot().files}
+    cur = table.snapshot()
+    live = {f.path for f in cur.files}
+    live |= {f.dv_path for f in cur.files if f.dv_path}
     removed_at: dict[str, int] = {}
     for c in commits:
         for r in c.remove:
@@ -382,7 +484,11 @@ def vacuum(
     if not dry_run:
         for rel in candidates:
             abs_f = os.path.join(table.path, rel)
-            if os.path.exists(abs_f):
+            if os.path.isdir(abs_f):  # deletion-vector directories
+                import shutil
+
+                shutil.rmtree(abs_f, ignore_errors=True)
+            elif os.path.exists(abs_f):
                 os.remove(abs_f)
         table._write_commit(
             "VACUUM END",

@@ -29,7 +29,11 @@ from typing import Any
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from delta_lake_optimizations_spark.table.graft_table import Commit, GraftTable
+from delta_lake_optimizations_spark.table.graft_table import (
+    Commit,
+    GraftTable,
+    expand_removes,
+)
 from delta_lake_optimizations_spark.table.maintenance import _hit_files
 
 
@@ -59,9 +63,9 @@ def merge(
 
     snap = table.snapshot()
     target_cols = [f.name for f in snap.schema.fields] if snap.schema else None
-    df = table._read_files(snap, snap.files)
+    df = table._read_files(snap, snap.files, with_provenance=True)
     if target_cols is None:
-        target_cols = df.columns
+        target_cols = [c for c in df.columns if c not in ("__prov_file", "__prov_idx")]
 
     src = source
     for c in on:
@@ -75,7 +79,7 @@ def merge(
 
     # 1. which target files contain matches? (file-granular copy-on-write)
     hits = (
-        df.withColumn("__f", F.input_file_name())
+        df.withColumnRenamed("__prov_file", "__f")
         .join(src_pref, join_cond, "left_semi")
         .select("__f")
         .distinct()
@@ -158,6 +162,6 @@ def merge(
             **(extra_parameters or {}),
         },
         adds,
-        [f.path for f in hit_files],
+        expand_removes(snap, [f.path for f in hit_files], adds),
         base_version=snap.version,
     )
