@@ -37,6 +37,10 @@ _NANO_TS_COLUMNS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Driver-owned sessions may not pin a timezone; epoch arithmetic on
+    # TIMESTAMP_NTZ columns (temporal.epoch_seconds) interprets the wall
+    # clock in the session zone, so pin UTC to match DuckDB's epoch().
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for col in _NANO_TS_COLUMNS.get(name, ()):
         if isinstance(df.schema[col].dataType, T.LongType):

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from delta_lake_optimizations_spark.operators.dedup import token_ngrams, tokenize
 from delta_lake_optimizations_spark.queries.vectors import cosine, dot, l2_norm_sq
+from delta_lake_optimizations_spark.temporal import epoch_seconds
 
 
 def disc_price(extendedprice: Column, discount: Column) -> Column:
@@ -34,6 +35,8 @@ def null_safe_div(num: Column, den: Column) -> Column:
     return F.when(den != 0, num / den)
 
 
+
+
 __all__ = [
     "tokenize",
     "token_ngrams",
@@ -43,4 +46,5 @@ __all__ = [
     "disc_price",
     "charge",
     "null_safe_div",
+    "epoch_seconds",
 ]

@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from delta_lake_optimizations_spark.temporal import epoch_seconds
+
 
 def asof_join(
     left: DataFrame,
@@ -75,7 +77,7 @@ def asof_join(
     out = carried.filter(F.col("__side") == 1)
     if tolerance_seconds is not None:
         in_tol = (
-            F.col("__t").cast("double") - F.col("__rt").cast("double")
+            epoch_seconds(F.col("__t")) - epoch_seconds(F.col("__rt"))
         ) <= F.lit(float(tolerance_seconds))
         out = out.select(
             "__k", "__t", "__lrow", "__rt",

@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from delta_lake_optimizations_spark.temporal import epoch_seconds
+
 
 def interval_join(
     left: DataFrame,
@@ -43,8 +45,8 @@ def interval_join(
         raise ValueError("window bounds must be non-negative")
     width = max(before_seconds + after_seconds, 1.0)
 
-    lt = F.col(left_time).cast("double")
-    rt = F.col(right_time).cast("double")
+    lt = epoch_seconds(F.col(left_time))
+    rt = epoch_seconds(F.col(right_time))
 
     # rename clashing right columns (except the join key, which merges)
     clashes = (set(left.columns) & set(right.columns)) - {on}
@@ -52,7 +54,7 @@ def interval_join(
     for c in clashes:
         r = r.withColumnRenamed(c, f"{c}_r")
     right_time_out = f"{right_time}_r" if right_time in clashes else right_time
-    rt_out = F.col(right_time_out).cast("double")
+    rt_out = epoch_seconds(F.col(right_time_out))
 
     # left row covers buckets floor((t-before)/w) .. floor((t+after)/w):
     # at most 2 distinct buckets since after+before <= w
@@ -63,8 +65,8 @@ def interval_join(
     )
     r_bucketed = r.withColumn("__bkt", F.floor(rt_out / F.lit(width)).cast("long"))
 
-    band = (rt_out >= F.col(left_time).cast("double") - F.lit(before_seconds)) & (
-        rt_out <= F.col(left_time).cast("double") + F.lit(after_seconds)
+    band = (rt_out >= epoch_seconds(F.col(left_time)) - F.lit(before_seconds)) & (
+        rt_out <= epoch_seconds(F.col(left_time)) + F.lit(after_seconds)
     )
     return (
         l_bucketed.join(r_bucketed, [on, "__bkt"], how)

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from delta_lake_optimizations_spark.catalog import load_table
 from delta_lake_optimizations_spark.registry import query
+from delta_lake_optimizations_spark.temporal import epoch_seconds
 
 
 @query(
@@ -89,7 +90,7 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Microsecond-exact gap: cast(timestamp as double) = fractional epoch
     # seconds in both Spark and DuckDB (epoch()), so the >1800 comparison
     # can't disagree on sub-second boundaries.
-    gap_sec = F.col("ts").cast("double") - prev_ts.cast("double")
+    gap_sec = epoch_seconds(F.col("ts")) - epoch_seconds(prev_ts)
     new_session = F.when(prev_ts.isNull() | (gap_sec > 1800), 1).otherwise(0)
     return (
         events.withColumn("new_session", new_session)

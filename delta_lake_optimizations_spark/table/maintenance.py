@@ -16,6 +16,8 @@ from typing import Any
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from delta_lake_optimizations_spark.temporal import epoch_seconds
+
 from delta_lake_optimizations_spark.table.graft_table import (
     DEFAULT_RETENTION_HOURS,
     AddFile,
@@ -145,7 +147,11 @@ def _zorder_layout(df: DataFrame, cols: list[str], n_files: int) -> DataFrame:
         rc = f"__zrank_{c}"
         if dtype in ("date", "timestamp", "timestamp_ntz"):
             # temporal: preserve range locality by bucketing on the epoch value
-            probe = F.col(c).cast("double") if dtype != "date" else F.unix_date(F.col(c)).cast("double")
+            probe = (
+                epoch_seconds(F.col(c))
+                if dtype != "date"
+                else F.unix_date(F.col(c)).cast("double")
+            )
             src: Column = probe
             qdf = df.select(probe.alias("__q"))
             qs = qdf.stat.approxQuantile("__q", [i / nq for i in range(1, nq)], 0.001)

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 from delta_lake_optimizations_spark.catalog import load_table
 from delta_lake_optimizations_spark.operators.rangejoin import interval_join
+from delta_lake_optimizations_spark.temporal import epoch_seconds
 from pyspark.sql import functions as F
 
 from .conftest import SF_DIR
@@ -30,8 +31,8 @@ def test_interval_join_matches_inequality_join(spark):
     want = clicks.join(
         views,
         (clicks["user_id"] == views["user_id"])
-        & (views["vts"].cast("double") >= clicks["ts"].cast("double") - 600)
-        & (views["vts"].cast("double") <= clicks["ts"].cast("double") + 1800),
+        & (epoch_seconds(views["vts"]) >= epoch_seconds(clicks["ts"]) - 600)
+        & (epoch_seconds(views["vts"]) <= epoch_seconds(clicks["ts"]) + 1800),
     ).select("cid", "vid")
     g = {(r["cid"], r["vid"]) for r in got.collect()}
     w = {(r["cid"], r["vid"]) for r in want.collect()}
