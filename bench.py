@@ -79,6 +79,32 @@ def _bench_maintenance(spark, sf_dir: str) -> dict:
         t.load(skip_where=skip).count()
         out["flagship_scan_with_skipping_sec"] = round(time.perf_counter() - t0, 4)
         out["files_scanned_with_skipping"] = t.files_scanned(skip_where=skip)
+
+        # Bloom-sidecar point lookup: l_orderkey is high-cardinality and
+        # NOT in the Z-order key, so min/max skipping reads every file;
+        # the bloom sidecar should cut a point lookup to ~1 file.
+        from delta_lake_optimizations_spark.table.bloom import bloom_build
+
+        probe_key = t.load().select("l_orderkey").limit(1).collect()[0][0]
+        point = [("l_orderkey", "=", probe_key)]
+        out["point_lookup_files_no_bloom"] = t.files_scanned(skip_where=point)
+        t0 = time.perf_counter()
+        bloom_build(t, ["l_orderkey"], fpp=0.001)
+        out["bloom_build_sec"] = round(time.perf_counter() - t0, 4)
+        # with-bloom should equal the key's TRUE file span (a lineitem
+        # order's rows scatter across Z-order files), i.e. zero waste
+        snap = t.snapshot()
+        out["point_lookup_files_true_span"] = (
+            t._read_files(snap, snap.files, with_provenance=True)
+            .filter(F.col("l_orderkey") == probe_key)
+            .select("__prov_file").distinct().count()
+        )
+        out["point_lookup_files_with_bloom"] = t.files_scanned(skip_where=point)
+        t0 = time.perf_counter()
+        t.load(skip_where=point).count()
+        out["point_lookup_scan_with_bloom_sec"] = round(time.perf_counter() - t0, 4)
+        absent = [("l_orderkey", "=", -1)]
+        out["point_lookup_files_absent_key"] = t.files_scanned(skip_where=absent)
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return out

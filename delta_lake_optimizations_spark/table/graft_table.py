@@ -54,6 +54,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from delta_lake_optimizations_spark.table.bloom import BLOOM_COLUMNS_PROP
+
 _LOG_DIR = "_log"
 _DATA_DIR = "data"
 STATS_MAX_COLUMNS = 32  # reference docs/02-lab-optimizations.md:591
@@ -617,6 +619,14 @@ class GraftTable:
             from delta_lake_optimizations_spark.stats import StatisticsStore
 
             StatisticsStore(self).collect()
+        # Bloom sidecar auto-build (graft.bloom.columns property): index
+        # the freshly written files for point-lookup file skipping. The
+        # build is incremental — already-indexed files are untouched.
+        bloom_cols = metadata["properties"].get(BLOOM_COLUMNS_PROP, "")
+        if bloom_cols:
+            from delta_lake_optimizations_spark.table.bloom import bloom_build
+
+            bloom_build(self, [c.strip() for c in bloom_cols.split(",") if c.strip()])
         # Auto-compaction (Delta's delta.autoOptimize.autoCompact): after a
         # write lands, if the table has accumulated enough small files,
         # immediately bin-pack them. The OPTIMIZE is its own commit, so the
@@ -766,11 +776,22 @@ class GraftTable:
         files = snap.files
         if skip_where:
             files = [f for f in files if _file_may_match(f, skip_where, snap.partition_columns)]
+            files = self._bloom_prune(files, skip_where)
         df = self._read_files(snap, files)
         if skip_where:
             for col, op, value in skip_where:
                 df = df.filter(_op_expr(col, op, value))
         return df
+
+    def _bloom_prune(self, files: list[AddFile], skip_where) -> list[AddFile]:
+        """Bloom-sidecar file skipping for ``=`` predicates (table/bloom.py)
+        — prunes what min/max can't: point lookups on high-cardinality
+        columns with no clustered layout. Exactness is preserved because
+        ``load`` re-applies the predicate as a DataFrame filter (false
+        positives scan harmlessly; the sidecar has no false negatives)."""
+        from delta_lake_optimizations_spark.table import bloom
+
+        return bloom.bloom_prune(self, files, skip_where)
 
     def files_scanned(self, skip_where: list[tuple[str, str, Any]] | None = None) -> int:
         """How many files a scan with the given predicate would read
@@ -779,6 +800,7 @@ class GraftTable:
         files = snap.files
         if skip_where:
             files = [f for f in files if _file_may_match(f, skip_where, snap.partition_columns)]
+            files = self._bloom_prune(files, skip_where)
         return len(files)
 
     # -- inspection (M6, M11, M12) ----------------------------------------

@@ -1,0 +1,106 @@
+"""Bloom-sidecar file skipping: builds are incremental, probes are
+Python-side (zero Spark jobs), and pruning is exact-result-preserving."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from delta_lake_optimizations_spark.table.bloom import (
+    BLOOM_COLUMNS_PROP,
+    bloom_build,
+    indexed_files,
+)
+from delta_lake_optimizations_spark.table.graft_table import GraftTable
+
+
+def _hash_spread_table(spark, path, n=4000, files=8) -> GraftTable:
+    """Every file's id range spans ~the whole domain (hash repartition),
+    so min/max skipping prunes nothing — the bloom's worst-case rival."""
+    df = spark.range(n).select(
+        F.col("id"), F.concat(F.lit("key_"), F.col("id")).alias("k")
+    ).repartition(files, "id")
+    t = GraftTable(spark, path)
+    t.write(df)
+    return t
+
+def test_bloom_prunes_point_lookup_minmax_cannot(spark, tmp_path):
+    t = _hash_spread_table(spark, str(tmp_path / "t"))
+    probe = [("k", "=", "key_1234")]
+    before = t.files_scanned(skip_where=probe)
+    assert before == 8, "hash layout should defeat min/max skipping"
+    built = bloom_build(t, ["k"], fpp=0.001)
+    assert built == {"k": 8}
+    after = t.files_scanned(skip_where=probe)
+    assert after == 1  # the one file that truly holds key_1234
+    rows = t.load(skip_where=probe).collect()
+    assert len(rows) == 1 and rows[0]["id"] == 1234
+
+
+def test_bloom_absent_value_scans_no_files(spark, tmp_path):
+    t = _hash_spread_table(spark, str(tmp_path / "t"))
+    bloom_build(t, ["k"], fpp=0.001)
+    assert t.files_scanned(skip_where=[("k", "=", "key_999999")]) == 0
+    assert t.load(skip_where=[("k", "=", "key_999999")]).count() == 0
+
+
+def test_bloom_integer_column_and_fp_rate(spark, tmp_path):
+    t = _hash_spread_table(spark, str(tmp_path / "t"))
+    bloom_build(t, ["id"], fpp=0.001)
+    # every present value must hit its own file (no false negatives)
+    for v in (0, 17, 1234, 3999):
+        assert t.files_scanned(skip_where=[("id", "=", v)]) >= 1
+        assert t.load(skip_where=[("id", "=", v)]).count() == 1
+    # absent probes: 8 files x fpp 0.001 -> expected ~0 false-positive scans
+    scanned = sum(
+        t.files_scanned(skip_where=[("id", "=", v)]) for v in range(10_000, 10_050)
+    )
+    assert scanned <= 4, f"false-positive file scans too high: {scanned}"
+
+
+def test_bloom_is_incremental_and_unindexed_files_scan(spark, tmp_path):
+    t = _hash_spread_table(spark, str(tmp_path / "t"))
+    bloom_build(t, ["k"], fpp=0.001)
+    # a post-build append is unindexed -> conservatively scanned
+    extra = spark.range(100_000, 100_002).select(
+        F.col("id"), F.concat(F.lit("key_"), F.col("id")).alias("k")
+    ).coalesce(1)
+    t.write(extra, mode="append")
+    probe = [("k", "=", "key_100000")]
+    assert t.files_scanned(skip_where=probe) == 1  # just the new file
+    assert t.load(skip_where=probe).count() == 1
+    # second build indexes only the missing file
+    n_before = len(indexed_files(t, "k"))
+    assert bloom_build(t, ["k"], fpp=0.001) == {"k": 1}
+    assert len(indexed_files(t, "k")) == n_before + 1
+    assert t.files_scanned(skip_where=[("k", "=", "key_999999")]) == 0
+
+
+def test_bloom_autobuild_via_table_property(spark, tmp_path):
+    df = spark.range(1000).select(
+        F.col("id"), F.concat(F.lit("u_"), F.col("id")).alias("k")
+    ).repartition(4, "id")
+    t = GraftTable(spark, str(tmp_path / "t"))
+    t.write(df, properties={BLOOM_COLUMNS_PROP: "k"})
+    assert len(indexed_files(t, "k")) == 4
+    assert t.files_scanned(skip_where=[("k", "=", "u_77")]) == 1
+    # appends keep auto-indexing (property persists in table metadata)
+    t.write(
+        spark.range(5000, 5002).select(
+            F.col("id"), F.concat(F.lit("u_"), F.col("id")).alias("k")
+        ).coalesce(1),
+        mode="append",
+    )
+    assert len(indexed_files(t, "k")) == 5
+    assert t.files_scanned(skip_where=[("k", "=", "u_5001")]) == 1
+
+
+def test_bloom_all_null_file_skipped(spark, tmp_path):
+    t = GraftTable(spark, str(tmp_path / "t"))
+    some = spark.range(10).select(F.col("id"), F.lit("x").alias("k")).coalesce(1)
+    nulls = spark.range(10, 20).select(
+        F.col("id"), F.lit(None).cast("string").alias("k")
+    ).coalesce(1)
+    t.write(some)
+    t.write(nulls, mode="append")
+    bloom_build(t, ["k"])
+    assert t.files_scanned(skip_where=[("k", "=", "x")]) == 1
