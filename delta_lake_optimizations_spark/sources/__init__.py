@@ -34,12 +34,18 @@ from delta_lake_optimizations_spark.sources.graft_datasource import (
     GraftDataSource,
     register_graft_source,
 )
+from delta_lake_optimizations_spark.sources.shards import (
+    export_tar_shards,
+    read_tar_shards,
+)
 
 __all__ = [
     "GraftDataSource",
     "csv_read_explicit",
     "csv_read_inferred",
+    "export_tar_shards",
     "read_jsonl",
+    "read_tar_shards",
     "register_graft_source",
     "write_jsonl",
 ]
