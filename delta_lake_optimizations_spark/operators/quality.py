@@ -262,3 +262,96 @@ def dataset_card_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),
     )
+
+
+# Fixed, documented weights for the linear quality classifier — the
+# public fastText/C4-style "quality filter as tiny linear model" shape
+# with heuristic-feature inputs instead of a learned embedding (no model
+# weights ship in this sandbox; the plumbing and math are production
+# form: JVM-side features -> linear score -> sigmoid -> threshold).
+QUALITY_CLF_WEIGHTS = {
+    "bias": -3.0,
+    "stopword_ratio": 5.0,  # natural prose has function words
+    "alpha_ratio": 3.0,  # mostly-letters beats symbol soup
+    "punct_ratio": -10.0,  # punctuation walls are boilerplate-ish
+    "log1p_tokens": 0.4,  # longer docs carry more signal
+    "token_len_dev": -0.15,  # mean token length far from ~5 is noise
+}
+
+
+def quality_classifier(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Logistic quality score + keep decision per document.
+
+    Features come from :func:`..textstats.quality_exprs` (pure built-in
+    expressions, whole-stage codegen); the score is a fixed-weight
+    linear model through a sigmoid. Zero shuffles, zero Python in the
+    data path — at 100 TB this is a map-only pass fused into the scan.
+    """
+    from delta_lake_optimizations_spark.operators.textstats import quality_exprs
+
+    w = QUALITY_CLF_WEIGHTS
+    feats = df.select(F.col(id_col), *quality_exprs(text_col))
+    z = (
+        F.lit(w["bias"])
+        + F.lit(w["stopword_ratio"]) * F.col("stopword_ratio")
+        + F.lit(w["alpha_ratio"]) * F.col("alpha_ratio")
+        + F.lit(w["punct_ratio"]) * F.col("punct_ratio")
+        + F.lit(w["log1p_tokens"]) * F.log(F.lit(1.0) + F.col("n_tokens"))
+        + F.lit(w["token_len_dev"]) * F.abs(F.col("mean_token_len") - F.lit(5.0))
+    )
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 4)
+    return feats.select(
+        F.col(id_col),
+        "n_tokens",
+        "stopword_ratio",
+        "alpha_ratio",
+        "punct_ratio",
+        score.alias("quality_score"),
+        (score >= 0.5).alias("kept"),
+    )
+
+
+@query(
+    "quality_classifier_scores",
+    tags=("text", "pipeline"),
+    oracle="""
+        WITH feats AS (
+            SELECT
+                doc_id,
+                len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tokens,
+                ROUND(CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                    x -> x IN ('the','a','an','and','or','of','to','in','is','it','on','for')))
+                    AS DOUBLE) / CAST(len(string_split_regex(lower(trim(text)), '\\s+'))
+                    AS DOUBLE), 6) AS stopword_ratio,
+                ROUND(CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[A-Za-z]', '', 'g'))
+                    AS DOUBLE) / CAST(LENGTH(text) AS DOUBLE), 6) AS alpha_ratio,
+                ROUND(CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[.,;:!?]', '', 'g'))
+                    AS DOUBLE) / CAST(LENGTH(text) AS DOUBLE), 6) AS punct_ratio,
+                ROUND(CAST(LENGTH(text) AS DOUBLE) /
+                    CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS DOUBLE), 6)
+                    AS mean_token_len
+            FROM documents
+        ),
+        scored AS (
+            SELECT *,
+                ROUND(1.0 / (1.0 + EXP(-(
+                    -3.0
+                    + 5.0 * stopword_ratio
+                    + 3.0 * alpha_ratio
+                    - 10.0 * punct_ratio
+                    + 0.4 * LN(1.0 + n_tokens)
+                    - 0.15 * ABS(mean_token_len - 5.0)
+                ))), 4) AS quality_score
+            FROM feats
+        )
+        SELECT doc_id, n_tokens, stopword_ratio, alpha_ratio, punct_ratio,
+               quality_score, quality_score >= 0.5 AS kept
+        FROM scored
+    """,
+)
+def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-weight logistic quality classifier over ``documents`` —
+    the trainable-filter shape (features -> linear -> sigmoid ->
+    threshold) with deterministic public-heuristic weights."""
+    documents = load_table(spark, sf_dir, "documents")
+    return quality_classifier(documents, "doc_id", "text")
