@@ -73,6 +73,152 @@ def stratified_sample(
     )
 
 
+def cap_group_share(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    max_fraction: float,
+    order_by: Column | None = None,
+) -> DataFrame:
+    """Per-group quota capping (the CCNet/C4 'no domain dominates' rule):
+    within each group keep at most ``max_fraction`` of that group's rows,
+    preferring ``order_by`` (e.g. a quality score, descending) and
+    breaking ties by hashed key so the cut is deterministic.
+
+    One shuffle on the group key; the per-group count comes from a
+    window ``count(*)`` over the same partition — no second pass, no
+    driver-side counts. At 100 TB a skewed domain (one host = 30% of the
+    crawl) is exactly what this bounds."""
+    h = _hash_hex(F.col(key_col))
+    order = [order_by, h.asc()] if order_by is not None else [h.asc()]
+    w = Window.partitionBy(group_col).orderBy(*order, F.col(key_col).asc())
+    wc = Window.partitionBy(group_col)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(wc))
+        .filter(F.col("_rn") <= F.greatest(
+            F.lit(1), F.floor(F.col("_n") * F.lit(max_fraction))
+        ))
+        .drop("_rn", "_n")
+    )
+
+
+def mixture_rebalance(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    target_weights: dict[str, float],
+) -> DataFrame:
+    """Downsample groups so the surviving corpus matches
+    ``target_weights`` exactly (no upsampling): scale
+    ``C = min_g(n_g / w_g)`` is the largest corpus size every group can
+    serve, and each group keeps its ``floor(C * w_g)`` best-hash-ranked
+    rows. Groups not in the weights are dropped.
+
+    Per-group counts are a tiny aggregate (one row per group — metadata,
+    not data) broadcast back against the hash-ranked frame: two narrow
+    shuffles on the group key total, deterministic across cluster sizes."""
+    weights = {k: float(v) for k, v in target_weights.items()}
+    total = sum(weights.values())
+    weights = {k: v / total for k, v in weights.items()}
+    in_scope = df.filter(F.col(group_col).isin(*weights))
+    counts = {
+        r["g"]: r["n"]
+        for r in in_scope.groupBy(F.col(group_col).alias("g"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    if not counts:
+        return in_scope
+    scale = min(counts[g] / w for g, w in weights.items() if g in counts)
+    quotas = {g: int(scale * w) for g, w in weights.items() if g in counts}
+    h = _hash_hex(F.col(key_col))
+    w_rank = Window.partitionBy(group_col).orderBy(h.asc(), F.col(key_col).asc())
+    quota_expr = F.create_map(
+        *[x for g, q in sorted(quotas.items()) for x in (F.lit(g), F.lit(q))]
+    )
+    return (
+        in_scope.withColumn("_rn", F.row_number().over(w_rank))
+        .filter(F.col("_rn") <= quota_expr[F.col(group_col)])
+        .drop("_rn")
+    )
+
+
+_MIX_WEIGHTS = {"en": 0.5, "es": 0.2, "fr": 0.2, "de": 0.05, "zh": 0.05}
+
+
+@query(
+    "cap_source_share",
+    tags=("sampling", "curation"),
+    oracle="""
+        SELECT doc_id, source
+        FROM (
+            SELECT doc_id, source,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY n_chars DESC,
+                                md5(CAST(doc_id AS VARCHAR)) ASC,
+                                doc_id ASC
+                   ) AS rn,
+                   COUNT(*) OVER (PARTITION BY source) AS n
+            FROM documents
+        ) t
+        WHERE rn <= GREATEST(1, FLOOR(n * 0.30))
+    """,
+)
+def cap_source_share_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep at most 30% of each source's documents, preferring longer
+    documents (n_chars as the stand-in quality signal)."""
+    documents = load_table(spark, sf_dir, "documents")
+    return cap_group_share(
+        documents, "source", "doc_id", 0.30, order_by=F.col("n_chars").desc()
+    ).select("doc_id", "source")
+
+
+@query(
+    "mixture_rebalance_langs",
+    tags=("sampling", "curation"),
+    oracle=f"""
+        WITH in_scope AS (
+            SELECT doc_id, lang FROM documents
+            WHERE lang IN ('en','es','fr','de','zh')
+        ),
+        counts AS (
+            SELECT lang AS g, COUNT(*) AS n FROM in_scope GROUP BY lang
+        ),
+        weights(g, w) AS (VALUES
+            ('en', 0.5), ('es', 0.2), ('fr', 0.2), ('de', 0.05), ('zh', 0.05)
+        ),
+        scale AS (
+            SELECT MIN(n / w) AS c FROM counts JOIN weights USING (g)
+        ),
+        quotas AS (
+            -- FLOOR, not a bare BIGINT cast: DuckDB's cast rounds, while
+            -- the Spark-side quota uses Python int() truncation
+            SELECT g, CAST(FLOOR(c * w) AS BIGINT) AS q
+            FROM weights CROSS JOIN scale JOIN counts USING (g)
+        )
+        SELECT doc_id, lang
+        FROM (
+            SELECT doc_id, lang,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+                   ) AS rn
+            FROM in_scope
+        ) t JOIN quotas ON t.lang = quotas.g
+        WHERE rn <= q
+    """,
+)
+def mixture_rebalance_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rebalance the corpus to a 50/20/20/5/5 en/es/fr/de/zh training
+    mixture by deterministic downsampling."""
+    documents = load_table(spark, sf_dir, "documents")
+    return mixture_rebalance(documents, "lang", "doc_id", _MIX_WEIGHTS).select(
+        "doc_id", "lang"
+    )
+
+
 @query(
     "dataset_hash_split",
     tags=("sampling", "split"),
