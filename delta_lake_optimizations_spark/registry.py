@@ -31,6 +31,7 @@ _QUERY_MODULES = (
     "delta_lake_optimizations_spark.queries.tpch_full",
     "delta_lake_optimizations_spark.queries.windows",
     "delta_lake_optimizations_spark.queries.setops",
+    "delta_lake_optimizations_spark.queries.reshape",
     "delta_lake_optimizations_spark.queries.scalar",
     "delta_lake_optimizations_spark.queries.events",
     "delta_lake_optimizations_spark.queries.vectors",
