@@ -31,6 +31,11 @@ from delta_lake_optimizations_spark.table.maintenance import (
     update,
     vacuum,
 )
+from delta_lake_optimizations_spark.table.matview import (
+    create_matview,
+    matview_is_fresh,
+    refresh_matview,
+)
 from delta_lake_optimizations_spark.table.merge import merge
 
 __all__ = [
@@ -39,9 +44,12 @@ __all__ = [
     "GraftTable",
     "Snapshot",
     "collect_file_stats",
+    "create_matview",
     "delete",
+    "matview_is_fresh",
     "merge",
     "optimize",
+    "refresh_matview",
     "restore",
     "update",
     "vacuum",
