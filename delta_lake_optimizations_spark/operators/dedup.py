@@ -475,3 +475,85 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(
         documents, "doc_id", "text", n=3, threshold=0.5, block_col="source"
     )
+
+
+def repeated_span_profile(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8
+) -> DataFrame:
+    """Per-document duplicated-span profile via corpus-repeated k-token
+    shingles (the exact-substring-dedup signal of Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better",
+    approximated at shingle granularity).
+
+    Every token position contributes its k-shingle (NOT distinct —
+    positions matter); a shingle seen more than once anywhere in the
+    corpus marks its positions as duplicated. Output: per-doc shingle
+    count, duplicated-shingle count, duplicated fraction.
+
+    Scale: shingles are hashed before the shuffle so the repeat-count
+    aggregate and the join move fixed-width digests, not 8-token
+    strings (md5 here for oracle parity; xxhash64 halves the width when
+    no cross-engine parity is needed). Two shuffles total: one hash
+    aggregate for repeat counts, one join+aggregate back per doc.
+    """
+    toks = tokenize(F.col(text_col))
+    n_sh = F.size(toks) - (k - 1)
+    shingles = F.when(
+        n_sh > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_sh - 1),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, k))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = df.select(F.col(id_col), F.explode(shingles).alias("h"))
+    rep = (
+        sh.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") > 1)
+        .select("h", F.lit(1).alias("_hit"))
+    )
+    return (
+        sh.join(rep, "h", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("_hit").alias("n_dup_shingles"),
+            F.round(
+                F.count("_hit").cast("double") / F.count(F.lit(1)), 6
+            ).alias("dup_fraction"),
+        )
+    )
+
+
+@query(
+    "dedup_repeated_spans",
+    tags=("dedup", "text"),
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id,
+                   string_split_regex(lower(trim(text)), '\\s+') AS t
+            FROM documents
+        ),
+        pos AS (
+            SELECT doc_id, t,
+                   unnest(range(greatest(len(t) - 7, 0))) AS p
+            FROM toks
+        ),
+        sh AS (
+            SELECT doc_id,
+                   md5(array_to_string(t[CAST(p+1 AS INT):CAST(p+8 AS INT)], ' ')) AS h
+            FROM pos
+        ),
+        rep AS (SELECT h FROM sh GROUP BY h HAVING COUNT(*) > 1)
+        SELECT s.doc_id,
+               COUNT(*) AS n_shingles,
+               CAST(COUNT(r.h) AS BIGINT) AS n_dup_shingles,
+               ROUND(CAST(COUNT(r.h) AS DOUBLE) / COUNT(*), 6) AS dup_fraction
+        FROM sh s LEFT JOIN rep r USING (h)
+        GROUP BY s.doc_id
+    """,
+)
+def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-repeated 8-token-shingle profile per document."""
+    documents = load_table(spark, sf_dir, "documents")
+    return repeated_span_profile(documents, "doc_id", "text", k=8)
