@@ -27,6 +27,10 @@ from delta_lake_optimizations_spark.table.graft_table import (
 )
 
 DEFAULT_TARGET_FILE_MB = 128  # low end of the reference's 128-512 MB guidance
+
+#: table property naming the persistent clustering key (comma-separated
+#: columns); OPTIMIZE without an explicit zorder_by re-clusters on it
+CLUSTER_BY_PROP = "graft.cluster.by"
                               # (docs/02-lab-optimizations.md:346)
 
 
@@ -64,8 +68,17 @@ def optimize(
     Delta's ``OPTIMIZE t WHERE ...``: compact ONLY the matching
     partitions' files; everything else carries over untouched. At 100 TB
     you compact the fragmented partitions, never the whole table.
+
+    When ``zorder_by`` is omitted, the ``graft.cluster.by`` table
+    property supplies it (Delta liquid-clustering shape: declare the
+    clustering key once on the table; every OPTIMIZE — including
+    auto-compaction — re-clusters without the caller restating it).
     """
     snap = table.snapshot()
+    if zorder_by is None:
+        prop = snap.properties.get(CLUSTER_BY_PROP, "")
+        if prop:
+            zorder_by = [c.strip() for c in prop.split(",") if c.strip()]
     if where:
         bad = [k for k in where if k not in snap.partition_columns]
         if bad:

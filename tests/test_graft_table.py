@@ -225,6 +225,23 @@ def test_zorder_enables_file_skipping(spark, tmp_path):
     assert got == want
 
 
+def test_cluster_by_property_drives_optimize(spark, tmp_path):
+    """Liquid-clustering shape: graft.cluster.by on the table makes a
+    bare OPTIMIZE re-cluster on the declared key."""
+    df = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").repartition(16)
+    t = GraftTable(spark, str(tmp_path / "li_c"))
+    t.write(df, properties={"graft.cluster.by": "l_partkey,l_suppkey"})
+
+    optimize(t, target_files=8)  # no zorder_by argument
+    last = t.commits()[-1]
+    assert last.operation_parameters.get("zOrderBy") == ["l_partkey", "l_suppkey"]
+    some = df.select("l_partkey").first()["l_partkey"]
+    after = t.files_scanned(skip_where=[("l_partkey", "=", some)])
+    assert after < len(t.snapshot().files)
+    got = t.load(skip_where=[("l_partkey", "=", some)]).count()
+    assert got == df.filter(F.col("l_partkey") == some).count()
+
+
 def test_schema_enforcement_on_append(spark, sales):
     bad = sales.load().withColumnRenamed("l_quantity", "qty")
     with pytest.raises(ValueError, match="schema mismatch"):
