@@ -135,3 +135,40 @@ def upsert_stream_to_graft(
         .trigger(availableNow=True)
         .start()
     )
+
+
+class GraftStreamMatviewWriter(GraftStreamWriter):
+    """Append sink that also keeps a materialized aggregate view current:
+    after each committed micro-batch, the view refreshes incrementally
+    (partial recompute over the batch's affected groups — see
+    ``table.matview``). The streaming pipeline therefore maintains both
+    the raw table AND its serving aggregate with per-batch freshness,
+    at refresh cost proportional to the batch, not the table."""
+
+    def __init__(self, table: GraftTable, view: GraftTable):
+        super().__init__(table)
+        self.view = view
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        super().__call__(batch_df, batch_id)
+        from delta_lake_optimizations_spark.table.matview import refresh_matview
+
+        refresh_matview(self.view, self.table)
+
+
+def write_stream_to_graft_with_matview(
+    stream_df: DataFrame,
+    table: GraftTable,
+    view: GraftTable,
+    checkpoint_dir: str,
+    query_name: str = "graft_matview_sink",
+) -> StreamingQuery:
+    """availableNow streaming append into ``table`` that incrementally
+    refreshes ``view`` after every micro-batch."""
+    return (
+        stream_df.writeStream.foreachBatch(GraftStreamMatviewWriter(table, view))
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )

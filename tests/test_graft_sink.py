@@ -117,3 +117,56 @@ def test_upsert_stream_end_to_end(spark, tmp_path):
           src.groupBy("user_id").agg(F.max("ts").alias("m")).collect()}
     for r in got.select("user_id", "ts").limit(50).collect():
         assert r["ts"] <= mx[r["user_id"]]
+
+
+def test_stream_maintains_matview_per_batch(spark, tmp_path):
+    """The append sink with an attached matview keeps the aggregate
+    current after EVERY micro-batch: final view equals a full recompute
+    and the view accumulated one refresh per non-initial batch."""
+    from pyspark.sql import functions as F
+
+    from delta_lake_optimizations_spark.streaming.graft_sink import (
+        write_stream_to_graft_with_matview,
+    )
+    from delta_lake_optimizations_spark.table import create_matview, matview_is_fresh
+
+    src_dir = str(tmp_path / "src")
+    load_table(spark, SF_DIR, "events").repartition(3).write.parquet(src_dir)
+
+    table = GraftTable(spark, str(tmp_path / "events_graft"))
+    # seed the table + view with an empty-but-typed snapshot via batch 0:
+    # start with one file, then stream the rest
+    # cast to the stream reader's TIMESTAMP flavor so appends line up
+    first = spark.read.parquet(src_dir).limit(0).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    table.write(first)
+    view = create_matview(
+        spark,
+        table,
+        str(tmp_path / "mv"),
+        ["event_type"],
+        {"n": ["count"], "total": ["sum", "value"]},
+    )
+
+    q = write_stream_to_graft_with_matview(
+        read_events_stream(spark, src_dir),
+        table,
+        view,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    assert matview_is_fresh(view, table)
+    want = {
+        (r["event_type"], r["n"], round(r["total"], 6))
+        for r in spark.read.parquet(src_dir)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    got = {
+        (r["event_type"], r["n"], round(r["total"], 6))
+        for r in view.load().collect()
+    }
+    assert got == want
