@@ -355,3 +355,78 @@ def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold) with deterministic public-heuristic weights."""
     documents = load_table(spark, sf_dir, "documents")
     return quality_classifier(documents, "doc_id", "text")
+
+
+def bigram_lm_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Perplexity-proxy scoring against a corpus bigram LM — the CCNet
+    shape (language-model scoring for quality bucketing) with the LM
+    trained ON the corpus itself instead of external model weights
+    (none ship in this sandbox; the dataflow is the production one).
+
+    ``avg_logp`` = mean over a document's bigrams of
+    ``ln((c(w1,w2) + 0.1) / (c(w1) + 0.1 * V))`` (add-k smoothing);
+    low values = improbable token sequences = noise/boilerplate.
+
+    Scale: bigram/unigram counts are hash aggregates with map-side
+    combine; the score join is an equi-join on the bigram key. At 100 TB
+    the LM table itself gets pruned to top-k bigrams plus a default
+    probability before the join — the count tables here are already the
+    mergeable representation that pruning would consume.
+    """
+    toks = tokenize(F.col(text_col))
+    n = F.size(toks)
+    pairs = F.arrays_zip(
+        F.slice(toks, 1, n - 1).alias("w1"), F.slice(toks, 2, n - 1).alias("w2")
+    )
+    grams = (
+        df.filter(n >= 2)
+        .select(F.col(id_col), F.explode(pairs).alias("g"))
+        .select(id_col, F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
+    )
+    bg = grams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    ug = grams.groupBy("w1").agg(F.count(F.lit(1)).alias("cu"))
+    vocab = grams.agg(F.countDistinct("w1").alias("v"))
+    logp = F.log(
+        (F.col("cb") + F.lit(0.1)) / (F.col("cu") + F.lit(0.1) * F.col("v"))
+    )
+    return (
+        grams.join(bg, ["w1", "w2"])
+        .join(ug, ["w1"])
+        .crossJoin(F.broadcast(vocab))  # 1-row LM constant
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(logp), 4).alias("avg_logp"),
+        )
+    )
+
+
+@query(
+    "bigram_lm_perplexity",
+    tags=("text", "pipeline", "lm"),
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id,
+                   string_split_regex(lower(trim(text)), '\\s+') AS t
+            FROM documents
+        ),
+        grams AS (
+            SELECT doc_id,
+                   unnest(t[1:len(t)-1]) AS w1,
+                   unnest(t[2:len(t)]) AS w2
+            FROM toks WHERE len(t) >= 2
+        ),
+        bg AS (SELECT w1, w2, COUNT(*) AS cb FROM grams GROUP BY w1, w2),
+        ug AS (SELECT w1, COUNT(*) AS cu FROM grams GROUP BY w1),
+        vocab AS (SELECT COUNT(DISTINCT w1) AS v FROM grams)
+        SELECT g.doc_id,
+               COUNT(*) AS n_bigrams,
+               ROUND(AVG(LN((cb + 0.1) / (cu + 0.1 * v))), 4) AS avg_logp
+        FROM grams g JOIN bg USING (w1, w2) JOIN ug USING (w1) CROSS JOIN vocab
+        GROUP BY g.doc_id
+    """,
+)
+def bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-bigram-LM average log-probability per document."""
+    documents = load_table(spark, sf_dir, "documents")
+    return bigram_lm_scores(documents, "doc_id", "text")
