@@ -509,6 +509,7 @@ def vacuum(
                 shutil.rmtree(abs_f, ignore_errors=True)
             elif os.path.exists(abs_f):
                 os.remove(abs_f)
+        _prune_bloom_sidecars(table, set(candidates))
         table._write_commit(
             "VACUUM END",
             {"retainHours": retain_hours, "numDeletedFiles": len(candidates)},
@@ -516,3 +517,34 @@ def vacuum(
             [],
         )
     return candidates
+
+
+def _prune_bloom_sidecars(table: GraftTable, deleted: set[str]) -> None:
+    """Drop Bloom-sidecar entries for permanently vacuumed data files.
+    Stale entries are never probed (the file left every snapshot), but
+    at 100 TB the sidecar dir would otherwise grow without bound —
+    vacuum is the natural hygiene point. Empty sidecars are removed."""
+    import json as _json
+
+    from delta_lake_optimizations_spark.table.bloom import _bloom_dir
+
+    d = _bloom_dir(table)
+    if not deleted or not os.path.isdir(d):
+        return
+    for fname in os.listdir(d):
+        if not fname.endswith(".json"):
+            continue
+        path = os.path.join(d, fname)
+        with open(path) as fh:
+            sc = _json.load(fh)
+        kept = {p: b for p, b in sc["files"].items() if p not in deleted}
+        if len(kept) == len(sc["files"]):
+            continue
+        if not kept:
+            os.remove(path)
+            continue
+        sc["files"] = kept
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
+            _json.dump(sc, fh)
+        os.replace(tmp, path)

@@ -94,6 +94,23 @@ def test_bloom_autobuild_via_table_property(spark, tmp_path):
     assert t.files_scanned(skip_where=[("k", "=", "u_5001")]) == 1
 
 
+def test_vacuum_prunes_stale_bloom_entries(spark, tmp_path):
+    from delta_lake_optimizations_spark.table.maintenance import optimize, vacuum
+
+    t = _hash_spread_table(spark, str(tmp_path / "t"))
+    bloom_build(t, ["k"], fpp=0.001)
+    assert len(indexed_files(t, "k")) == 8
+    optimize(t, target_files=2)  # tombstones the 8 original files
+    vacuum(t, retain_hours=0)  # deletes them for good
+    left = indexed_files(t, "k")
+    assert len(left) == 0  # only the vacuumed files were indexed
+    # rebuild covers the compacted files; skipping works again
+    bloom_build(t, ["k"], fpp=0.001)
+    assert len(indexed_files(t, "k")) == 2
+    assert t.files_scanned(skip_where=[("k", "=", "key_999999")]) == 0
+    assert t.load(skip_where=[("k", "=", "key_1234")]).count() == 1
+
+
 def test_bloom_all_null_file_skipped(spark, tmp_path):
     t = GraftTable(spark, str(tmp_path / "t"))
     some = spark.range(10).select(F.col("id"), F.lit("x").alias("k")).coalesce(1)
