@@ -337,6 +337,37 @@ class GraftCatalog:
         ]
         return self.spark.createDataFrame([vals], T.StructType(fields))
 
+    def _h_bloom_create(self, m: re.Match) -> DataFrame:
+        """Databricks-parity ``CREATE BLOOMFILTER INDEX`` — builds the
+        table's Bloom sidecars (table/bloom.py) for the listed columns."""
+        from delta_lake_optimizations_spark.table.bloom import bloom_build
+
+        name = m.group("table")
+        cols = [c.strip().strip("`") for c in m.group("cols").split(",")]
+        fpp = float(m.group("fpp")) if m.group("fpp") else 0.01
+        built = bloom_build(self.table(name), cols, fpp=fpp)
+        return self._row(
+            ("table", "columns", "filesIndexed"),
+            (name, ",".join(cols), sum(built.values())),
+        )
+
+    def _h_bloom_drop(self, m: re.Match) -> DataFrame:
+        import os as _os
+
+        from delta_lake_optimizations_spark.table.bloom import _sidecar_paths
+
+        name = m.group("table")
+        cols = [c.strip().strip("`") for c in m.group("cols").split(",")]
+        n = 0
+        t = self.table(name)
+        for col in cols:
+            for p in _sidecar_paths(t, col):
+                _os.remove(p)
+                n += 1
+        return self._row(
+            ("table", "columns", "sidecarsDropped"), (name, ",".join(cols), n)
+        )
+
     _ROUTES = [
         (
             re.compile(
@@ -438,5 +469,22 @@ class GraftCatalog:
                 re.I,
             ),
             _h_analyze,
+        ),
+        (
+            re.compile(
+                rf"CREATE\s+BLOOMFILTER\s+INDEX\s+ON\s+TABLE\s+(?P<table>{_IDENT})\s+"
+                rf"FOR\s+COLUMNS\s*\(\s*(?P<cols>[^)]+?)\s*\)"
+                rf"(?:\s+OPTIONS\s*\(\s*fpp\s*=?\s*(?P<fpp>[0-9.]+)\s*\))?$",
+                re.I,
+            ),
+            _h_bloom_create,
+        ),
+        (
+            re.compile(
+                rf"DROP\s+BLOOMFILTER\s+INDEX\s+ON\s+TABLE\s+(?P<table>{_IDENT})\s+"
+                rf"FOR\s+COLUMNS\s*\(\s*(?P<cols>[^)]+?)\s*\)$",
+                re.I,
+            ),
+            _h_bloom_drop,
         ),
     ]

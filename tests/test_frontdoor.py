@@ -266,3 +266,30 @@ def test_merge_on_clause_rejects_non_equi_terms(cat, spark):
                 WHEN NOT MATCHED THEN INSERT *
                 """
             )
+
+
+def test_bloomfilter_index_statements(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from delta_lake_optimizations_spark.frontdoor import GraftCatalog
+    from delta_lake_optimizations_spark.table import GraftTable
+
+    df = spark.range(2000).select(
+        "id", F.concat(F.lit("k"), F.col("id")).alias("k")
+    ).repartition(6, "id")
+    t = GraftTable(spark, str(tmp_path / "t"))
+    t.write(df)
+    cat = GraftCatalog(spark)
+    cat.register("bt", str(tmp_path / "t"))
+
+    out = cat.sql(
+        "CREATE BLOOMFILTER INDEX ON TABLE bt FOR COLUMNS(k) OPTIONS (fpp=0.001)"
+    ).collect()[0]
+    assert out["filesIndexed"] == 6
+    assert t.files_scanned(skip_where=[("k", "=", "k123")]) == 1
+    # absent but INSIDE every file's min/max range: only the bloom prunes it
+    assert t.files_scanned(skip_where=[("k", "=", "k123x")]) == 0
+
+    dropped = cat.sql("DROP BLOOMFILTER INDEX ON TABLE bt FOR COLUMNS(k)").collect()[0]
+    assert dropped["sidecarsDropped"] == 1
+    assert t.files_scanned(skip_where=[("k", "=", "k123x")]) == 6  # back to scan-all
