@@ -59,6 +59,12 @@ from delta_lake_optimizations_spark.table.bloom import BLOOM_COLUMNS_PROP
 _LOG_DIR = "_log"
 _DATA_DIR = "data"
 STATS_MAX_COLUMNS = 32  # reference docs/02-lab-optimizations.md:591
+
+#: table property: parquet codec for every data write (snappy default)
+COMPRESSION_PROP = "graft.parquet.compression"
+#: table property capping how many leading columns get min/max footer
+#: stats harvested into the log (Delta's delta.dataSkippingNumIndexedCols)
+STATS_COLS_PROP = "graft.dataSkippingNumIndexedCols"
 DEFAULT_RETENTION_HOURS = 168  # 7 days — reference README.md:63
 
 
@@ -203,11 +209,15 @@ def _json_safe(v: Any) -> Any:
     return v
 
 
-def collect_file_stats(abs_path: str) -> tuple[int, dict[str, Any]]:
+def collect_file_stats(
+    abs_path: str, max_columns: int = STATS_MAX_COLUMNS
+) -> tuple[int, dict[str, Any]]:
     """Read numRecords + per-column min/max/nullCount from the parquet footer.
 
     Footer-only I/O: O(KB) per file regardless of file size, so this scales
-    to wide tables and huge files. Stats capped at STATS_MAX_COLUMNS.
+    to wide tables and huge files. Stats capped at ``max_columns`` (the
+    reference's first-32-columns rule; per-table override via the
+    ``graft.dataSkippingNumIndexedCols`` property).
     """
     md = pq.ParquetFile(abs_path).metadata
     num_records = md.num_rows
@@ -215,7 +225,7 @@ def collect_file_stats(abs_path: str) -> tuple[int, dict[str, Any]]:
     maxs: dict[str, Any] = {}
     nulls: dict[str, int] = {}
     no_stats: set[str] = set()
-    ncols = min(md.num_columns, STATS_MAX_COLUMNS)
+    ncols = min(md.num_columns, max_columns)
     for rg in range(md.num_row_groups):
         g = md.row_group(rg)
         for ci in range(ncols):
@@ -468,9 +478,35 @@ class GraftTable:
         os.makedirs(os.path.join(self.path, rel), exist_ok=True)
         return rel
 
-    def _scan_written_files(self, rel_dir: str) -> list[AddFile]:
+    def _write_data(
+        self,
+        df: DataFrame,
+        rel_dir: str,
+        partition_by: list[str] | None,
+        props: dict[str, str] | None,
+    ) -> None:
+        """Parquet write honoring the table-level codec property
+        (``graft.parquet.compression``, e.g. 'zstd' for colder, denser
+        tables; parquet records the codec per file, so a codec change
+        never requires rewriting history)."""
+        writer = df.write.mode("overwrite")
+        codec = (props or {}).get(COMPRESSION_PROP)
+        if codec:
+            writer = writer.option("compression", codec)
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(os.path.join(self.path, rel_dir))
+
+    def _scan_written_files(
+        self, rel_dir: str, props: dict[str, str] | None = None
+    ) -> list[AddFile]:
         """Walk a freshly written data dir, harvesting footer stats and
-        hive-style partition values from the path."""
+        hive-style partition values from the path. ``props`` (or, when
+        omitted, the current snapshot's properties) may cap the indexed
+        column count via ``graft.dataSkippingNumIndexedCols``."""
+        if props is None:
+            props = self.snapshot().properties if self.exists() else {}
+        max_cols = int(props.get(STATS_COLS_PROP, STATS_MAX_COLUMNS))
         adds: list[AddFile] = []
         root = os.path.join(self.path, rel_dir)
         for dirpath, _dirnames, filenames in os.walk(root):
@@ -484,7 +520,7 @@ class GraftTable:
                     if "=" in part:
                         k, _, val = part.partition("=")
                         pvals[k] = val
-                n, stats = collect_file_stats(abs_f)
+                n, stats = collect_file_stats(abs_f, max_cols)
                 adds.append(
                     AddFile(
                         path=rel_f,
@@ -582,11 +618,8 @@ class GraftTable:
 
         version_hint = (base.version + 1) if base is not None else 0
         rel_dir = self._new_data_dir(version_hint)
-        writer = df.write.mode("overwrite")
-        if partition_by:
-            writer = writer.partitionBy(*partition_by)
-        writer.parquet(os.path.join(self.path, rel_dir))
-        adds = self._scan_written_files(rel_dir)
+        self._write_data(df, rel_dir, partition_by, merged_props)
+        adds = self._scan_written_files(rel_dir, merged_props)
 
         if mode == "append" and base is not None:
             remove: list[str] = []

@@ -115,13 +115,8 @@ def optimize(
         df = df.sortWithinPartitions(*sort_cols)
 
     rel_dir = table._new_data_dir(snap.version + 1)
-    if snap.partition_columns:
-        df.write.mode("overwrite").partitionBy(*snap.partition_columns).parquet(
-            os.path.join(table.path, rel_dir)
-        )
-    else:
-        df.write.mode("overwrite").parquet(os.path.join(table.path, rel_dir))
-    adds = table._scan_written_files(rel_dir)
+    table._write_data(df, rel_dir, snap.partition_columns or None, snap.properties)
+    adds = table._scan_written_files(rel_dir, snap.properties)
 
     metadata = None
     if vorder:
@@ -276,11 +271,8 @@ def delete(
 
     keep_df = table._read_files(snap, hit_files).filter(~pred)
     rel_dir = table._new_data_dir(snap.version + 1)
-    writer = keep_df.write.mode("overwrite")
-    if snap.partition_columns:
-        writer = writer.partitionBy(*snap.partition_columns)
-    writer.parquet(os.path.join(table.path, rel_dir))
-    adds = table._scan_written_files(rel_dir)
+    table._write_data(keep_df, rel_dir, snap.partition_columns or None, snap.properties)
+    adds = table._scan_written_files(rel_dir, snap.properties)
     return table._write_commit(
         "DELETE",
         {"predicate": predicate, "numRemovedFiles": len(hit_files)},
@@ -409,11 +401,8 @@ def update(
     rewritten = touched.select(*exprs)
 
     rel_dir = table._new_data_dir(snap.version + 1)
-    writer = rewritten.write.mode("overwrite")
-    if snap.partition_columns:
-        writer = writer.partitionBy(*snap.partition_columns)
-    writer.parquet(os.path.join(table.path, rel_dir))
-    adds = table._scan_written_files(rel_dir)
+    table._write_data(rewritten, rel_dir, snap.partition_columns or None, snap.properties)
+    adds = table._scan_written_files(rel_dir, snap.properties)
     return table._write_commit(
         "UPDATE",
         {"predicate": predicate, "numRewrittenFiles": len(hit_files)},

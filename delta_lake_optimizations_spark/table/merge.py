@@ -147,11 +147,8 @@ def merge(
         new_data = new_data.unionByName(p)
 
     rel_dir = table._new_data_dir(snap.version + 1)
-    writer = new_data.write.mode("overwrite")
-    if snap.partition_columns:
-        writer = writer.partitionBy(*snap.partition_columns)
-    writer.parquet(os.path.join(table.path, rel_dir))
-    adds = table._scan_written_files(rel_dir)
+    table._write_data(new_data, rel_dir, snap.partition_columns or None, snap.properties)
+    adds = table._scan_written_files(rel_dir, snap.properties)
 
     return table._write_commit(
         "MERGE",

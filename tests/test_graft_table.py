@@ -486,3 +486,37 @@ def test_append_rejects_type_change(spark, sales):
         sales.write(bad, mode="append")
     # the explicit evolution path still allows it
     sales.write(bad, mode="append", overwrite_schema=True)
+
+
+def test_compression_property_controls_codec(spark, tmp_path):
+    import pyarrow.parquet as pq
+
+    df = spark.read.parquet(f"{SF_DIR}/nation.parquet")
+    t = GraftTable(spark, str(tmp_path / "z"))
+    t.write(df, properties={"graft.parquet.compression": "zstd"})
+
+    def codecs(table):
+        out = set()
+        for f in table.snapshot().files:
+            md = pq.ParquetFile(f"{table.path}/{f.path}").metadata
+            out.add(md.row_group(0).column(0).compression)
+        return out
+
+    assert codecs(t) == {"ZSTD"}
+    # maintenance rewrites honor the property too
+    optimize(t, target_files=1)
+    assert codecs(t) == {"ZSTD"}
+    # and reads stay correct
+    assert t.load().count() == df.count()
+
+
+def test_stats_columns_cap_property(spark, tmp_path):
+    df = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    t = GraftTable(spark, str(tmp_path / "cap"))
+    t.write(df, properties={"graft.dataSkippingNumIndexedCols": "2"})
+    for f in t.snapshot().files:
+        assert len(f.stats.get("minValues", {})) <= 2
+    # uncapped table indexes more columns
+    t2 = GraftTable(spark, str(tmp_path / "nocap"))
+    t2.write(df)
+    assert any(len(f.stats.get("minValues", {})) > 2 for f in t2.snapshot().files)
