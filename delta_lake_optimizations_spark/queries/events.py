@@ -240,3 +240,73 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@query(
+    "events_resample_gapfill",
+    tags=("events", "window-agg", "timeseries"),
+    oracle="""
+        WITH bounds AS (
+            SELECT CAST(FLOOR(epoch(MIN(ts)) / 3600) * 3600 AS BIGINT) AS t0,
+                   CAST(FLOOR(epoch(MAX(ts)) / 3600) * 3600 AS BIGINT) AS t1
+            FROM events
+        ),
+        grid AS (
+            SELECT DISTINCT e.event_type, g.ws
+            FROM events e
+            CROSS JOIN (
+                SELECT unnest(range(t0, t1 + 3600, 3600)) AS ws FROM bounds
+            ) g
+        ),
+        actual AS (
+            SELECT event_type,
+                   CAST(FLOOR(epoch(ts) / 3600) * 3600 AS BIGINT) AS ws,
+                   COUNT(*) AS n, ROUND(SUM(value), 2) AS total
+            FROM events GROUP BY 1, 2
+        )
+        SELECT grid.event_type,
+               make_timestamp(grid.ws * 1000000) AS window_start,
+               COALESCE(n, 0) AS n_events,
+               COALESCE(total, 0.0) AS total_value
+        FROM grid LEFT JOIN actual
+          ON grid.event_type = actual.event_type AND grid.ws = actual.ws
+    """,
+)
+def events_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly resample with GAP FILLING: every (event_type, hour) cell of
+    the time grid appears, zero-filled where no events landed — the
+    time-series densification step dashboards and downstream models need
+    (a bare GROUP BY silently drops empty buckets).
+
+    Plan shape: the observed aggregate is one hash aggregate; the grid is
+    a 1-row bounds aggregate exploded via ``sequence`` (hours x types —
+    grid cardinality, not data cardinality) broadcast-joined back. At
+    100 TB the grid stays tiny while the fact side never shuffles twice.
+    """
+    events = load_table(spark, sf_dir, "events")
+    ws = (F.floor(epoch_seconds(F.col("ts")) / 3600) * 3600).cast("long")
+    actual = (
+        events.withColumn("ws", ws)
+        .groupBy("event_type", "ws")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total"),
+        )
+    )
+    bounds = events.agg(
+        (F.floor(epoch_seconds(F.min("ts")) / 3600) * 3600).cast("long").alias("t0"),
+        (F.floor(epoch_seconds(F.max("ts")) / 3600) * 3600).cast("long").alias("t1"),
+    )
+    hours = bounds.select(
+        F.explode(F.sequence(F.col("t0"), F.col("t1"), F.lit(3600))).alias("ws")
+    )
+    grid = events.select("event_type").distinct().crossJoin(F.broadcast(hours))
+    return (
+        grid.join(actual, ["event_type", "ws"], "left")
+        .select(
+            "event_type",
+            F.timestamp_seconds(F.col("ws")).alias("window_start"),
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+            F.coalesce(F.col("total"), F.lit(0.0)).alias("total_value"),
+        )
+    )
