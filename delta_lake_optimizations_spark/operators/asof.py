@@ -30,15 +30,29 @@ def asof_join(
     right_cols: list[str] | None = None,
     strict: bool = False,
     tolerance_seconds: float | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: each left row gets the latest right row with
-    ``right_time <= left_time`` (``strict=True``: ``<``) for its key.
+    """As-of join with pandas-``merge_asof`` direction semantics:
+
+    - ``backward`` (default): latest right row with ``right_time <=
+      left_time`` (``strict=True``: ``<``) per key;
+    - ``forward``: earliest right row with ``right_time >= left_time``
+      (``strict=True``: ``>``);
+    - ``nearest``: whichever of the two is closer in time (ties go
+      backward, matching pandas). ``strict`` excludes equal times from
+      both candidates.
 
     ``right_cols``: right payload columns to attach (default: all except
     the key and time). Unmatched left rows keep NULL payloads — the
     left-outer semantics DuckDB's ``ASOF LEFT JOIN`` has.
-    ``tolerance_seconds``: matches older than this are nulled out.
+    ``tolerance_seconds``: matches farther than this are nulled out.
+
+    Cost model is unchanged across directions: ONE shuffle on the key.
+    ``nearest`` adds a second window ORDERING over the same partitioning
+    — an extra in-partition sort, not an extra exchange.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown direction {direction!r}")
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in (on, right_time)]
 
@@ -58,27 +72,65 @@ def asof_join(
         *[F.col(c).alias(f"__r_{c}") for c in right_cols],
         F.col(right_time).alias("__rt"),
     )
+    unioned = tagged_left.unionByName(tagged_right)
 
-    # right-before-left at equal times gives inclusive (<=) semantics;
-    # left-before-right gives strict (<)
+    # right-before-left at equal times gives inclusive semantics in the
+    # traversal direction; left-before-right gives strict
     side_order = F.col("__side").asc() if not strict else F.col("__side").desc()
-    w = (
+    w_bwd = (
         Window.partitionBy("__k")
         .orderBy(F.col("__t").asc(), side_order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-
-    carried = tagged_left.unionByName(tagged_right).select(
-        "__k", "__t", "__side", "__lrow",
-        *[F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__r_{c}") for c in right_cols],
-        F.last("__rt", ignorenulls=True).over(w).alias("__rt"),
+    w_fwd = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__t").desc(), side_order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    windows = {"backward": [w_bwd], "forward": [w_fwd], "nearest": [w_bwd, w_fwd]}[
+        direction
+    ]
+    tags = {"backward": ["b"], "forward": ["f"], "nearest": ["b", "f"]}[direction]
 
-    out = carried.filter(F.col("__side") == 1)
+    carried = unioned.select(
+        "__k", "__t", "__side", "__lrow",
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__r_{c}_{tag}")
+            for w, tag in zip(windows, tags)
+            for c in right_cols
+        ],
+        *[
+            F.last("__rt", ignorenulls=True).over(w).alias(f"__rt_{tag}")
+            for w, tag in zip(windows, tags)
+        ],
+    ).filter(F.col("__side") == 1)
+
+    if direction == "nearest":
+        gap_b = epoch_seconds(F.col("__t")) - epoch_seconds(F.col("__rt_b"))
+        gap_f = epoch_seconds(F.col("__rt_f")) - epoch_seconds(F.col("__t"))
+        pick_b = F.col("__rt_f").isNull() | (
+            F.col("__rt_b").isNotNull() & (gap_b <= gap_f)
+        )
+        carried = carried.select(
+            "__k", "__t", "__lrow",
+            *[
+                F.when(pick_b, F.col(f"__r_{c}_b")).otherwise(F.col(f"__r_{c}_f")).alias(f"__r_{c}")
+                for c in right_cols
+            ],
+            F.when(pick_b, F.col("__rt_b")).otherwise(F.col("__rt_f")).alias("__rt"),
+        )
+    else:
+        tag = tags[0]
+        carried = carried.select(
+            "__k", "__t", "__lrow",
+            *[F.col(f"__r_{c}_{tag}").alias(f"__r_{c}") for c in right_cols],
+            F.col(f"__rt_{tag}").alias("__rt"),
+        )
+
+    out = carried
     if tolerance_seconds is not None:
-        in_tol = (
-            epoch_seconds(F.col("__t")) - epoch_seconds(F.col("__rt"))
-        ) <= F.lit(float(tolerance_seconds))
+        gap = F.abs(epoch_seconds(F.col("__t")) - epoch_seconds(F.col("__rt")))
+        in_tol = gap <= F.lit(float(tolerance_seconds))
         out = out.select(
             "__k", "__t", "__lrow", "__rt",
             *[

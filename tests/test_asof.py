@@ -99,3 +99,68 @@ def test_asof_single_shuffle(spark):
     # one hash-partitioning exchange per input side feeding ONE window —
     # never a per-row range join or broadcast nested loop
     assert s["sort_merge_joins"] + s["broadcast_hash_joins"] + s["shuffled_hash_joins"] == 0
+
+
+def _naive_directional(trades, quotes, direction, strict=False):
+    out = {}
+    for t in trades:
+        cands = []
+        for q in quotes:
+            if q[0] != t[0]:
+                continue
+            if direction == "forward":
+                ok = q[1] > t[1] if strict else q[1] >= t[1]
+                if ok:
+                    cands.append((q[1] - t[1], q))
+            else:  # nearest
+                gap = abs((q[1] - t[1]).total_seconds())
+                if strict and q[1] == t[1]:
+                    continue
+                # ties prefer backward (q before t)
+                cands.append(((gap, 0 if q[1] <= t[1] else 1), q))
+        best = min(cands)[1] if cands else None
+        out[t[2]] = best[2] if best else None
+    return out
+
+
+def test_asof_forward_matches_naive(spark):
+    tdf, qdf = _frames(spark)
+    trades = [(r["sym"], r["ts"], r["trade_id"]) for r in tdf.collect()]
+    quotes = [(r["sym"], r["qts"], r["price"]) for r in qdf.collect()]
+    got = {
+        r["trade_id"]: r["price_asof"]
+        for r in asof_join(
+            tdf, qdf, on="sym", left_time="ts", right_time="qts",
+            direction="forward",
+        ).collect()
+    }
+    assert got == _naive_directional(trades, quotes, "forward")
+
+
+def test_asof_nearest_matches_naive_with_backward_ties(spark):
+    tdf, qdf = _frames(spark)
+    trades = [(r["sym"], r["ts"], r["trade_id"]) for r in tdf.collect()]
+    quotes = [(r["sym"], r["qts"], r["price"]) for r in qdf.collect()]
+    got = {
+        r["trade_id"]: r["price_asof"]
+        for r in asof_join(
+            tdf, qdf, on="sym", left_time="ts", right_time="qts",
+            direction="nearest",
+        ).collect()
+    }
+    assert got == _naive_directional(trades, quotes, "nearest")
+
+
+def test_asof_nearest_tolerance(spark):
+    tdf, qdf = _frames(spark)
+    got = {
+        r["trade_id"]: r["price_asof"]
+        for r in asof_join(
+            tdf, qdf, on="sym", left_time="ts", right_time="qts",
+            direction="nearest", tolerance_seconds=120.0,
+        ).collect()
+    }
+    # B trades: quote at minute 10 only; t3 is 7 min away -> nulled,
+    # t30 is 20 min away -> nulled; A t5/t10 exact/2min -> kept
+    assert got["t3"] is None and got["t30"] is None
+    assert got["t5"] == 105.0 and got["t10"] == 112.0
