@@ -337,6 +337,22 @@ class GraftCatalog:
         ]
         return self.spark.createDataFrame([vals], T.StructType(fields))
 
+    def _h_cluster_by(self, m: re.Match) -> DataFrame:
+        """Delta-liquid-clustering-parity ``ALTER TABLE t CLUSTER BY
+        (c1, c2)`` / ``CLUSTER BY NONE`` — persists the clustering key
+        that bare OPTIMIZE re-clusters on (maintenance.CLUSTER_BY_PROP)."""
+        from delta_lake_optimizations_spark.table.maintenance import CLUSTER_BY_PROP
+
+        name = m.group("table")
+        cols = m.group("cols")
+        value = (
+            ""
+            if cols is None
+            else ",".join(c.strip().strip("`") for c in cols.split(","))
+        )
+        self.table(name).set_properties({CLUSTER_BY_PROP: value})
+        return self._row(("table", "clusterBy"), (name, value))
+
     def _h_bloom_create(self, m: re.Match) -> DataFrame:
         """Databricks-parity ``CREATE BLOOMFILTER INDEX`` — builds the
         table's Bloom sidecars (table/bloom.py) for the listed columns."""
@@ -486,5 +502,13 @@ class GraftCatalog:
                 re.I,
             ),
             _h_bloom_drop,
+        ),
+        (
+            re.compile(
+                rf"ALTER\s+TABLE\s+(?P<table>{_IDENT})\s+CLUSTER\s+BY\s+"
+                rf"(?:\(\s*(?P<cols>[^)]+?)\s*\)|NONE)$",
+                re.I,
+            ),
+            _h_cluster_by,
         ),
     ]

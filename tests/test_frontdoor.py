@@ -293,3 +293,25 @@ def test_bloomfilter_index_statements(spark, tmp_path):
     dropped = cat.sql("DROP BLOOMFILTER INDEX ON TABLE bt FOR COLUMNS(k)").collect()[0]
     assert dropped["sidecarsDropped"] == 1
     assert t.files_scanned(skip_where=[("k", "=", "k123x")]) == 6  # back to scan-all
+
+
+def test_alter_table_cluster_by(spark, tmp_path):
+    from delta_lake_optimizations_spark.frontdoor import GraftCatalog
+    from delta_lake_optimizations_spark.table import GraftTable, optimize
+
+    df = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").repartition(8)
+    t = GraftTable(spark, str(tmp_path / "t"))
+    t.write(df)
+    cat = GraftCatalog(spark)
+    cat.register("ct", str(tmp_path / "t"))
+
+    out = cat.sql("ALTER TABLE ct CLUSTER BY (l_partkey, l_suppkey)").collect()[0]
+    assert out["clusterBy"] == "l_partkey,l_suppkey"
+    optimize(t, target_files=4)  # bare OPTIMIZE picks up the declared key
+    assert t.commits()[-1].operation_parameters.get("zOrderBy") == [
+        "l_partkey", "l_suppkey",
+    ]
+
+    cat.sql("ALTER TABLE ct CLUSTER BY NONE")
+    optimize(t, target_files=4)
+    assert "zOrderBy" not in t.commits()[-1].operation_parameters
