@@ -430,3 +430,48 @@ def bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-bigram-LM average log-probability per document."""
     documents = load_table(spark, sf_dir, "documents")
     return bigram_lm_scores(documents, "doc_id", "text")
+
+
+@query(
+    "token_entropy_scores",
+    tags=("text", "quality"),
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+            FROM documents
+        )
+        SELECT doc_id,
+               len(t) AS n_tokens,
+               len(list_distinct(t)) AS n_distinct,
+               ROUND(-list_sum(list_transform(list_distinct(t),
+                   x -> (CAST(len(list_filter(t, y -> y = x)) AS DOUBLE) / len(t))
+                        * LN(CAST(len(list_filter(t, y -> y = x)) AS DOUBLE) / len(t))
+               )), 4) AS token_entropy
+        FROM toks
+    """,
+)
+def token_entropy_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution — the
+    lexical-diversity quality signal (low entropy = repetitive/template
+    text; pairs with the Gopher repetition fractions).
+
+    Fully row-local: distinct tokens, per-token counts, and the entropy
+    fold are array lambdas inside codegen — zero shuffle, fused into the
+    scan. (For book-length documents, switch to the explode + two hash
+    aggregates shape instead of the O(distinct x n) in-row count.)"""
+    documents = load_table(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    n = F.size(toks)
+    distinct = F.array_distinct(toks)
+    p = lambda x: F.size(F.filter(toks, lambda y: y == x)).cast("double") / n  # noqa: E731
+    entropy = -F.aggregate(
+        F.transform(distinct, lambda x: p(x) * F.log(p(x))),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return documents.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.size(distinct).alias("n_distinct"),
+        F.round(entropy, 4).alias("token_entropy"),
+    )
