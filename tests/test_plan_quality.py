@@ -153,3 +153,34 @@ def test_knn_join_ivf_broadcasts_probe_map(spark):
     # probe-map join AND (at test SF) the cell equi-join resolve as
     # broadcasts; the point is no sort-merge of the corpus against itself
     assert s["broadcast_hash_joins"] >= 1, s
+
+
+def test_map_only_quality_ops_have_zero_exchanges(spark):
+    """The per-document scoring family must stay map-only — fused into
+    the scan with no shuffle at any scale."""
+    for name in (
+        "text_quality_scores",
+        "quality_classifier_scores",
+        "token_entropy_scores",
+        "text_repetition_scores",
+    ):
+        s = plan_summary(_DEFS[name].fn(spark, SF_DIR))
+        assert s["exchanges"] == 0, f"{name}: expected map-only, got {s['exchanges']} exchanges"
+        assert (
+            s["broadcast_hash_joins"] + s["sort_merge_joins"] + s["shuffled_hash_joins"] == 0
+        ), name
+
+
+def test_cap_source_share_single_shuffle(spark):
+    s = plan_summary(_DEFS["cap_source_share"].fn(spark, SF_DIR))
+    # one shuffle on the group key feeds both windows (rank + count)
+    assert s["exchanges"] == 1, s["exchanges"]
+    assert not s["single_partition"]
+
+
+def test_repeated_spans_bounded_shuffles(spark):
+    s = plan_summary(_DEFS["dedup_repeated_spans"].fn(spark, SF_DIR))
+    # digest aggregate + join-back + per-doc aggregate; AQE may insert
+    # one more coalesce exchange but never a per-row or funnel plan
+    assert s["exchanges"] <= 4, s["exchanges"]
+    assert not s["single_partition"]
