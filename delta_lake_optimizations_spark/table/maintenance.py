@@ -489,6 +489,13 @@ def vacuum(
         if os.path.abspath(os.path.join(table.path, p)).startswith(root)
     ]
 
+    # Orphans: data files never referenced by ANY commit — the debris of
+    # crashed writes (data lands before the commit JSON; a writer that
+    # dies in between leaves an unreachable directory). Same Delta
+    # caveat applies: retention must exceed the longest in-flight write,
+    # or vacuum can delete a concurrent writer's pre-commit files.
+    candidates = sorted(set(candidates) | set(_orphan_candidates(table, commits, horizon_ms)))
+
     if not dry_run:
         for rel in candidates:
             abs_f = os.path.join(table.path, rel)
@@ -506,6 +513,45 @@ def vacuum(
             [],
         )
     return candidates
+
+
+def _orphan_candidates(
+    table: GraftTable, commits: list, horizon_ms: int
+) -> list[str]:
+    """Data files on disk that no commit has ever referenced (added OR
+    tombstoned), older than the horizon. Spark's ``_SUCCESS``/``.crc``
+    markers are skipped — they legitimately never appear in the log."""
+    from delta_lake_optimizations_spark.table.graft_table import _DATA_DIR
+
+    referenced: set[str] = set()
+    for c in commits:
+        for a in c.add:
+            referenced.add(a.path)
+            if a.dv_path:
+                referenced.add(a.dv_path)
+        referenced.update(c.remove)
+
+    def covered(rel: str) -> bool:
+        p = rel
+        while p and p != ".":  # a referenced ancestor dir (e.g. a DV dir) covers it
+            if p in referenced:
+                return True
+            p = os.path.dirname(p)
+        return False
+
+    data_root = os.path.join(table.path, _DATA_DIR)
+    out: list[str] = []
+    for dirpath, _dirnames, filenames in os.walk(data_root):
+        for fn in filenames:
+            if fn.startswith(("_", ".")):
+                continue
+            abs_f = os.path.join(dirpath, fn)
+            rel = os.path.relpath(abs_f, table.path)
+            if covered(rel):
+                continue
+            if os.path.getmtime(abs_f) * 1000 <= horizon_ms:
+                out.append(rel)
+    return sorted(out)
 
 
 def _prune_bloom_sidecars(table: GraftTable, deleted: set[str]) -> None:

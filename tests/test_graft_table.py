@@ -520,3 +520,28 @@ def test_stats_columns_cap_property(spark, tmp_path):
     t2 = GraftTable(spark, str(tmp_path / "nocap"))
     t2.write(df)
     assert any(len(f.stats.get("minValues", {})) > 2 for f in t2.snapshot().files)
+
+
+def test_vacuum_removes_orphans_from_crashed_writes(spark, tmp_path):
+    """Data written without a commit (a crashed writer) is unreachable
+    debris: VACUUM must list and delete it; committed files survive."""
+    df = spark.read.parquet(f"{SF_DIR}/nation.parquet")
+    t = GraftTable(spark, str(tmp_path / "t"))
+    t.write(df)
+
+    # simulate a crashed write: data lands, commit JSON never does
+    stray_rel = t._new_data_dir(99)
+    df.limit(5).write.mode("overwrite").parquet(os.path.join(t.path, stray_rel))
+
+    dry = vacuum(t, retain_hours=0, dry_run=True)
+    assert any(p.startswith(stray_rel) for p in dry), dry
+    assert all(os.path.exists(os.path.join(t.path, p)) for p in dry)
+
+    removed = vacuum(t, retain_hours=0)
+    assert any(p.startswith(stray_rel) for p in removed)
+    for p in removed:
+        assert not os.path.exists(os.path.join(t.path, p))
+    # committed data untouched and readable
+    assert t.load().count() == df.count()
+    # a second vacuum finds nothing new
+    assert vacuum(t, retain_hours=0, dry_run=True) == []
