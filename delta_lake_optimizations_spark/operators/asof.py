@@ -173,3 +173,33 @@ def events_asof_last_purchase(spark, sf_dir: str) -> DataFrame:
     return joined.select(
         "event_id", "user_id", F.col("value_asof").alias("purchase_value_asof")
     )
+
+
+@query(
+    "events_asof_next_purchase",
+    tags=("events", "asof"),
+    oracle="""
+        SELECT a.event_id, a.user_id, b.value AS purchase_value_next
+        FROM (SELECT * FROM events WHERE event_type = 'click') a
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+          ON a.user_id = b.user_id AND a.ts < b.ts
+    """,
+)
+def events_asof_next_purchase(spark, sf_dir: str) -> DataFrame:
+    """FORWARD as-of: each click annotated with the user's next strictly-
+    later purchase value (attribution lookahead) — checked against
+    DuckDB's native ASOF JOIN with the reversed inequality."""
+    from delta_lake_optimizations_spark.catalog import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    joined = asof_join(
+        clicks, purchases, on="user_id", left_time="ts", right_time="ts",
+        strict=True, direction="forward",
+    )
+    return joined.select(
+        "event_id", "user_id", F.col("value_asof").alias("purchase_value_next")
+    )
