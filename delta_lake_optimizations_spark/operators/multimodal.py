@@ -193,7 +193,20 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("multimodal_byte_features", tags=("multimodal",))
 def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Payload -> 16-dim byte-histogram embedding (real, deterministic),
-    feeding the vector operators (rows-only driver check)."""
+    feeding the vector operators (rows-only driver check).
+
+    The library form (``extract_features``) returns ``array<float>``; the
+    registered query serializes it to a fixed-precision CSV string because
+    the driver's canonicalizer cannot sort list cells (the recurring
+    "unhashable type: 'list'" red-row class). Guarded by
+    tests/test_registry_window.py::test_driver_window_has_no_complex_columns.
+    """
     documents = load_table(spark, sf_dir, "documents")
     assets = to_multimodal(documents, "doc_id", "text", "text/plain")
-    return extract_features(assets, dim=16)
+    feats = extract_features(assets, dim=16)
+    return feats.select(
+        "doc_id",
+        F.array_join(
+            F.transform("feature", lambda x: F.format_number(x, 6)), ","
+        ).alias("feature_csv"),
+    )

@@ -182,9 +182,17 @@ def pipeline_chunk_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     chunks = chunk_windows(docs, "doc_id", "text", size=500, stride=400, include_text=True)
+    emb = hash_embed(F.col("chunk_text"))
+    # The library form keeps array<double>; the REGISTERED query serializes
+    # it to a fixed-precision CSV string because the driver's canonicalizer
+    # (pandas sort_values) cannot sort list-typed cells — the round-1/round-2
+    # "unhashable type: 'list'" red-row class. Guarded by
+    # tests/test_registry_window.py::test_driver_window_has_no_complex_columns.
     return chunks.select(
         "doc_id",
         "chunk_idx",
         "chunk_len",
-        hash_embed(F.col("chunk_text")).alias("embedding"),
+        F.array_join(
+            F.transform(emb, lambda x: F.format_number(x, 6)), ","
+        ).alias("embedding_csv"),
     )

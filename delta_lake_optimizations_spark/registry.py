@@ -55,76 +55,78 @@ _QUERY_MODULES = (
 
 
 # The driver's correctness gate checks exactly the FIRST 50 registry entries
-# (registration order) each round. Round 1 verified the relational / TPC-H /
-# window / setop families green; this window rotates the never-checked
-# families (scalar, events, vectors, dedup, similarity, pipeline, text,
-# sampling, multimodal, decontam, packing) plus the three round-1 red rows
-# (now fixed) into slots 1-50, preferring oracle-backed entries
-# (doc_fingerprint and multimodal_decode_stub, both rows-only, ceded their
-# slots to the oracle-backed decontam/packing queries). Everything demoted
-# out of the window stays covered by the identical local gate in
+# (registration order) each round. Window history: round 1 verified the
+# relational / TPC-H / window / setop families; round 2 rotated in the
+# scalar / events / vector / dedup / similarity / text / sampling families
+# (42/44 oracle-backed green). Round 3 (this window): the two round-2 ERR
+# rows re-verify with serialized vector columns, the 21 queries that have
+# never had a driver row rotate in, the two LSH ANN queries re-run under
+# their new honest multi-probe configs, `pipeline_curate_documents` stays in
+# as a regression watch, and the remaining slots re-verify proven greens
+# whose source files changed this round. Everything demoted out of the
+# window stays covered by the identical local gate in
 # ``tests/test_oracle_parity.py``.
 DRIVER_WINDOW = 50
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # round-1 red rows, fixed this round — must re-verify under the driver
+    # round-2 ERR rows (array columns), fixed — must re-verify under driver
+    "pipeline_chunk_embed",
+    "multimodal_byte_features",
+    # never-driver-checked, oracle-backed (reshape family)
+    "unpivot_price_components",
+    "explode_doc_tokens",
+    "map_event_props",
+    "pivot_status_qty",
+    # never-driver-checked, oracle-backed (events / dedup / text / sampling)
+    "events_resample_gapfill",
+    "events_asof_next_purchase",
+    "dedup_repeated_spans",
+    "seq_length_histogram",
+    "zipf_top_tokens",
+    "quality_classifier_scores",
+    "bigram_lm_perplexity",
+    "token_entropy_scores",
+    "cap_source_share",
+    "mixture_rebalance_langs",
+    "decontam_clean_corpus_stats",
+    "importance_sample_by_length",
+    # never-driver-checked, rows-only (non-SQL-expressible ANN / fingerprint)
+    "knn_join_ivf",
+    "ann_pq_topk",
+    "doc_fingerprint",
+    "multimodal_decode_stub",
+    "semantic_dedup_embeddings",
+    # re-verify under the new honest multi-probe configs (rows-only)
+    "ann_lsh_topk",
+    "knn_join_lsh",
+    # r02 regression watch (bench medians regressed 0.96->1.16 s)
+    "pipeline_curate_documents",
+    # proven greens re-verified (source files touched this round, or family
+    # representatives keeping the window full; swapped for new round-3
+    # queries as they land)
+    "multimodal_manifest",
     "column_stats_summary",
-    "q12_priority_shipping_classes",
     "array_agg_status_profile",
-    # scalar function surface
+    "q12_priority_shipping_classes",
     "scalar_string_funcs",
-    "scalar_date_funcs",
-    "scalar_math_funcs",
-    "scalar_conditional",
     "json_extract_props",
-    # event-time windows / sessionization / temporal joins
     "events_tumbling_window",
-    "events_sliding_window",
-    "events_session_window",
-    "events_sessionize",
-    "events_type_pivot",
     "events_asof_last_purchase",
     "events_interval_join_purchases",
-    # vector / embedding queries
-    "vector_norms",
-    "vector_head_stats",
     "vector_label_centroids",
-    # deduplication family
     "dedup_exact_text",
-    "dedup_exact_hash",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_levenshtein_prefix_block",
     "dedup_ngram_jaccard",
-    "dedup_clusters_minhash",
     "dedup_embedding_cosine",
-    # similarity search / ANN
     "topk_cosine_bruteforce",
-    "ann_lsh_topk",
     "semantic_search_with_text",
     "knn_join_exact",
-    "knn_join_lsh",
-    "ann_ivf_topk",
-    # text analysis / quality / curation pipeline
     "text_quality_scores",
-    "text_lang_id",
-    "token_count_bpeish",
-    "doc_chunk_windows",
-    "decontam_ngram_overlap",
-    "pack_documents_by_source",
-    "pipeline_curate_documents",
-    "pipeline_chunk_embed",
     "bm25_keyword_search",
-    "text_repetition_scores",
-    "corpus_top_bigrams",
-    "pii_redaction_counts",
     "corpus_vocabulary",
     "dataset_card_by_source",
-    # splits / sampling
     "dataset_hash_split",
     "stratified_sample_by_source",
-    # multimodal plumbing
-    "multimodal_manifest",
-    "multimodal_byte_features",
+    "decontam_ngram_overlap",
+    "pack_documents_by_source",
 )
 
 

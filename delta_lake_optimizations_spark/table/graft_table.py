@@ -46,7 +46,7 @@ import os
 import time
 import uuid
 from dataclasses import dataclass, field
-from datetime import datetime, timezone
+from datetime import date, datetime, timezone
 from typing import Any
 
 import pyarrow.parquet as pq
@@ -202,7 +202,10 @@ def _json_safe(v: Any) -> Any:
             return v.decode("utf-8")
         except UnicodeDecodeError:
             return v.hex()
-    if isinstance(v, datetime):
+    if isinstance(v, (datetime, date)):
+        # date -> 'yyyy-MM-dd', datetime -> ISO; both sort lexicographically
+        # consistently with their chronological order, so min/max skipping
+        # keeps working on the string forms
         return v.isoformat()
     if isinstance(v, float) and (math.isnan(v) or math.isinf(v)):
         return None
@@ -724,14 +727,21 @@ class GraftTable:
         snap: Snapshot,
         files: list[AddFile],
         with_provenance: bool = False,
+        apply_dvs: bool = True,
     ) -> DataFrame:
         """DataFrame over ``files``, deletion vectors applied (merge-on-
         read). ``with_provenance=True`` keeps two scan-bound columns
         ``__prov_file`` (absolute file path/URI) and ``__prov_idx`` (row
         position in file) — DML verbs use these for file-granular
         copy-on-write and DV construction; they are join-safe, unlike
-        ``input_file_name()``, because they are selected at the scan."""
-        need_meta = with_provenance or any(f.dv_path for f in files)
+        ``input_file_name()``, because they are selected at the scan.
+
+        ``apply_dvs=False`` reads the RAW file contents, ignoring deletion
+        vectors — used by index builds (Bloom sidecars) that must cover
+        every row that is visible at ANY version the immutable file can
+        serve (a DV-filtered index would under-represent rows for
+        time-travel/RESTORE reads — false-negative pruning)."""
+        need_meta = with_provenance or (apply_dvs and any(f.dv_path for f in files))
 
         def attach_meta(raw: DataFrame) -> DataFrame:
             if not need_meta:
@@ -761,6 +771,8 @@ class GraftTable:
             df = attach_meta(
                 reader.parquet(*[os.path.join(self.path, f.path) for f in files])
             )
+            if not apply_dvs:
+                return df
             return self._apply_deletion_vectors(df, files, with_provenance)
 
         # Partitioned: hive partition values live in directory names UNDER
@@ -789,6 +801,8 @@ class GraftTable:
                 reader = reader.schema(snap.schema)
             part_df = attach_meta(reader.parquet(*groups[base]))
             out = part_df if out is None else out.unionByName(part_df)
+        if not apply_dvs:
+            return out
         return self._apply_deletion_vectors(out, files, with_provenance)
 
     def load(
@@ -1042,7 +1056,7 @@ def _file_may_match(
         mn, mx = mins.get(col), maxs.get(col)
         if mn is None or mx is None:
             continue  # no stats — must scan
-        if isinstance(value, datetime):
+        if isinstance(value, (datetime, date)):
             value = value.isoformat()
         try:
             if op == "=" and (value < mn or value > mx):

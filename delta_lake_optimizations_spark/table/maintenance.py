@@ -549,7 +549,13 @@ def _orphan_candidates(
             rel = os.path.relpath(abs_f, table.path)
             if covered(rel):
                 continue
-            if os.path.getmtime(abs_f) * 1000 <= horizon_ms:
+            try:
+                mtime = os.path.getmtime(abs_f)
+            except OSError:
+                # vanished between walk and stat (racing vacuum / a writer
+                # cleaning its own temp dir) — nothing to delete, move on
+                continue
+            if mtime * 1000 <= horizon_ms:
                 out.append(rel)
     return sorted(out)
 

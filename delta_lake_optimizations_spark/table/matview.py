@@ -99,8 +99,13 @@ def refresh_matview(view: GraftTable, source: GraftTable | None = None) -> Commi
 
     cdf = diff_versions(source, from_version=from_v, to_version=cur_v)
     affected = cdf.select(*group_by).distinct()
+    # All group-key comparisons below are NULL-SAFE (<=>): a NULL GROUP BY
+    # key is a legitimate group that plain ``=`` joins would silently skip,
+    # leaving the view stale for that group forever.
+    aff = affected.select(*[F.col(c).alias(f"__g_{c}") for c in group_by])
+    semi_cond = [F.col(c).eqNullSafe(F.col(f"__g_{c}")) for c in group_by]
     fresh = _aggregate(
-        source.load(version=cur_v).join(affected, group_by, "left_semi"),
+        source.load(version=cur_v).join(aff, semi_cond, "left_semi"),
         group_by,
         aggs,
     )
@@ -110,11 +115,13 @@ def refresh_matview(view: GraftTable, source: GraftTable | None = None) -> Commi
         on=group_by,
         when_matched_update="*",
         when_not_matched_insert="*",
+        null_safe_keys=True,
         extra_parameters={"matviewRefresh": f"{from_v}->{cur_v}"},
     )
     # groups present in the change feed but absent from the re-aggregate
     # lost their last row — remove them from the view
-    gone = affected.join(fresh.select(*group_by), group_by, "left_anti")
+    fr = fresh.select(*[F.col(c).alias(f"__g_{c}") for c in group_by])
+    gone = affected.join(fr, semi_cond, "left_anti")
     if gone.limit(1).count() > 0:
         commit = merge(
             view,
@@ -123,6 +130,7 @@ def refresh_matview(view: GraftTable, source: GraftTable | None = None) -> Commi
             when_matched_update=None,
             when_not_matched_insert=None,
             when_matched_delete=True,
+            null_safe_keys=True,
             extra_parameters={"matviewRefresh": f"{from_v}->{cur_v} (gone groups)"},
         )
     view.set_properties({_PROP_VERSION: str(cur_v)})

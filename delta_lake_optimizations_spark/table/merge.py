@@ -46,11 +46,17 @@ def merge(
     when_matched_delete: bool = False,
     broadcast_source: bool | None = None,
     extra_parameters: dict[str, Any] | None = None,
+    null_safe_keys: bool = False,
 ) -> Commit:
     """Upsert ``source`` into ``table`` keyed on ``on`` columns.
 
     Source keys must be unique (Delta's own precondition): duplicate
     source keys would multiply matched target rows through the join.
+
+    ``null_safe_keys=True`` compares keys with ``<=>`` (eqNullSafe), so a
+    NULL key matches a NULL key — needed by callers whose key domain
+    legitimately contains NULL (e.g. matviews over a nullable GROUP BY
+    column); plain ``=`` would silently treat such rows as unmatched.
 
     ``broadcast_source``: None (default) lets AQE pick the join strategy —
     it broadcasts at runtime when the source's actual size is under
@@ -71,11 +77,20 @@ def merge(
     for c in on:
         if c not in src.columns:
             raise ValueError(f"merge key {c!r} missing from source")
-    # prefix source columns so expressions can reference both sides
-    src_pref = src.select(*[F.col(c).alias(f"s_{c}") for c in src.columns])
+    # prefix source columns so expressions can reference both sides;
+    # __s_matched marks source presence robustly even when key columns
+    # are NULL (s_<key> IS NOT NULL breaks under null-safe joins)
+    src_pref = src.select(
+        *[F.col(c).alias(f"s_{c}") for c in src.columns],
+        F.lit(True).alias("__s_matched"),
+    )
     if broadcast_source is True:
         src_pref = F.broadcast(src_pref)
-    join_cond = [F.col(c) == F.col(f"s_{c}") for c in on]
+
+    def _key_eq(a: str, b: str):
+        return F.col(a).eqNullSafe(F.col(b)) if null_safe_keys else F.col(a) == F.col(b)
+
+    join_cond = [_key_eq(c, f"s_{c}") for c in on]
 
     # 1. which target files contain matches? (file-granular copy-on-write)
     hits = (
@@ -92,7 +107,7 @@ def merge(
     if hit_files:
         touched = table._read_files(snap, hit_files)
         joined = touched.join(src_pref, join_cond, "left")
-        is_matched = F.col(f"s_{on[0]}").isNotNull()
+        is_matched = F.col("__s_matched").isNotNull()
 
         if when_matched_delete:
             kept = joined.filter(~is_matched).select(*target_cols)
@@ -117,7 +132,7 @@ def merge(
     if when_not_matched_insert is not None:
         anti = src_pref.join(
             df.select(*[F.col(c) for c in on]),
-            [F.col(f"s_{c}") == F.col(c) for c in on],
+            [_key_eq(f"s_{c}", c) for c in on],
             "left_anti",
         )
         ins = when_not_matched_insert

@@ -112,15 +112,37 @@ def test_knn_join_lsh_recall_and_candidate_bound(spark):
     exact = {(r["src_id"], r["nbr_id"]) for r in knn_join_exact(spark, SF_DIR).collect()}
     approx = {(r["src_id"], r["nbr_id"]) for r in knn_join_lsh(spark, SF_DIR).collect()}
     recall = len(exact & approx) / len(exact)
-    # uniform synthetic vectors are LSH's worst case; 8x6 measured ~0.35
-    assert recall >= 0.2, f"recall={recall:.3f}"
+    # uniform synthetic vectors are LSH's worst case; the REGISTERED config
+    # (16 tables x 9 planes, Hamming-1 probe) measured 0.725 here — pin the
+    # honest-ANN floor with margin (round 2's 8x6/probe-0 dial was ~0.35)
+    assert recall >= 0.6, f"recall={recall:.3f}"
 
     # efficiency: the blocked join must touch far fewer pairs than n^2
+    # (registered config measured 0.308 of the pair space on uniform
+    # vectors — the worst-case geometry; clustered measures 0.085)
     emb = load_table(spark, SF_DIR, "embeddings")
     n = emb.count()
     # count candidate pairs by rebuilding the pair stage with k=n (no cut)
-    cand = knn_join_lsh_multitable(emb, dim=64, k=n).count()
-    assert cand < 0.3 * n * (n - 1), f"candidates={cand} vs n^2={n*(n-1)}"
+    cand = knn_join_lsh_multitable(
+        emb, dim=64, k=n, n_tables=16, n_planes=9, probe_hamming=1
+    ).count()
+    assert cand < 0.4 * n * (n - 1), f"candidates={cand} vs n^2={n*(n-1)}"
+
+
+def test_ann_lsh_topk_registered_recall(spark):
+    """The REGISTERED single-query ANN (ann_lsh_topk) must run its honest
+    multi-probe config: recall >= 0.6 of the exact top-10 for the
+    registered probe query on the uniform corpus (measured 0.7; round 2's
+    registered dial measured ~0.35 and shipped anyway — this pin keeps the
+    driver-visible config honest)."""
+    from delta_lake_optimizations_spark.operators.similarity import ann_lsh_topk
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    qv = query_vector(spark, SF_DIR, 0)
+    exact = {r["vec_id"] for r in topk_cosine(emb, qv, k=10).collect()}
+    got = {r["vec_id"] for r in ann_lsh_topk(spark, SF_DIR).collect()}
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.6, f"recall={recall:.2f}"
 
 
 def _clustered_vectors(spark, n_clusters=20, per_cluster=20, dim=32, sigma=0.5):

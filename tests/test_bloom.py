@@ -121,3 +121,75 @@ def test_bloom_all_null_file_skipped(spark, tmp_path):
     t.write(nulls, mode="append")
     bloom_build(t, ["k"])
     assert t.files_scanned(skip_where=[("k", "=", "x")]) == 1
+
+
+def test_bloom_probe_type_coercion_no_false_negatives(spark, tmp_path):
+    """ADVICE r02 (medium): probe-side str(value) diverged from Spark's
+    CAST(col AS STRING) for cross-typed probes. The fix coerces the probe
+    to the column's dtype (recorded in the sidecar) and refuses to prune
+    when equivalence can't be guaranteed — false negatives are the failure
+    mode that silently LOSES rows."""
+    t = _hash_spread_table(spark, str(tmp_path / "t"))
+    bloom_build(t, ["id"], fpp=0.001)
+    # float probe with integral value against a bigint column: 1234.0 == 1234
+    assert t.files_scanned(skip_where=[("id", "=", 1234.0)]) >= 1
+    assert t.load(skip_where=[("id", "=", 1234.0)]).count() == 1
+    # fractional float probe: equivalence can't be normalized -> must NOT
+    # prune below what min/max skipping allows (conservative full pass)
+    assert t.files_scanned(skip_where=[("id", "=", 1234.5)]) == 8
+
+
+def test_bloom_refuses_float_columns(spark, tmp_path):
+    """Double/float/timestamp columns are refused at build time: Spark's
+    CAST string form ('1.0E-7') differs from Python's ('1e-07'), which
+    would poison probes with false negatives."""
+    import pytest
+
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") / 7.0).alias("x")
+    )
+    t = GraftTable(spark, str(tmp_path / "t"))
+    t.write(df)
+    with pytest.raises(ValueError, match="support only"):
+        bloom_build(t, ["x"])
+
+
+def test_bloom_boolean_and_date_columns(spark, tmp_path):
+    """Booleans ('true'/'false') and dates (yyyy-MM-dd) have stable
+    Spark<->Python string forms — supported and correct both ways."""
+    import datetime
+
+    df = spark.range(1000).select(
+        F.col("id"),
+        (F.col("id") % 2 == 0).alias("flag"),
+        F.date_add(F.lit("2024-01-01").cast("date"), (F.col("id") % 400).cast("int")).alias("d"),
+    ).repartition(4, "id")
+    t = GraftTable(spark, str(tmp_path / "t"))
+    t.write(df)
+    bloom_build(t, ["flag", "d"])
+    assert t.load(skip_where=[("flag", "=", True)]).count() == 500
+    probe_day = datetime.date(2024, 1, 11)
+    want = t.load().filter(F.col("d") == F.lit(probe_day)).count()
+    got = t.load(skip_where=[("d", "=", probe_day)]).count()
+    assert got == want and want > 0
+    # absent date prunes everything
+    assert t.files_scanned(skip_where=[("d", "=", datetime.date(1999, 1, 1))]) == 0
+
+
+def test_bloom_time_travel_after_dv_delete_no_false_negative(spark, tmp_path):
+    """ADVICE r02 (low): sidecars are built from RAW file contents
+    (deletion vectors ignored), so a time-travel read at a version where a
+    later-DV'd row was still live is never wrongly pruned."""
+    from delta_lake_optimizations_spark.table.maintenance import delete
+
+    t = _hash_spread_table(spark, str(tmp_path / "t"))
+    v0 = t.latest_version()
+    # merge-on-read delete marks rows in DVs without rewriting files
+    delete(t, 'k = "key_1234"', deletion_vectors=True)
+    bloom_build(t, ["k"], fpp=0.001)  # built AFTER the DV exists
+    probe = [("k", "=", "key_1234")]
+    # current version: row is deleted (DV applied at read)
+    assert t.load(skip_where=probe).count() == 0
+    # time travel to v0: the row must still be findable through the bloom
+    rows = t.load(version=v0, skip_where=probe).collect()
+    assert len(rows) == 1 and rows[0]["id"] == 1234

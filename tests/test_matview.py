@@ -99,3 +99,33 @@ def test_multi_refresh_chain(spark, tmp_path):
     delete(src, "grp = 'e'")
     refresh_matview(view, src)
     assert _rows(view.load(), ["grp"]) == _rows(_expected(src), ["grp"])
+
+
+def test_refresh_maintains_null_group_key(spark, tmp_path):
+    """ADVICE r02 (low): equality joins never match NULL keys, so a NULL
+    GROUP BY group materialized at create time was never refreshed. All
+    matview key comparisons are now null-safe (<=>)."""
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), (None, 2, 20.0), (None, 3, 30.0)],
+        "grp string, id bigint, val double",
+    )
+    src = GraftTable(spark, str(tmp_path / "src"))
+    src.write(df)
+    view = create_matview(spark, src, str(tmp_path / "mv"), ["grp"], AGGS)
+    assert _rows(view.load(), ["grp"]) == _rows(_expected(src), ["grp"])
+
+    # append into the NULL group: refresh must update it
+    src.write(
+        spark.createDataFrame([(None, 4, 40.0)], "grp string, id bigint, val double"),
+        mode="append",
+    )
+    refresh_matview(view, src)
+    got = _rows(view.load(), ["grp"])
+    assert got == _rows(_expected(src), ["grp"])
+    assert got[(None,)]["n"] == 3 and got[(None,)]["total"] == 90.0
+
+    # delete every NULL-group row: refresh must drop the NULL group
+    delete(src, "grp IS NULL")
+    refresh_matview(view, src)
+    assert _rows(view.load(), ["grp"]) == _rows(_expected(src), ["grp"])
+    assert (None,) not in _rows(view.load(), ["grp"])

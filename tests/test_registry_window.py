@@ -4,11 +4,14 @@ refactor can't silently rotate a family out of driver verification."""
 
 from __future__ import annotations
 
+import pyspark.sql.types as T
+
 from delta_lake_optimizations_spark.registry import (
     DRIVER_WINDOW,
     _DRIVER_PRIORITY,
     registry,
 )
+from tests.conftest import SF_DIR
 
 
 def test_priority_fills_driver_window_exactly():
@@ -28,6 +31,29 @@ def test_window_prefers_oracle_backed_queries():
     no_oracle_in_window = [
         n for n in _DRIVER_PRIORITY if defs[n].oracle is None
     ]
-    # MinHash/SimHash/LSH/IVF/fingerprint/chunk-embed/multimodal stubs are
+    # MinHash/SimHash/LSH/IVF/PQ/fingerprint/chunk-embed/multimodal stubs are
     # genuinely non-SQL-expressible; everything else must carry an oracle.
     assert len(no_oracle_in_window) <= 10, no_oracle_in_window
+
+
+def test_driver_window_has_no_complex_columns(spark):
+    """The driver canonicalizes results through pandas ``sort_values``, which
+    raises ``unhashable type: 'list'`` on array/map cells (and sorts struct
+    cells nondeterministically). Rounds 1 AND 2 each shipped a red row from
+    this exact class (`array_agg_status_profile` r01; `pipeline_chunk_embed`
+    + `multimodal_byte_features` r02), so make it structurally impossible:
+    no window query may return a complex-typed column — serialize vectors
+    with ``array_join`` of fixed-precision strings in the registered query.
+    """
+    defs = registry()
+    offenders = {}
+    for name in _DRIVER_PRIORITY:
+        df = defs[name].fn(spark, SF_DIR)
+        bad = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"complex-typed columns in driver window: {offenders}"
