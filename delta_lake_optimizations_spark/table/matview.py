@@ -11,11 +11,23 @@ deleted. Refresh cost is therefore proportional to the CHANGED data and
 the affected groups, never to table size: the 100 TB contract where a
 daily increment touches a handful of partitions.
 
-Partial recompute is deliberately chosen over additive delta
-maintenance (+1/-1 counters): it is correct for ALL aggregate kinds —
-including MIN/MAX, which additive deltas cannot maintain under deletes —
-at the cost of re-reading only the affected groups' rows. An additive
-fast path for pure count/sum views is a possible later optimization.
+Refresh picks between two strategies:
+
+- **Additive fast path** (pure count/sum views over an APPEND-ONLY
+  version range): aggregate ONLY the files added since the materialized
+  version and merge ``+delta`` into the view — O(increment) reads, the
+  streaming-ingest shape. Safe because appends can't shrink any group
+  and count/sum compose under union. MIN/MAX/AVG views, or any range
+  containing a remove (delete/update/optimize rewrites change visible
+  rows), fall through to:
+- **Partial recompute** (correct for ALL aggregate kinds): the
+  row-level change feed names the affected group keys; only those
+  groups are re-aggregated (semi-join pushdown into the source scan)
+  and merged; vanished groups are deleted.
+
+Either way refresh cost is proportional to the CHANGED data, never to
+table size: the 100 TB contract where a daily increment touches a
+handful of partitions.
 """
 
 from __future__ import annotations
@@ -82,11 +94,71 @@ def create_matview(
     return view
 
 
+def _additive_fast_path_applies(
+    source: GraftTable, from_v: int, cur_v: int, aggs: dict[str, list[str]]
+) -> bool:
+    """True iff every aggregate is additive (count/sum) and every commit
+    in ``(from_v, cur_v]`` is a pure append — no removed files, no
+    deletion vectors on the added files (a DV delete re-adds files with
+    tombstones, which shrinks groups)."""
+    if not all(spec[0] in ("count", "sum") for spec in aggs.values()):
+        return False
+    for v in range(from_v + 1, cur_v + 1):
+        c = source._read_commit(v)
+        if c.remove:
+            return False
+        if any(a.dv_path for a in c.add):
+            return False
+    return True
+
+
+def _refresh_additive(
+    view: GraftTable,
+    source: GraftTable,
+    from_v: int,
+    cur_v: int,
+    group_by: list[str],
+    aggs: dict[str, list[str]],
+) -> Commit:
+    """Append-only count/sum maintenance: aggregate ONLY the newly added
+    files' rows and merge ``existing (+) delta`` per group — reads the
+    increment, never the historical data. NULL-safe sum combination:
+    SUM is NULL only when both sides are NULL."""
+    snap = source.snapshot(version=cur_v)
+    old_paths = {f.path for f in source.snapshot(version=from_v).files}
+    new_files = [f for f in snap.files if f.path not in old_paths]
+    delta = _aggregate(source._read_files(snap, new_files), group_by, aggs)
+
+    upd: dict[str, Any] = {}
+    for name, spec in aggs.items():
+        if spec[0] == "count":
+            upd[name] = F.col(name) + F.col(f"s_{name}")
+        else:  # sum: t (+) s with SQL NULL semantics (NULL iff both NULL)
+            upd[name] = F.coalesce(
+                F.col(name) + F.col(f"s_{name}"), F.col(name), F.col(f"s_{name}")
+            )
+    return merge(
+        view,
+        delta,
+        on=group_by,
+        when_matched_update=upd,
+        when_not_matched_insert="*",
+        null_safe_keys=True,
+        extra_parameters={
+            "matviewRefresh": f"{from_v}->{cur_v}",
+            "matviewStrategy": "additive",
+            "numIncrementFiles": len(new_files),
+        },
+    )
+
+
 def refresh_matview(view: GraftTable, source: GraftTable | None = None) -> Commit | None:
     """Incremental refresh; returns the view's new commit, or None when
-    the source hasn't moved. Steps: CDF names affected group keys →
-    re-aggregate ONLY those groups (semi join prunes the source scan) →
-    upsert into the view → delete groups that no longer exist."""
+    the source hasn't moved. Append-only count/sum views take the
+    additive fast path (reads only the increment); everything else does
+    partial recompute: CDF names affected group keys → re-aggregate ONLY
+    those groups (semi join prunes the source scan) → upsert into the
+    view → delete groups that no longer exist."""
     props = view.snapshot().properties
     group_by = json.loads(props[_PROP_GROUP])
     aggs: dict[str, list[str]] = json.loads(props[_PROP_AGGS])
@@ -96,6 +168,11 @@ def refresh_matview(view: GraftTable, source: GraftTable | None = None) -> Commi
     cur_v = source.latest_version()
     if cur_v == from_v:
         return None
+
+    if _additive_fast_path_applies(source, from_v, cur_v, aggs):
+        commit = _refresh_additive(view, source, from_v, cur_v, group_by, aggs)
+        view.set_properties({_PROP_VERSION: str(cur_v)})
+        return commit
 
     cdf = diff_versions(source, from_version=from_v, to_version=cur_v)
     affected = cdf.select(*group_by).distinct()
