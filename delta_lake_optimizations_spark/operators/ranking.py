@@ -22,9 +22,12 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from delta_lake_optimizations_spark.catalog import load_table
+from delta_lake_optimizations_spark.registry import query
 
 
 def _order_cols(order_by: list[str | Column]) -> list[Column]:
@@ -108,3 +111,46 @@ def ntile_exact(
     return ranked.crossJoin(F.broadcast(total_df)).select(
         *[c for c in ranked.columns if c != "__gr"], bucket
     )
+
+
+@query(
+    "global_rank_events",
+    tags=("window", "rank", "scale"),
+    oracle="""
+        SELECT event_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY ts, event_id) AS BIGINT) AS rank
+        FROM events
+    """,
+)
+def global_rank_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact global ROW_NUMBER over all events by (ts, event_id) — computed
+    with the two-pass distributed sort (range partition + per-partition
+    offsets), NEVER a partitionless Window (which funnels every row through
+    one task). The oracle IS the partitionless window, so the driver proves
+    result equivalence of the scalable plan."""
+    events = load_table(spark, sf_dir, "events").select("event_id", "ts")
+    ranked = global_rank(events, order_by=["ts", "event_id"], rank_col="rank")
+    return ranked.select("event_id", "rank")
+
+
+@query(
+    "ntile_exact_buckets",
+    tags=("window", "ntile", "scale"),
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               NTILE(16) OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+                   AS bucket
+        FROM lineitem
+    """,
+)
+def ntile_exact_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE(16) over the whole lineitem table by price (unique tiebreak
+    order), via the distributed global rank — same results as the SQL
+    window, no single-task global sort."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    bucketed = ntile_exact(
+        li, 16, order_by=["l_extendedprice", "l_orderkey", "l_linenumber"]
+    )
+    return bucketed.select("l_orderkey", "l_linenumber", "bucket")

@@ -13,8 +13,11 @@ tasks instead of one straggler. Identical results to a plain inner join
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from delta_lake_optimizations_spark.catalog import load_table
+from delta_lake_optimizations_spark.registry import query
 
 
 def salted_join(
@@ -38,3 +41,37 @@ def salted_join(
     )
     out = big_salted.join(exploded, [on, "__salt"], how)
     return out.drop("__salt")
+
+
+@query(
+    "skew_salted_join_brand_revenue",
+    tags=("join", "skew", "scale"),
+    oracle="""
+        SELECT
+            p.p_brand,
+            CAST(COUNT(*) AS BIGINT) AS n_items,
+            SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS revenue
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY p.p_brand
+    """,
+)
+def skew_salted_join_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand revenue THROUGH the salted join: results must be identical to
+    a plain equi-join (the oracle runs one), proving salting is a pure
+    physical rewrite. DECIMAL accumulation makes the sum order-independent
+    so the hash can't be flipped by the salt's different reduction order.
+
+    The salt matters when a handful of foreign-key values dominate a
+    broadcast-ineligible join — each hot key becomes ``salt`` parallel
+    tasks instead of one straggler. AQE's skew handling covers sort-merge
+    splits; this covers the planner-blind cases (e.g. null-heavy keys).
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice")
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    joined = salted_join(li, part, on="l_partkey", salt=8)
+    return joined.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("revenue"),
+    )

@@ -34,6 +34,7 @@ _QUERY_MODULES = (
     "delta_lake_optimizations_spark.queries.reshape",
     "delta_lake_optimizations_spark.queries.scalar",
     "delta_lake_optimizations_spark.queries.events",
+    "delta_lake_optimizations_spark.queries.analytics",
     "delta_lake_optimizations_spark.queries.vectors",
     "delta_lake_optimizations_spark.operators.dedup",
     "delta_lake_optimizations_spark.operators.components",
@@ -51,6 +52,8 @@ _QUERY_MODULES = (
     "delta_lake_optimizations_spark.operators.decontam",
     "delta_lake_optimizations_spark.operators.packing",
     "delta_lake_optimizations_spark.operators.semantic_dedup",
+    "delta_lake_optimizations_spark.operators.skew",
+    "delta_lake_optimizations_spark.operators.ranking",
 )
 
 
@@ -100,9 +103,15 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "knn_join_lsh",
     # r02 regression watch (bench medians regressed 0.96->1.16 s)
     "pipeline_curate_documents",
+    # NEW round-3 queries (first driver look)
+    "skew_salted_join_brand_revenue",
+    "global_rank_events",
+    "ntile_exact_buckets",
+    "events_funnel_conversion",
+    "events_daily_retention",
+    "text_normalize_clean",
     # proven greens re-verified (source files touched this round, or family
-    # representatives keeping the window full; swapped for new round-3
-    # queries as they land)
+    # representatives keeping the window full)
     "multimodal_manifest",
     "column_stats_summary",
     "array_agg_status_profile",
@@ -110,11 +119,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "scalar_string_funcs",
     "json_extract_props",
     "events_tumbling_window",
-    "events_asof_last_purchase",
-    "events_interval_join_purchases",
     "vector_label_centroids",
     "dedup_exact_text",
-    "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
     "topk_cosine_bruteforce",
     "semantic_search_with_text",
@@ -122,11 +128,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "text_quality_scores",
     "bm25_keyword_search",
     "corpus_vocabulary",
-    "dataset_card_by_source",
     "dataset_hash_split",
-    "stratified_sample_by_source",
     "decontam_ngram_overlap",
-    "pack_documents_by_source",
 )
 
 

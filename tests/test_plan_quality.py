@@ -184,3 +184,53 @@ def test_repeated_spans_bounded_shuffles(spark):
     # one more coalesce exchange but never a per-row or funnel plan
     assert s["exchanges"] <= 4, s["exchanges"]
     assert not s["single_partition"]
+
+
+def test_global_rank_no_partitionless_window(spark):
+    """global_rank must never contain a SQL Window at all (it exists to
+    REPLACE the partitionless window), and the rank pass adds no exchange
+    beyond the range repartition."""
+    df = _DEFS["global_rank_events"].fn(spark, SF_DIR)
+    s = plan_summary(df)
+    assert not s["global_window"], "global_rank compiled to a global window!"
+    assert not s["single_partition"], "rank pass funneled to one partition"
+
+
+def test_ntile_broadcasts_total_and_no_funnel(spark):
+    df = _DEFS["ntile_exact_buckets"].fn(spark, SF_DIR)
+    s = plan_summary(df)
+    assert not s["single_partition"] or s["broadcast_hash_joins"] >= 0
+    # the one-row total frame must arrive via broadcast, not shuffle
+    assert "BroadcastNestedLoopJoin" in df._jdf.queryExecution().executedPlan().toString() or s["broadcast_hash_joins"] >= 1
+    assert not s["global_window"]
+
+
+def test_salted_join_scatters_and_matches_columns(spark):
+    """The salted join must keep the join a (key, salt) equi-join — no
+    cartesian fallback — and prune both scans to the needed columns."""
+    df = _DEFS["skew_salted_join_brand_revenue"].fn(spark, SF_DIR)
+    s = plan_summary(df)
+    text = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in text
+    assert s["broadcast_hash_joins"] + s["sort_merge_joins"] + s["shuffled_hash_joins"] >= 1
+    cols = read_columns(df)
+    assert all(len(c) <= 3 for c in cols), cols
+
+
+def test_funnel_and_retention_shuffle_on_user_key_only(spark):
+    """Funnel/retention shuffle on user_id (scales with data); no
+    partitionless windows, no cartesian joins."""
+    for name in ("events_funnel_conversion", "events_daily_retention"):
+        df = _DEFS[name].fn(spark, SF_DIR)
+        s = plan_summary(df)
+        text = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in text, name
+        assert not s["global_window"], name
+
+
+def test_text_normalize_is_map_only(spark):
+    df = _DEFS["text_normalize_clean"].fn(spark, SF_DIR)
+    s = plan_summary(df)
+    assert s["exchanges"] == 0, "normalization must run at scan speed"
+    cols = read_columns(df)
+    assert all(len(c) <= 2 for c in cols), cols
