@@ -313,12 +313,24 @@ class GraftTable:
         ``base_version`` is the snapshot version the operation READ (-1 for
         a brand-new table). When given, the commit is attempted at exactly
         ``base_version + 1``, so a writer holding a stale snapshot (read v5
-        while another writer landed v6) collides on the link(2) check and
-        raises ``ConcurrentCommitError`` instead of silently committing
-        add/remove lists computed against the stale snapshot. When omitted
-        (None), falls back to latest+1 from a directory listing — that form
-        only detects two writers racing the SAME version, so every
-        snapshot-deriving caller should pass ``base_version``.
+        while another writer landed v6) collides on the link(2) check.
+        When omitted (None), falls back to latest+1 from a directory
+        listing — that form only detects two writers racing the SAME
+        version, so every snapshot-deriving caller should pass
+        ``base_version``.
+
+        On collision, Delta-style logical conflict resolution applies: a
+        BLIND APPEND (no removed files, no metadata change — its add list
+        is valid against ANY snapshot with the same schema) automatically
+        REBASES onto the new head and retries, provided no intervening
+        winner changed table metadata (schema/properties — the append's
+        schema validation read those). Everything else (delete, merge,
+        overwrite, optimize, restore, schema change) raises
+        ``ConcurrentCommitError``: their add/remove lists were computed
+        from the stale snapshot and must be re-derived. This is the
+        many-writer 100 TB contract — ingest jobs appending to one table
+        never fail each other, while conflicting rewrites stay exactly-one-
+        winner.
         """
         os.makedirs(self._log_path, exist_ok=True)
         if base_version is not None:
@@ -326,31 +338,53 @@ class GraftTable:
         else:
             versions = self._versions()
             version = (versions[-1] + 1) if versions else 0
-        commit = Commit(
-            version=version,
-            timestamp_ms=int(time.time() * 1000),
-            operation=operation,
-            operation_parameters=parameters,
-            metadata=metadata,
-            add=add,
-            remove=remove,
-        )
-        final = os.path.join(self._log_path, f"{version:011d}.json")
-        tmp = final + f".tmp-{uuid.uuid4().hex}"
-        with open(tmp, "w") as fh:
-            json.dump(commit.to_json(), fh)
-        try:
-            # link(2) fails with EEXIST if another writer already committed
-            # this version — optimistic concurrency: exactly one winner,
-            # the loser raises instead of silently clobbering the log.
-            os.link(tmp, final)
-        except FileExistsError:
-            raise ConcurrentCommitError(
-                f"version {version} already committed at {self.path} — "
-                "reload the snapshot and retry"
-            ) from None
-        finally:
-            os.unlink(tmp)
+        # a blind append's effect is independent of the snapshot it was
+        # computed against (modulo metadata, checked per-winner below)
+        rebaseable = base_version is not None and not remove and metadata is None
+
+        attempts = 0
+        while True:
+            commit = Commit(
+                version=version,
+                timestamp_ms=int(time.time() * 1000),
+                operation=operation,
+                operation_parameters=parameters,
+                metadata=metadata,
+                add=add,
+                remove=remove,
+            )
+            final = os.path.join(self._log_path, f"{version:011d}.json")
+            tmp = final + f".tmp-{uuid.uuid4().hex}"
+            with open(tmp, "w") as fh:
+                json.dump(commit.to_json(), fh)
+            try:
+                # link(2) fails with EEXIST if another writer already
+                # committed this version — optimistic concurrency: exactly
+                # one winner per version.
+                os.link(tmp, final)
+                break
+            except FileExistsError:
+                attempts += 1
+                latest = self._versions()[-1]
+                winners = [
+                    self._read_commit(v) for v in range(version, latest + 1)
+                ]
+                conflicting = [
+                    w for w in winners if w.metadata is not None
+                ]
+                if not rebaseable or conflicting or attempts > 20:
+                    why = (
+                        f"metadata changed by concurrent commit v{conflicting[0].version}"
+                        if rebaseable and conflicting
+                        else "operation depends on the snapshot it read"
+                    )
+                    raise ConcurrentCommitError(
+                        f"version {version} already committed at {self.path} "
+                        f"({why}) — reload the snapshot and retry"
+                    ) from None
+                version = latest + 1  # rebase the blind append and retry
+            finally:
+                os.unlink(tmp)
         if version > 0 and version % CHECKPOINT_INTERVAL == 0:
             self._write_checkpoint(version)
         return commit
@@ -644,8 +678,33 @@ class GraftTable:
         metadata = self._metadata_for(
             df, partition_by, properties, base, schema_override=evolved_schema
         )
+        # A plain append that changes NO table state (same column
+        # name/type signature — nullability excluded, Spark flips it
+        # freely — same partitioning, same properties) commits with
+        # metadata=None: replay carries the previous declaration forward,
+        # and the commit becomes a BLIND append eligible for automatic
+        # rebase past concurrent non-metadata commits (_write_commit).
+        commit_metadata: dict[str, Any] | None = metadata
+        if (
+            mode == "append"
+            and base is not None
+            and base.schema is not None
+            and not overwrite_schema
+            and not merge_schema
+            and [(f.name, f.dataType) for f in base.schema.fields]
+            == [
+                (f.name, f.dataType)
+                for f in T.StructType.fromJson(
+                    json.loads(metadata["schemaJson"])
+                ).fields
+            ]
+            and list(metadata.get("partitionColumns", []))
+            == list(base.partition_columns)
+            and metadata.get("properties", {}) == base.properties
+        ):
+            commit_metadata = None
         commit = self._write_commit(
-            operation, params, adds, remove, metadata,
+            operation, params, adds, remove, commit_metadata,
             base_version=base.version if base is not None else -1,
         )
         # T1 parity: "statistics collected automatically at write time"

@@ -402,24 +402,85 @@ def test_auto_compact_triggers_after_small_appends(spark, tmp_path):
 
 def test_stale_snapshot_commit_conflicts(spark, sales):
     """A writer holding a STALE snapshot (read v5 while another writer
-    landed v6) must fail its commit, not silently land at v7 with
-    add/remove lists computed against v5 — e.g. an OPTIMIZE that would
-    resurrect rows a concurrent DELETE removed."""
+    landed v6) must fail any snapshot-DEPENDENT commit (one that removes
+    files), not silently land at v7 with add/remove lists computed
+    against v5 — e.g. an OPTIMIZE that would resurrect rows a concurrent
+    DELETE removed. (Blind appends instead auto-rebase — see
+    test_blind_append_rebases_past_concurrent_commits.)"""
     from delta_lake_optimizations_spark.table.graft_table import (
         ConcurrentCommitError,
     )
 
     stale_version = sales.latest_version()
+    doomed = sales.snapshot().files[0].path
     # another writer commits first
     sales._write_commit("TEST OTHER", {}, [], [], base_version=stale_version)
-    # the stale writer tries to commit against the snapshot it read
+    # the stale writer's commit REMOVES a file it chose from its stale
+    # snapshot — must abort, never rebase
     with pytest.raises(ConcurrentCommitError):
-        sales._write_commit("TEST STALE", {}, [], [], base_version=stale_version)
-    # retry after reload lands cleanly
+        sales._write_commit(
+            "TEST STALE", {}, [], [doomed], base_version=stale_version
+        )
+    # retry after reload lands cleanly (no-op commit, fresh base)
     c = sales._write_commit(
         "TEST RETRY", {}, [], [], base_version=sales.latest_version()
     )
     assert c.version == stale_version + 2
+
+
+def test_blind_append_rebases_past_concurrent_commits(spark, sales):
+    """Delta-parity optimistic concurrency: a blind append whose base
+    snapshot went stale because ANOTHER append landed must auto-rebase
+    onto the new head (ingest jobs never fail each other); if the
+    intervening commit changed table METADATA (schema/properties), the
+    append must abort instead — its schema validation read stale state."""
+    from unittest.mock import patch
+
+    from delta_lake_optimizations_spark.table.graft_table import (
+        ConcurrentCommitError,
+        GraftTable,
+    )
+
+    n0 = sales.load().count()
+    batch = sales.load().limit(7)
+    n_batch = batch.count()
+
+    real_snapshot = GraftTable.snapshot
+    state = {"mode": None, "injected": False}
+
+    def delayed_snapshot(self, *a, **kw):
+        snap = real_snapshot(self, *a, **kw)
+        if not state["injected"] and not a and not kw:
+            state["injected"] = True
+            other = GraftTable(spark, self.path)
+            if state["mode"] == "append":
+                other.write(other.load().limit(3), mode="append")
+            else:
+                other.set_properties({"race": "metadata"})
+        return snap
+
+    # concurrent APPEND: both appends' rows land, no error
+    state.update(mode="append", injected=False)
+    with patch.object(GraftTable, "snapshot", delayed_snapshot):
+        sales.write(batch, mode="append")
+    assert sales.load().count() == n0 + 3 + n_batch
+
+    # concurrent METADATA change: the blind append must abort
+    state.update(mode="meta", injected=False)
+    with patch.object(GraftTable, "snapshot", delayed_snapshot):
+        with pytest.raises(ConcurrentCommitError, match="metadata"):
+            sales.write(batch, mode="append")
+
+
+def test_plain_append_commits_without_metadata(spark, sales):
+    """An append that changes no table state must not re-declare
+    metadata in its commit (keeps the log lean and the append blind/
+    rebaseable); schema visible to readers is unchanged."""
+    schema_before = sales.snapshot().schema_json
+    sales.write(sales.load().limit(2), mode="append")
+    c = sales._read_commit(sales.latest_version())
+    assert c.operation == "WRITE" and c.metadata is None
+    assert sales.snapshot().schema_json == schema_before
 
 
 def test_stale_optimize_vs_delete_conflicts(spark, sales):
