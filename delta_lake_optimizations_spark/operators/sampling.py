@@ -259,3 +259,59 @@ def stratified_sample_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     subsample op (per-domain caps) of corpus curation."""
     documents = load_table(spark, sf_dir, "documents")
     return stratified_sample(documents, "source", 25, "doc_id").select("doc_id", "source")
+
+
+def weighted_sample_bernoulli(
+    df: DataFrame,
+    weight_col: str,
+    fraction: float,
+    id_col: str,
+) -> DataFrame:
+    """Deterministic weight-proportional Bernoulli sampling: row i is kept
+    iff ``u(i) < fraction * w_i / mean(w)`` where ``u(i)`` is the md5-hash
+    uniform of its id. Expected sample size ≈ ``fraction * n``; inclusion
+    probability ∝ weight (clipped at 1) — the importance-sampling
+    primitive behind length-balanced corpus draws.
+
+    Determinism and ENGINE-portability: u(i) comes from the first 8 md5
+    hex digits (exact integer), and the per-row threshold uses only
+    IEEE *,/ plus a 6-dp round — no transcendentals, no RNG state — so
+    Spark and DuckDB select byte-identical row sets and the driver can
+    hash-compare them. One tiny mean aggregation broadcast to the scan;
+    everything else is map-only.
+    """
+    mean_w = df.agg(F.avg(F.col(weight_col).cast("double")).alias("__mw"))
+    u = (
+        F.conv(F.substring(_hash_hex(F.col(id_col)), 1, 8), 16, 10).cast("double")
+        / F.lit(float(1 << 32))
+    )
+    p = F.round(
+        F.lit(fraction) * F.col(weight_col).cast("double") / F.col("__mw"), 6
+    )
+    return (
+        df.crossJoin(F.broadcast(mean_w))
+        .filter(u < p)
+        .drop("__mw")
+    )
+
+
+@query(
+    "weighted_sample_by_length",
+    tags=("sampling", "weighted", "llm-pipeline"),
+    oracle="""
+        WITH m AS (SELECT AVG(CAST(n_chars AS DOUBLE)) AS mw FROM documents)
+        SELECT doc_id, n_chars
+        FROM documents, m
+        WHERE CAST(('0x' || SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                  / 4294967296.0
+              < ROUND(0.2 * CAST(n_chars AS DOUBLE) / mw, 6)
+    """,
+)
+def weighted_sample_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~20% corpus draw with inclusion probability proportional to
+    document length — longer documents (more tokens) are proportionally
+    more likely to be kept, the standard token-budget-aware sampling."""
+    documents = load_table(spark, sf_dir, "documents")
+    return weighted_sample_bernoulli(documents, "n_chars", 0.2, "doc_id").select(
+        "doc_id", "n_chars"
+    )

@@ -569,3 +569,141 @@ def knn_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_join_lsh_multitable(
         embeddings, dim=dim, k=3, n_tables=16, n_planes=9, probe_hamming=1
     )
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining (embedding-training data prep)
+# ---------------------------------------------------------------------------
+
+
+def hard_negatives(
+    df: DataFrame,
+    k: int = 3,
+    dup_threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str | None = "label",
+    block_col: str | None = None,
+) -> DataFrame:
+    """Per-anchor top-k HARD negatives for contrastive/embedding training:
+    the most similar items that are (a) not near-duplicates
+    (``cos < dup_threshold`` — those are false negatives) and (b) from a
+    different ``label_col`` class when given (same-class items are
+    positives, not negatives).
+
+    Without ``block_col`` this is the exact O(n^2) baseline (refused above
+    ``UNBLOCKED_ROW_LIMIT`` rows). At scale pass an LSH bucket column or
+    use :func:`hard_negatives_lsh`, which mines candidates from
+    multi-table LSH collisions — hard negatives are by definition the
+    most-similar non-matches, exactly what LSH buckets surface.
+    """
+    from pyspark.sql import Window
+
+    if block_col is None:
+        _guard_unblocked(df, "hard_negatives")
+    left_cols = [F.col(id_col).alias("anchor_id"), F.col(vec_col).alias("_qv")]
+    right_cols = [F.col(id_col).alias("negative_id"), F.col(vec_col).alias("_nv")]
+    if label_col:
+        left_cols.append(F.col(label_col).alias("_la"))
+        right_cols.append(F.col(label_col).alias("_lb"))
+    if block_col:
+        left_cols.append(F.col(block_col).alias("_ba"))
+        right_cols.append(F.col(block_col).alias("_bb"))
+    cond = F.col("anchor_id") != F.col("negative_id")
+    if block_col:
+        cond = cond & (F.col("_ba") == F.col("_bb"))
+    pairs = df.select(*left_cols).join(df.select(*right_cols), cond)
+    if label_col:
+        pairs = pairs.filter(F.col("_la") != F.col("_lb"))
+    scored = pairs.select(
+        "anchor_id",
+        "negative_id",
+        F.round(cosine(F.col("_qv"), F.col("_nv")), 6).alias("cos_sim"),
+    ).filter(F.col("cos_sim") < dup_threshold)
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cos_sim").desc(), F.col("negative_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+@query(
+    "hard_negatives_exact",
+    tags=("similarity", "mining", "llm-pipeline"),
+    oracle="""
+        WITH pairs AS (
+            SELECT a.vec_id AS anchor_id, b.vec_id AS negative_id,
+                   ROUND(
+                       list_sum(list_transform(
+                           list_zip(a.embedding, b.embedding),
+                           p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)
+                       ))
+                       / (
+                           SQRT(list_sum(list_transform(
+                               a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                           * SQRT(list_sum(list_transform(
+                               b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                       ),
+                       6
+                   ) AS cos_sim
+            FROM embeddings a JOIN embeddings b
+              ON a.vec_id <> b.vec_id AND a.label <> b.label
+        ),
+        ranked AS (
+            SELECT anchor_id, negative_id, cos_sim,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY anchor_id ORDER BY cos_sim DESC, negative_id
+                   ) AS rn
+            FROM pairs
+            WHERE cos_sim < 0.95
+        )
+        SELECT anchor_id, negative_id, cos_sim FROM ranked WHERE rn <= 3
+    """,
+)
+def hard_negatives_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-3 cross-label hard negatives per anchor (the correctness
+    baseline for the LSH-mined variant)."""
+    embeddings = load_table(spark, sf_dir, "embeddings")
+    return hard_negatives(embeddings, k=3, dup_threshold=0.95)
+
+
+@query("hard_negatives_lsh", tags=("similarity", "mining", "approx", "llm-pipeline"))
+def hard_negatives_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path: mine hard negatives from multi-table LSH candidate
+    pairs (the honest 16x9/probe-1 config), then apply the same
+    near-dup/label exclusions and per-anchor top-k. Candidates are the
+    most-similar items — precisely the hard-negative population — so LSH
+    recall loss only softens the negatives slightly, never corrupts them.
+    (Rows-only driver check; pytest pins overlap vs the exact miner.)"""
+    from pyspark.sql import Window
+
+    embeddings = load_table(spark, sf_dir, "embeddings")
+    dim = embedding_dim(sf_dir)
+    # candidate pairs from the banded LSH join, then exclusions
+    cand = knn_join_lsh_multitable(
+        embeddings, dim=dim, k=50, n_tables=16, n_planes=9, probe_hamming=1
+    ).withColumnRenamed("src_id", "anchor_id").withColumnRenamed("nbr_id", "negative_id")
+    labels = embeddings.select("vec_id", "label")
+    cand = (
+        cand.join(
+            labels.select(F.col("vec_id").alias("anchor_id"), F.col("label").alias("_la")),
+            "anchor_id",
+        )
+        .join(
+            labels.select(F.col("vec_id").alias("negative_id"), F.col("label").alias("_lb")),
+            "negative_id",
+        )
+        .filter((F.col("_la") != F.col("_lb")) & (F.col("cos_sim") < 0.95))
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cos_sim").desc(), F.col("negative_id")
+    )
+    return (
+        cand.select("anchor_id", "negative_id", "cos_sim")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )

@@ -110,6 +110,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "events_funnel_conversion",
     "events_daily_retention",
     "text_normalize_clean",
+    "hard_negatives_exact",
+    "hard_negatives_lsh",
+    "weighted_sample_by_length",
     # proven greens re-verified (source files touched this round, or family
     # representatives keeping the window full)
     "multimodal_manifest",
@@ -117,8 +120,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "array_agg_status_profile",
     "q12_priority_shipping_classes",
     "scalar_string_funcs",
-    "json_extract_props",
-    "events_tumbling_window",
     "vector_label_centroids",
     "dedup_exact_text",
     "dedup_embedding_cosine",
@@ -128,7 +129,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "text_quality_scores",
     "bm25_keyword_search",
     "corpus_vocabulary",
-    "dataset_hash_split",
     "decontam_ngram_overlap",
 )
 

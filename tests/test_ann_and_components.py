@@ -245,3 +245,32 @@ def test_unblocked_quadratic_baselines_refuse_large_input(spark):
     # blocked input of the same size is fine (plan construction succeeds)
     blocked = big.withColumn("blk", F.col("vec_id") % 50)
     cosine_near_dup_pairs(blocked, threshold=0.9, block_col="blk")
+
+
+def test_hard_negatives_exact_properties_and_lsh_overlap(spark):
+    """Hard negatives must never be same-label or near-duplicate; the
+    LSH-mined variant must recover most of the exact miner's pairs (the
+    candidates ARE the most-similar items, LSH's sweet spot)."""
+    from delta_lake_optimizations_spark.operators.similarity import (
+        hard_negatives_exact,
+        hard_negatives_lsh,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    exact = hard_negatives_exact(spark, SF_DIR).collect()
+    assert exact, "corpus should yield hard negatives"
+    per_anchor: dict = {}
+    for r in exact:
+        assert labels[r["anchor_id"]] != labels[r["negative_id"]]
+        assert r["cos_sim"] < 0.95
+        per_anchor.setdefault(r["anchor_id"], []).append(r["cos_sim"])
+    assert all(len(v) == 3 for v in per_anchor.values())
+
+    exact_pairs = {(r["anchor_id"], r["negative_id"]) for r in exact}
+    lsh_pairs = {
+        (r["anchor_id"], r["negative_id"])
+        for r in hard_negatives_lsh(spark, SF_DIR).collect()
+    }
+    recall = len(exact_pairs & lsh_pairs) / len(exact_pairs)
+    assert recall >= 0.6, f"hard-negative LSH recall={recall:.3f}"

@@ -109,3 +109,34 @@ def test_vacuum_on_shallow_clone_never_touches_source(spark, src, tmp_path):
     # source untouched and fully readable
     assert src.load().count() > 0
     assert c.load().count() == src.load().count()
+
+
+def test_diff_versions_append_only_fast_path(spark, src):
+    """An append-only version range must produce the change feed by
+    reading ONLY the appended files (zero exchanges in the plan) and
+    match the general exceptAll result exactly."""
+    from delta_lake_optimizations_spark.plans.inspect import plan_summary
+
+    v0 = src.latest_version()
+    batch = src.load().limit(5)
+    src.write(batch, mode="append")
+    src.write(src.load().limit(3), mode="append")
+
+    feed = diff_versions(src, v0)
+    s = plan_summary(feed)
+    assert s["exchanges"] == 0, "append-only CDF must not shuffle"
+    assert feed.filter(F.col("_change_type") == "delete").count() == 0
+    assert feed.count() == 8
+
+    # once the range contains a delete the general exceptAll path takes
+    # over; its multiset identity must hold:
+    # count(to) = count(from) + inserts - deletes
+    some_key = src.load().select("s_suppkey").first()[0]
+    delete(src, f"s_suppkey = {some_key}")
+    general = diff_versions(src, v0)
+    n_from = src.load(version=v0).count()
+    n_to = src.load().count()
+    n_ins = general.filter(F.col("_change_type") == "insert").count()
+    n_del = general.filter(F.col("_change_type") == "delete").count()
+    assert n_to == n_from + n_ins - n_del
+    assert n_del >= 1

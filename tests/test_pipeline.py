@@ -100,9 +100,12 @@ def test_chunk_embed_deterministic_and_shuffle_free(spark):
 
     a = pipeline_chunk_embed(spark, SF_DIR)
     assert plan_summary(a)["exchanges"] == 0  # pure scan-speed ingest
-    ra = {(r["doc_id"], r["chunk_idx"]): tuple(r["embedding"]) for r in a.collect()}
-    rb = {(r["doc_id"], r["chunk_idx"]): tuple(r["embedding"])
+    # the registered query serializes the vector driver-safely (CSV of
+    # fixed-precision floats); parse it back for the value checks
+    ra = {(r["doc_id"], r["chunk_idx"]): r["embedding_csv"] for r in a.collect()}
+    rb = {(r["doc_id"], r["chunk_idx"]): r["embedding_csv"]
           for r in pipeline_chunk_embed(spark, SF_DIR).collect()}
     assert ra == rb and ra  # deterministic across runs
-    for v in list(ra.values())[:20]:
+    for s in list(ra.values())[:20]:
+        v = [float(x) for x in s.split(",")]
         assert len(v) == 8 and all(-1.0 <= x < 1.0 for x in v)
