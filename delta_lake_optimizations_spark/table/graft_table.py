@@ -78,6 +78,7 @@ CHECKPOINT_INTERVAL = 10  # write a full-snapshot checkpoint every N commits
                           # O(interval), not O(total commits)
 
 _CONSTRAINT_PREFIX = "constraint."
+_GENERATED_PREFIX = "graft.generated."
 
 
 class ConstraintViolationError(ValueError):
@@ -614,6 +615,35 @@ class GraftTable:
         base = self.snapshot() if existed else None
         if mode == "error" and existed:
             raise FileExistsError(f"table exists at {self.path}")
+
+        merged_props = dict(base.properties) if base is not None else {}
+        if properties:
+            merged_props.update(properties)
+
+        # Generated columns (Delta GENERATED ALWAYS AS parity, property
+        # ``graft.generated.<col> = <sql expr>``): a missing generated
+        # column is COMPUTED from the expression at write time (the
+        # common case: a ``to_date(ts)`` partition column the writer
+        # shouldn't have to supply — computed BEFORE the append schema
+        # check so such writes validate cleanly); a supplied one is
+        # VALIDATED — any row where the supplied value <=> expr fails
+        # rejects the whole write, so the column can never silently
+        # diverge from its definition (which would poison partition
+        # pruning on it).
+        for key, gen_expr in sorted(merged_props.items()):
+            if not key.startswith(_GENERATED_PREFIX):
+                continue
+            gcol = key[len(_GENERATED_PREFIX):]
+            if gcol not in df.columns:
+                df = df.withColumn(gcol, F.expr(gen_expr))
+            else:
+                bad = df.filter(~F.col(gcol).eqNullSafe(F.expr(gen_expr))).count()
+                if bad:
+                    raise ConstraintViolationError(
+                        f"{bad} row(s) violate generated-column definition "
+                        f"{gcol!r} = {gen_expr}"
+                    )
+
         evolved_schema: T.StructType | None = None
         if merge_schema and base is not None and base.schema is not None:
             evolved_schema = _merge_schemas(base.schema, df.schema)
@@ -641,9 +671,6 @@ class GraftTable:
         # CHECK-constraint enforcement (schema-on-write ACID guarantee,
         # Delta's ALTER TABLE ADD CONSTRAINT semantics): reject the whole
         # write if any incoming row violates any registered constraint.
-        merged_props = dict(base.properties) if base is not None else {}
-        if properties:
-            merged_props.update(properties)
         for key, expr_text in merged_props.items():
             if key.startswith(_CONSTRAINT_PREFIX):
                 bad = df.filter(~F.expr(expr_text)).count()

@@ -274,3 +274,35 @@ def test_hard_negatives_exact_properties_and_lsh_overlap(spark):
     }
     recall = len(exact_pairs & lsh_pairs) / len(exact_pairs)
     assert recall >= 0.6, f"hard-negative LSH recall={recall:.3f}"
+
+
+def test_pagerank_matches_python_power_iteration(spark):
+    """Distributed PageRank must match a driver-side power iteration on
+    the collected edge list to 1e-6, and ranks must sum to ~1."""
+    from delta_lake_optimizations_spark.operators.components import pagerank
+
+    docs = load_table(spark, SF_DIR, "documents")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5)
+    edge_list = [(r["doc_a"], r["doc_b"]) for r in pairs.collect()]
+    assert edge_list
+
+    # Python reference: same undirected power iteration
+    nbrs: dict = {}
+    for a, b in edge_list:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    n = len(nbrs)
+    rank = {v: 1.0 / n for v in nbrs}
+    for _ in range(10):
+        recv = {v: 0.0 for v in nbrs}
+        for u, ws in nbrs.items():
+            c = rank[u] / len(ws)
+            for w in ws:
+                recv[w] += c
+        rank = {v: (1 - 0.85) / n + 0.85 * recv[v] for v in nbrs}
+
+    got = {r["vertex"]: r["rank"] for r in pagerank(pairs).collect()}
+    assert set(got) == set(rank)
+    assert abs(sum(got.values()) - 1.0) < 1e-6
+    for v in rank:
+        assert abs(got[v] - rank[v]) < 1e-6, (v, got[v], rank[v])

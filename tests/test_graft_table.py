@@ -606,3 +606,49 @@ def test_vacuum_removes_orphans_from_crashed_writes(spark, tmp_path):
     assert t.load().count() == df.count()
     # a second vacuum finds nothing new
     assert vacuum(t, retain_hours=0, dry_run=True) == []
+
+
+def test_generated_columns_computed_validated_and_prunable(spark, tmp_path):
+    """Delta GENERATED ALWAYS AS parity via graft.generated.<col>:
+    a missing generated column is computed at write time (including on
+    append, before schema validation), a supplied-but-wrong one rejects
+    the write, and a generated PARTITION column gives partition pruning
+    for free."""
+    from delta_lake_optimizations_spark.table.graft_table import (
+        ConstraintViolationError,
+        GraftTable,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-03 10:00:00"), (2, "2024-01-04 11:30:00"), (3, "2024-01-04 23:59:00")],
+        "id bigint, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    t = GraftTable(spark, str(tmp_path / "t"))
+    t.write(
+        df,
+        partition_by=["day"],
+        properties={"graft.generated.day": "CAST(to_date(ts) AS STRING)"},
+    )
+    assert set(t.load().columns) == {"id", "ts", "day"}
+    assert t.load().filter(F.col("day") == "2024-01-04").count() == 2
+
+    # append WITHOUT the generated column: computed automatically, and the
+    # append-mode schema check passes because it runs after generation
+    more = spark.createDataFrame(
+        [(4, "2024-01-05 01:00:00")], "id bigint, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    t.write(more, mode="append")
+    assert t.load().filter(F.col("day") == "2024-01-05").count() == 1
+
+    # generated partition column drives file pruning
+    assert t.files_scanned(skip_where=[("day", "=", "2024-01-05")]) == 1
+
+    # append WITH a diverging value: rejected atomically
+    wrong = spark.createDataFrame(
+        [(5, "2024-01-06 01:00:00", "1999-12-31")], "id bigint, ts string, day string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    n_before = t.load().count()
+    with pytest.raises(ConstraintViolationError, match="generated-column"):
+        t.write(wrong, mode="append")
+    assert t.load().count() == n_before
