@@ -54,6 +54,7 @@ _QUERY_MODULES = (
     "delta_lake_optimizations_spark.operators.semantic_dedup",
     "delta_lake_optimizations_spark.operators.skew",
     "delta_lake_optimizations_spark.operators.ranking",
+    "delta_lake_optimizations_spark.operators.heavyhitters",
 )
 
 
@@ -113,13 +114,13 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "hard_negatives_exact",
     "hard_negatives_lsh",
     "weighted_sample_by_length",
+    "frequent_tokens_heavy_hitters",
     # proven greens re-verified (source files touched this round, or family
     # representatives keeping the window full)
     "multimodal_manifest",
     "column_stats_summary",
     "array_agg_status_profile",
     "q12_priority_shipping_classes",
-    "scalar_string_funcs",
     "vector_label_centroids",
     "dedup_exact_text",
     "dedup_embedding_cosine",

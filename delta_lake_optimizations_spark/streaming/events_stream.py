@@ -223,3 +223,57 @@ def dedup_events_stream(
     if not events.isStreaming:
         return events.dropDuplicates(keys)
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def purchase_attribution_join(
+    views: DataFrame,
+    purchases: DataFrame,
+    attribution_window: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked STREAM-STREAM inner join: attribute each purchase to
+    the same user's preceding view within the attribution window — the
+    canonical two-stream correlation (ad-click attribution shape).
+
+    Both sides carry event-time watermarks and the join condition bounds
+    the time skew (``view.ts <= purchase.ts <= view.ts + window``), so
+    Spark can expire buffered state on both sides — without the time
+    bound, stream-stream join state grows forever. Works identically on
+    batch frames (same logical plan), which is how the test cross-checks
+    results against a plain batch join.
+
+    State scale: buffered rows ≈ input rate x (watermark + window) per
+    side, sharded by the equi-join key (user_id) — independent of total
+    history size.
+    """
+    v = views.select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    if views.isStreaming:
+        v = v.withWatermark("view_ts", watermark)
+    if purchases.isStreaming:
+        p = p.withWatermark("purchase_ts", watermark)
+    return v.join(
+        p,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("view_ts") + F.expr(f"INTERVAL {attribution_window}")
+        ),
+    ).select(
+        F.col("p_user").alias("user_id"),
+        "view_id",
+        "purchase_id",
+        "view_ts",
+        "purchase_ts",
+        "purchase_value",
+    )

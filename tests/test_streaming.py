@@ -104,3 +104,33 @@ def test_dedup_events_stream_drops_replayed_events(spark, tmp_path):
     twice = base.unionAll(base)
     assert dedup_events_stream(twice).count() == 200
     base.unpersist()
+
+
+def test_stream_stream_attribution_join_matches_batch(spark, events_dir):
+    """Watermarked stream-stream join must produce exactly the rows the
+    identical batch join produces on the same input (the logical plan is
+    shared; streaming only changes execution + state management)."""
+    from delta_lake_optimizations_spark.streaming.events_stream import (
+        purchase_attribution_join,
+    )
+
+    events_batch = load_table(spark, SF_DIR, "events")
+    views_b = events_batch.filter(F.col("event_type") == "view")
+    purch_b = events_batch.filter(F.col("event_type") == "purchase")
+    want = {
+        (r["user_id"], r["view_id"], r["purchase_id"])
+        for r in purchase_attribution_join(views_b, purch_b).collect()
+    }
+    assert want, "corpus should contain attributable purchases"
+
+    stream = read_events_stream(spark, events_dir)
+    views_s = stream.filter(F.col("event_type") == "view")
+    purch_s = stream.filter(F.col("event_type") == "purchase")
+    out = purchase_attribution_join(views_s, purch_s)
+    assert out.isStreaming
+    run_stream_to_memory(out, "attrib_join", output_mode="append")
+    got = {
+        (r["user_id"], r["view_id"], r["purchase_id"])
+        for r in spark.table("attrib_join").collect()
+    }
+    assert got == want
