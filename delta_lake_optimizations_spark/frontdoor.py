@@ -310,6 +310,22 @@ class GraftCatalog:
             (name, commit.version, commit.operation_parameters["numTargetFilesRewritten"]),
         )
 
+    def _h_convert(self, m: re.Match) -> DataFrame:
+        """CONVERT TO GRAFT parquet.`/path` [PARTITIONED BY (col, ...)] —
+        Delta's CONVERT TO DELTA: register existing parquet files as v0
+        in place (zero data I/O; see table/convert.py)."""
+        from delta_lake_optimizations_spark.table.convert import convert_to_graft
+
+        loc = m.group("loc").strip("`")
+        parts = m.group("parts")
+        cols = [c.strip() for c in parts.split(",")] if parts else None
+        t = convert_to_graft(self.spark, loc, partition_columns=cols)
+        snap = t.snapshot()
+        return self._row(
+            ("location", "numFiles", "numRecords"),
+            (loc, len(snap.files), snap.num_records),
+        )
+
     def _h_create_location(self, m: re.Match) -> DataFrame:
         self.register(m.group("table"), _unquote(m.group("loc")))
         return self._row(("table",), (m.group("table"),))
@@ -434,6 +450,14 @@ class GraftCatalog:
                 re.I | re.S,
             ),
             _h_set_properties,
+        ),
+        (
+            re.compile(
+                r"CONVERT\s+TO\s+(?:DELTA|GRAFT)\s+parquet\.(?P<loc>`[^`]+`)"
+                r"(?:\s+PARTITIONED\s+BY\s*\(\s*(?P<parts>[^)]+)\))?$",
+                re.I,
+            ),
+            _h_convert,
         ),
         (
             re.compile(

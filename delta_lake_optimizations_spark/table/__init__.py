@@ -36,6 +36,7 @@ from delta_lake_optimizations_spark.table.matview import (
     matview_is_fresh,
     refresh_matview,
 )
+from delta_lake_optimizations_spark.table.convert import convert_to_graft
 from delta_lake_optimizations_spark.table.merge import merge
 
 __all__ = [
@@ -44,6 +45,7 @@ __all__ = [
     "GraftTable",
     "Snapshot",
     "collect_file_stats",
+    "convert_to_graft",
     "create_matview",
     "delete",
     "matview_is_fresh",

@@ -140,3 +140,53 @@ def test_diff_versions_append_only_fast_path(spark, src):
     n_del = general.filter(F.col("_change_type") == "delete").count()
     assert n_to == n_from + n_ins - n_del
     assert n_del >= 1
+
+
+def test_convert_to_graft_in_place(spark, tmp_path):
+    """CONVERT TO DELTA parity: bare parquet dirs (flat and hive-
+    partitioned) register as v0 with footer stats — zero data I/O — and
+    every engine feature works afterwards (skipping, OPTIMIZE, time
+    travel)."""
+    from delta_lake_optimizations_spark.table import convert_to_graft
+
+    from .conftest import SF_DIR
+
+    # flat directory
+    src_df = spark.read.parquet(f"{SF_DIR}/supplier.parquet")
+    flat = str(tmp_path / "flat")
+    src_df.repartition(4).write.parquet(flat)
+    t = convert_to_graft(spark, flat)
+    assert t.snapshot().version == 0
+    assert t.load().count() == src_df.count()
+    assert len(t.snapshot().files) == 4
+    # footer stats arrived -> min/max skipping works immediately
+    some_key = src_df.agg(F.max("s_suppkey")).collect()[0][0]
+    assert t.files_scanned(skip_where=[("s_suppkey", "=", some_key)]) <= 4
+    # maintenance works on the converted table; conversion stays v0
+    optimize(t, target_file_mb=512)
+    assert t.load(version=0).count() == src_df.count()
+
+    # partitioned directory: declared partition columns validated
+    part = str(tmp_path / "part")
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    orders.write.partitionBy("o_year").parquet(part)
+    tp = convert_to_graft(spark, part, partition_columns=["o_year"])
+    assert tp.load().count() == orders.count()
+    assert tp.snapshot().partition_columns == ["o_year"]
+    years = sorted({f.partition_values["o_year"] for f in tp.snapshot().files})
+    pruned = tp.files_scanned(skip_where=[("o_year", "=", int(years[0]))])
+    assert pruned < len(tp.snapshot().files)
+
+    # wrong declaration aborts (partitioned layout, no declaration)
+    import pytest as _pytest
+
+    part2 = str(tmp_path / "part2")
+    orders.limit(100).write.partitionBy("o_year").parquet(part2)
+    with _pytest.raises(ValueError, match="partition mismatch"):
+        convert_to_graft(spark, part2)
+
+    # converting twice is refused
+    with _pytest.raises(ValueError, match="already a GraftTable"):
+        convert_to_graft(spark, flat)

@@ -315,3 +315,19 @@ def test_alter_table_cluster_by(spark, tmp_path):
     cat.sql("ALTER TABLE ct CLUSTER BY NONE")
     optimize(t, target_files=4)
     assert "zOrderBy" not in t.commits()[-1].operation_parameters
+
+
+def test_convert_to_delta_sql(spark, tmp_path):
+    """CONVERT TO DELTA parquet.`/path` registers existing files in place
+    (Delta-parity syntax; GRAFT also accepted)."""
+    from delta_lake_optimizations_spark.frontdoor import GraftCatalog
+
+    from .conftest import SF_DIR
+
+    d = str(tmp_path / "plain")
+    spark.read.parquet(f"{SF_DIR}/region.parquet").write.parquet(d)
+    cat = GraftCatalog(spark)
+    out = cat.sql(f"CONVERT TO DELTA parquet.`{d}`").collect()[0]
+    assert out["numFiles"] >= 1 and out["numRecords"] == 5
+    t = cat.register("region_conv", d)
+    assert t.load().count() == 5
