@@ -310,6 +310,28 @@ class GraftCatalog:
             (name, commit.version, commit.operation_parameters["numTargetFilesRewritten"]),
         )
 
+    def _h_show_partitions(self, m: re.Match) -> DataFrame:
+        """SHOW PARTITIONS t — partition values with file/row counts,
+        answered ENTIRELY from the commit log (no data I/O; the 100 TB
+        admin query must never scan)."""
+        t = self.table(m.group("table"))
+        snap = t.snapshot()
+        if not snap.partition_columns:
+            raise ValueError(f"table {m.group('table')!r} is not partitioned")
+        agg: dict[tuple, list[int]] = {}
+        for f in snap.files:
+            key = tuple(f.partition_values.get(c) for c in snap.partition_columns)
+            cur = agg.setdefault(key, [0, 0])
+            cur[0] += 1
+            cur[1] += f.live_records
+        rows = [
+            (*key, n_files, n_rows)
+            for key, (n_files, n_rows) in sorted(agg.items())
+        ]
+        return self.spark.createDataFrame(
+            rows, [*snap.partition_columns, "numFiles", "numRecords"]
+        )
+
     def _h_convert(self, m: re.Match) -> DataFrame:
         """CONVERT TO GRAFT parquet.`/path` [PARTITIONED BY (col, ...)] —
         Delta's CONVERT TO DELTA: register existing parquet files as v0
@@ -420,6 +442,7 @@ class GraftCatalog:
             ),
             _h_vacuum,
         ),
+        (re.compile(rf"SHOW\s+PARTITIONS\s+(?P<table>{_IDENT})$", re.I), _h_show_partitions),
         (re.compile(rf"DESCRIBE\s+HISTORY\s+(?P<table>{_IDENT})$", re.I), _h_history),
         (re.compile(rf"DESCRIBE\s+DETAIL\s+(?P<table>{_IDENT})$", re.I), _h_detail),
         (re.compile(rf"DESCRIBE\s+EXTENDED\s+(?P<table>{_IDENT})$", re.I), _h_extended),

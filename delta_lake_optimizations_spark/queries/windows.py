@@ -205,3 +205,33 @@ def window_range_moving_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(price_dec).over(w).cast("double"), 2).alias("moving_sum_30d"),
         F.count(F.lit(1)).over(w).alias("n_orders_30d"),
     )
+
+
+@query(
+    "window_percent_rank_cume_dist",
+    tags=("window", "distribution"),
+    oracle="""
+        SELECT
+            o_orderkey,
+            o_custkey,
+            ROUND(PERCENT_RANK() OVER (
+                PARTITION BY o_orderpriority ORDER BY o_totalprice
+            ), 6) AS pct_rank,
+            ROUND(CUME_DIST() OVER (
+                PARTITION BY o_orderpriority ORDER BY o_totalprice
+            ), 6) AS cume
+        FROM orders
+    """,
+)
+def window_percent_rank_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-position window functions (percentile position and
+    cumulative distribution within each priority class). Partitioned by
+    a real key, so the window scales — no partitionless funnel."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )

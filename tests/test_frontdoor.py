@@ -331,3 +331,32 @@ def test_convert_to_delta_sql(spark, tmp_path):
     assert out["numFiles"] >= 1 and out["numRecords"] == 5
     t = cat.register("region_conv", d)
     assert t.load().count() == 5
+
+
+def test_show_partitions_from_log_only(spark, tmp_path):
+    """SHOW PARTITIONS answers from commit-log metadata: values, file and
+    row counts per partition; unpartitioned tables are refused."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from delta_lake_optimizations_spark.frontdoor import GraftCatalog
+
+    from .conftest import SF_DIR
+
+    cat = GraftCatalog(spark)
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    cat.create("orders_p", orders, str(tmp_path / "op"), partition_by=["o_year"])
+    rows = cat.sql("SHOW PARTITIONS orders_p").collect()
+    got = {r["o_year"]: r["numRecords"] for r in rows}
+    want = {
+        str(r["o_year"]): r["n"]
+        for r in orders.groupBy("o_year").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == want
+    assert all(r["numFiles"] >= 1 for r in rows)
+
+    cat.create("orders_flat", orders.drop("o_year"), str(tmp_path / "of"))
+    with _pytest.raises(ValueError, match="not partitioned"):
+        cat.sql("SHOW PARTITIONS orders_flat")
