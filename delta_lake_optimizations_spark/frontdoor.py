@@ -86,6 +86,7 @@ class GraftCatalog:
     def __init__(self, spark: SparkSession):
         self.spark = spark
         self._tables: dict[str, GraftTable] = {}
+        self._result_cache: dict[tuple, DataFrame] = {}
 
     # -- registration ------------------------------------------------------
 
@@ -123,6 +124,35 @@ class GraftCatalog:
         self._tables[name].load().createOrReplaceTempView(name)
 
     # -- the dispatcher ----------------------------------------------------
+
+    def cached_sql(self, text: str) -> DataFrame:
+        """Snapshot-consistent RESULT CACHE: the statement's result is
+        persisted and keyed on (statement, version of every referenced
+        registered table). A repeat of the same statement against
+        unchanged tables returns the persisted frame — zero recompute;
+        the moment any referenced table commits a new version the key
+        changes, the stale entry is unpersisted, and the query recomputes.
+        Versioned tables make result caching SAFE: validity is a pure
+        metadata check (log versions), never a data comparison — the same
+        trick Delta-aware BI caches use. Non-SELECT statements (DML,
+        maintenance) should go through :meth:`sql` directly."""
+        stmt = text.strip().rstrip(";").strip()
+        referenced = tuple(
+            (name, t.latest_version())
+            for name, t in sorted(self._tables.items())
+            if re.search(rf"\b{re.escape(name)}\b", stmt)
+        )
+        key = (stmt, referenced)
+        hit = self._result_cache.get(key)
+        if hit is not None:
+            return hit
+        # drop stale entries for this statement (older versions)
+        for k in [k for k in self._result_cache if k[0] == stmt]:
+            self._result_cache.pop(k).unpersist()
+        df = self.sql(stmt).persist()
+        df.count()  # materialize now so every consumer hits the cache
+        self._result_cache[key] = df
+        return df
 
     def sql(self, text: str) -> DataFrame:
         stmt = text.strip().rstrip(";").strip()

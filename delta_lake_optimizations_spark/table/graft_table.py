@@ -1133,8 +1133,34 @@ def _file_may_match(
         if col in partition_columns:
             pv = f.partition_values.get(col)
             if pv is not None:
-                sval = str(value)
-                if op == "=" and pv != sval:
+                # Typed comparison: coerce the hive-encoded string to the
+                # probe value's type so range predicates prune partitions
+                # too ('9' < '10' lexicographically is wrong for ints).
+                typed: Any = pv
+                try:
+                    if isinstance(value, bool):
+                        typed = pv.lower() == "true"
+                    elif isinstance(value, int):
+                        typed = int(pv)
+                    elif isinstance(value, float):
+                        typed = float(pv)
+                    elif isinstance(value, (datetime, date)):
+                        typed, value = pv, value.isoformat()
+                except ValueError:
+                    # un-coercible partition value — fall back to equality
+                    # on strings only; ranges must scan
+                    if op == "=" and pv != str(value):
+                        return False
+                    continue
+                if op == "=" and typed != value:
+                    return False
+                if op == "<" and typed >= value:
+                    return False
+                if op == "<=" and typed > value:
+                    return False
+                if op == ">" and typed <= value:
+                    return False
+                if op == ">=" and typed < value:
                     return False
                 continue
         mins = f.stats.get("minValues", {})

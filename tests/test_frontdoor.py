@@ -360,3 +360,33 @@ def test_show_partitions_from_log_only(spark, tmp_path):
     cat.create("orders_flat", orders.drop("o_year"), str(tmp_path / "of"))
     with _pytest.raises(ValueError, match="not partitioned"):
         cat.sql("SHOW PARTITIONS orders_flat")
+
+
+def test_cached_sql_hits_and_invalidates_on_version_change(spark, tmp_path):
+    """cached_sql returns the SAME persisted frame while referenced table
+    versions are unchanged, and transparently recomputes after a commit
+    moves any referenced table forward."""
+    from delta_lake_optimizations_spark.frontdoor import GraftCatalog
+
+    from .conftest import SF_DIR
+
+    cat = GraftCatalog(spark)
+    sup = spark.read.parquet(f"{SF_DIR}/supplier.parquet")
+    cat.create("sup_cache", sup, str(tmp_path / "sc"))
+
+    q = "SELECT s_nationkey, COUNT(*) AS n FROM sup_cache GROUP BY s_nationkey"
+    a = cat.cached_sql(q)
+    b = cat.cached_sql(q)
+    assert a is b  # cache hit: identical persisted frame
+    n0 = {r["s_nationkey"]: r["n"] for r in a.collect()}
+
+    # a commit on the referenced table invalidates the entry
+    t = cat.table("sup_cache")
+    t.write(sup.limit(5), mode="append")
+    cat._refresh("sup_cache")
+    c = cat.cached_sql(q)
+    assert c is not a
+    n1 = {r["s_nationkey"]: r["n"] for r in c.collect()}
+    assert sum(n1.values()) == sum(n0.values()) + 5
+    # and the new entry is itself cached
+    assert cat.cached_sql(q) is c

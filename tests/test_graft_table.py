@@ -652,3 +652,27 @@ def test_generated_columns_computed_validated_and_prunable(spark, tmp_path):
     with pytest.raises(ConstraintViolationError, match="generated-column"):
         t.write(wrong, mode="append")
     assert t.load().count() == n_before
+
+
+def test_partition_range_pruning_typed(spark, tmp_path):
+    """Range predicates on partition columns must prune files with TYPED
+    comparison (lexicographic '9' < '10' would be wrong for ints)."""
+    df = (
+        spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .withColumn("o_year", F.year("o_orderdate"))
+    )
+    t = GraftTable(spark, str(tmp_path / "op"))
+    t.write(df, partition_by=["o_year"])
+    years = sorted(
+        int(f.partition_values["o_year"]) for f in t.snapshot().files
+    )
+    n_files = len(t.snapshot().files)
+    lo = years[0]
+    # strictly-greater-than the minimum year must drop at least one file
+    pruned = t.files_scanned(skip_where=[("o_year", ">", lo)])
+    assert pruned < n_files
+    got = t.load(skip_where=[("o_year", ">", lo)])
+    want = df.filter(F.col("o_year") > lo)
+    assert got.count() == want.count()
+    # range below everything scans nothing
+    assert t.files_scanned(skip_where=[("o_year", "<", lo)]) == 0
