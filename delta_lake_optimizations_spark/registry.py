@@ -115,6 +115,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "hard_negatives_lsh",
     "weighted_sample_by_length",
     "frequent_tokens_heavy_hitters",
+    "window_percent_rank_cume_dist",
     # proven greens re-verified (source files touched this round, or family
     # representatives keeping the window full)
     "multimodal_manifest",
@@ -129,7 +130,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "knn_join_exact",
     "text_quality_scores",
     "bm25_keyword_search",
-    "corpus_vocabulary",
     "decontam_ngram_overlap",
 )
 
