@@ -251,11 +251,19 @@ class GraftCatalog:
 
     def _h_restore(self, m: re.Match) -> DataFrame:
         name = m.group("table")
-        commit = restore(self.table(name), int(m.group("version")))
+        t = self.table(name)
+        gd = m.groupdict()
+        if gd.get("version") is not None:
+            version = int(gd["version"])
+        else:
+            # TIMESTAMP AS OF: resolve to the last version committed at or
+            # before the timestamp (same resolution load() uses)
+            version = t.snapshot(timestamp=_unquote(gd["ts"])).version
+        commit = restore(t, version)
         self._refresh(name)
         return self._row(
             ("table", "restoredVersion", "newVersion"),
-            (name, int(m.group("version")), commit.version),
+            (name, version, commit.version),
         )
 
     def _h_set_properties(self, m: re.Match) -> DataFrame:
@@ -492,7 +500,9 @@ class GraftCatalog:
         ),
         (
             re.compile(
-                rf"RESTORE\s+(?:TABLE\s+)?(?P<table>{_IDENT})\s+TO\s+VERSION\s+AS\s+OF\s+(?P<version>\d+)$",
+                rf"RESTORE\s+(?:TABLE\s+)?(?P<table>{_IDENT})\s+TO\s+"
+                rf"(?:VERSION\s+AS\s+OF\s+(?P<version>\d+)"
+                rf"|TIMESTAMP\s+AS\s+OF\s+(?P<ts>'[^']+'))$",
                 re.I,
             ),
             _h_restore,

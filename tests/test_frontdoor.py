@@ -390,3 +390,28 @@ def test_cached_sql_hits_and_invalidates_on_version_change(spark, tmp_path):
     assert sum(n1.values()) == sum(n0.values()) + 5
     # and the new entry is itself cached
     assert cat.cached_sql(q) is c
+
+
+def test_restore_to_timestamp_sql(spark, tmp_path):
+    """RESTORE TABLE t TO TIMESTAMP AS OF '<ts>' resolves the timestamp
+    to the version live at that moment (Delta-parity syntax)."""
+    import datetime as dt
+
+    from delta_lake_optimizations_spark.frontdoor import GraftCatalog
+
+    from .conftest import SF_DIR
+
+    cat = GraftCatalog(spark)
+    sup = spark.read.parquet(f"{SF_DIR}/supplier.parquet")
+    cat.create("sup_r", sup, str(tmp_path / "sr"))
+    t = cat.table("sup_r")
+    n0 = t.load().count()
+    c0 = t.commits()[0]
+    ts = dt.datetime.fromtimestamp(
+        c0.timestamp_ms / 1000, tz=dt.timezone.utc
+    ).strftime("%Y-%m-%d %H:%M:%S.%f")
+    cat.sql("DELETE FROM sup_r WHERE s_suppkey % 2 = 0")
+    assert t.load().count() < n0
+    out = cat.sql(f"RESTORE TABLE sup_r TO TIMESTAMP AS OF '{ts}'").collect()[0]
+    assert out["restoredVersion"] == 0
+    assert cat.table("sup_r").load().count() == n0
