@@ -79,6 +79,33 @@ CHECKPOINT_INTERVAL = 10  # write a full-snapshot checkpoint every N commits
 
 _CONSTRAINT_PREFIX = "constraint."
 _GENERATED_PREFIX = "graft.generated."
+#: Identity columns (Delta's GENERATED { ALWAYS | BY DEFAULT } AS IDENTITY):
+#: ``graft.identity.<col> = "start=1,step=1,always=true"`` declares the
+#: column; ``graft.identity.next.<col>`` is the transactional high-water
+#: mark (the next value to allocate), updated by every allocating commit.
+_IDENTITY_PREFIX = "graft.identity."
+_IDENTITY_NEXT_PREFIX = "graft.identity.next."
+
+
+def _identity_specs(props: dict[str, str]) -> dict[str, dict[str, Any]]:
+    """Parse ``graft.identity.<col>`` declarations (excluding the
+    ``graft.identity.next.`` high-water-mark subspace)."""
+    out: dict[str, dict[str, Any]] = {}
+    for k, v in props.items():
+        if not k.startswith(_IDENTITY_PREFIX) or k.startswith(_IDENTITY_NEXT_PREFIX):
+            continue
+        col = k[len(_IDENTITY_PREFIX):]
+        spec: dict[str, Any] = {"start": 1, "step": 1, "always": True}
+        for item in str(v).split(","):
+            kk, _, vv = item.strip().partition("=")
+            if kk in ("start", "step"):
+                spec[kk] = int(vv)
+            elif kk == "always":
+                spec["always"] = vv.strip().lower() != "false"
+        if spec["step"] == 0:
+            raise ValueError(f"identity column {col!r}: step must be nonzero")
+        out[col] = spec
+    return out
 
 
 class ConstraintViolationError(ValueError):
@@ -570,6 +597,47 @@ class GraftTable:
                 )
         return sorted(adds, key=lambda a: a.path)
 
+    def _assign_identity(
+        self, df: DataFrame, col: str, next_val: int, step: int
+    ) -> tuple[DataFrame, int, DataFrame]:
+        """Allocate identity values for ``col`` distributedly: unique,
+        monotonically increasing within the write, gaps allowed (Delta's
+        identity contract — contiguity is NOT promised across partitions).
+
+        Two passes over a pinned (persisted) frame: a per-partition count
+        job (driver collects one row per partition — metadata, not data),
+        then value = next + step * (partition_prefix_offset + local_row_idx)
+        where the local index is the low 33 bits of
+        ``monotonically_increasing_id`` (documented: record number within
+        the partition). The broadcast offset join is narrow, so partition
+        contents — and hence local indices — match the counting pass.
+        Returns (df_with_ids, new_next_value, pinned_frame_to_unpersist);
+        the caller unpersists AFTER the data write consumes the frame.
+        """
+        tagged = df.select(F.spark_partition_id().alias("__gid_pid"), "*").persist()
+        counts = sorted(
+            (r["__gid_pid"], r["cnt"])
+            for r in tagged.groupBy("__gid_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+        )
+        total = sum(c for _, c in counts)
+        offsets, acc = [], 0
+        for p, c in counts:
+            offsets.append((p, acc))
+            acc += c
+        off = self.spark.createDataFrame(
+            offsets or [(0, 0)], schema="__gid_pid INT, __gid_off BIGINT"
+        )
+        local = F.monotonically_increasing_id().bitwiseAND(F.lit((1 << 33) - 1))
+        out = (
+            tagged.join(F.broadcast(off), "__gid_pid")
+            .withColumn(
+                col,
+                (F.lit(next_val) + F.lit(step) * (F.col("__gid_off") + local)).cast("long"),
+            )
+            .drop("__gid_pid", "__gid_off")
+        )
+        return out, next_val + step * total, tagged
+
     def _metadata_for(
         self,
         df: DataFrame,
@@ -644,6 +712,46 @@ class GraftTable:
                         f"{gcol!r} = {gen_expr}"
                     )
 
+        # Identity columns (Delta GENERATED AS IDENTITY parity): a missing
+        # identity column is ALLOCATED distributedly from the transactional
+        # high-water mark; a supplied one is rejected under ALWAYS and — under
+        # BY DEFAULT — syncs the high-water mark from the written files'
+        # footer stats (no extra scan). Allocation advances
+        # ``graft.identity.next.<col>``, so identity appends always commit
+        # metadata: concurrent allocators conflict instead of double-
+        # allocating (the correct serialization for a monotonic counter).
+        identity_specs = _identity_specs(merged_props)
+        identity_updates: dict[str, str] = {}
+        identity_supplied: list[tuple[str, dict[str, Any], int]] = []
+        to_unpersist: list[DataFrame] = []
+        for id_col, spec in sorted(identity_specs.items()):
+            next_key = _IDENTITY_NEXT_PREFIX + id_col
+            next_val = int(merged_props.get(next_key, spec["start"]))
+            if id_col in df.columns:
+                if spec["always"]:
+                    raise ConstraintViolationError(
+                        f"column {id_col!r} is GENERATED ALWAYS AS IDENTITY — "
+                        "values may not be supplied (declare always=false for "
+                        "BY DEFAULT semantics)"
+                    )
+                identity_supplied.append((id_col, spec, next_val))
+            else:
+                df, new_next, pinned = self._assign_identity(
+                    df, id_col, next_val, spec["step"]
+                )
+                to_unpersist.append(pinned)
+                identity_updates[next_key] = str(new_next)
+                # keep append signatures stable: place columns in the base
+                # schema's order when the names already agree
+                if (
+                    base is not None
+                    and base.schema is not None
+                    and {f.name for f in base.schema.fields} == set(df.columns)
+                ):
+                    df = df.select(*[f.name for f in base.schema.fields])
+        if identity_updates:
+            merged_props.update(identity_updates)
+
         evolved_schema: T.StructType | None = None
         if merge_schema and base is not None and base.schema is not None:
             evolved_schema = _merge_schemas(base.schema, df.schema)
@@ -684,6 +792,34 @@ class GraftTable:
         rel_dir = self._new_data_dir(version_hint)
         self._write_data(df, rel_dir, partition_by, merged_props)
         adds = self._scan_written_files(rel_dir, merged_props)
+        for pinned in to_unpersist:
+            pinned.unpersist()
+        # BY DEFAULT identity with caller-supplied values: advance the
+        # high-water mark past the written max (footer stats — no scan), so
+        # later allocations can never collide with explicit values.
+        for id_col, spec, next_val in identity_supplied:
+            observed: list[int] = []
+            for a in adds:
+                key = "maxValues" if spec["step"] > 0 else "minValues"
+                v = (a.stats or {}).get(key, {}).get(id_col)
+                if v is not None:
+                    observed.append(int(v))
+            if not observed and adds:
+                # stats cap may exclude the column on wide tables — fall
+                # back to one aggregate job over the incoming frame
+                agg = F.max(id_col) if spec["step"] > 0 else F.min(id_col)
+                v = df.agg(agg).first()[0]
+                if v is not None:
+                    observed.append(int(v))
+            if observed:
+                edge = max(observed) if spec["step"] > 0 else min(observed)
+                candidate = edge + spec["step"]
+                new_next = (
+                    max(next_val, candidate) if spec["step"] > 0 else min(next_val, candidate)
+                )
+                if new_next != next_val:
+                    identity_updates[_IDENTITY_NEXT_PREFIX + id_col] = str(new_next)
+                    merged_props[_IDENTITY_NEXT_PREFIX + id_col] = str(new_next)
 
         if mode == "append" and base is not None:
             remove: list[str] = []
@@ -703,7 +839,11 @@ class GraftTable:
         # (constraints, autoCompact, stats flags) across a plain
         # mode=overwrite — only the data and schema are replaced.
         metadata = self._metadata_for(
-            df, partition_by, properties, base, schema_override=evolved_schema
+            df,
+            partition_by,
+            {**(properties or {}), **identity_updates} if (properties or identity_updates) else None,
+            base,
+            schema_override=evolved_schema,
         )
         # A plain append that changes NO table state (same column
         # name/type signature — nullability excluded, Spark flips it

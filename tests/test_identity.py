@@ -1,0 +1,88 @@
+"""Identity columns (Delta GENERATED { ALWAYS | BY DEFAULT } AS IDENTITY
+parity): distributed allocation is unique and monotonic within a write, the
+high-water mark is transactional (survives restarts via the log, advances
+past explicit BY DEFAULT values), and ALWAYS rejects supplied values.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from delta_lake_optimizations_spark.table import GraftTable
+from delta_lake_optimizations_spark.table.graft_table import ConstraintViolationError
+
+
+def _ids(t):
+    return [r["id"] for r in t.load().select("id").collect()]
+
+
+def test_identity_always_allocates_unique_monotonic(spark, tmp_path):
+    t = GraftTable(spark, os.path.join(tmp_path, "t"))
+    df = spark.range(1000).select(F.col("id").alias("k")).repartition(8)
+    t.write(df, properties={"graft.identity.id": "start=1,step=1"})
+    ids = _ids(t)
+    assert len(ids) == 1000
+    assert len(set(ids)) == 1000, "identity values must be unique"
+    assert min(ids) == 1, "allocation starts at declared start"
+    # gaps allowed; but the range is bounded by the allocation count
+    assert max(ids) == 1000, "contiguous within a single write's prefix sums"
+
+
+def test_identity_append_continues_from_high_water_mark(spark, tmp_path):
+    t = GraftTable(spark, os.path.join(tmp_path, "t"))
+    t.write(
+        spark.range(10).select(F.col("id").alias("k")),
+        properties={"graft.identity.id": "start=100,step=5"},
+    )
+    first = set(_ids(t))
+    assert min(first) == 100 and len(first) == 10
+    t.write(spark.range(10).select(F.col("id").alias("k")), mode="append")
+    second = set(_ids(t)) - first
+    assert len(second) == 10
+    assert min(second) > max(first), "appends continue past the high-water mark"
+    assert all((v - 100) % 5 == 0 for v in second), "step respected"
+
+
+def test_identity_always_rejects_supplied_values(spark, tmp_path):
+    t = GraftTable(spark, os.path.join(tmp_path, "t"))
+    t.write(
+        spark.range(5).select(F.col("id").alias("k")),
+        properties={"graft.identity.id": "start=1,step=1"},
+    )
+    bad = spark.range(3).select(F.col("id").alias("k"), F.lit(7).cast("long").alias("id"))
+    with pytest.raises(ConstraintViolationError, match="GENERATED ALWAYS"):
+        t.write(bad.select("k", "id"), mode="append")
+
+
+def test_identity_by_default_syncs_high_water_mark(spark, tmp_path):
+    t = GraftTable(spark, os.path.join(tmp_path, "t"))
+    t.write(
+        spark.range(5).select(F.col("id").alias("k")),
+        properties={"graft.identity.id": "start=1,step=1,always=false"},
+    )
+    # explicit values far above the allocated range
+    explicit = spark.range(3).select(
+        F.col("id").alias("k"), (F.col("id") + 1000).cast("long").alias("id")
+    )
+    t.write(explicit.select("k", "id"), mode="append")
+    # next allocation must land past the explicit max, never colliding
+    t.write(spark.range(4).select(F.col("id").alias("k")), mode="append")
+    ids = _ids(t)
+    assert len(ids) == 12
+    assert len(set(ids)) == 12, "no collisions after explicit values"
+    assert max(ids) >= 1002 + 4
+
+
+def test_identity_survives_overwrite_monotonic(spark, tmp_path):
+    t = GraftTable(spark, os.path.join(tmp_path, "t"))
+    t.write(
+        spark.range(10).select(F.col("id").alias("k")),
+        properties={"graft.identity.id": "start=1,step=1"},
+    )
+    before = max(_ids(t))
+    t.write(spark.range(3).select(F.col("id").alias("k")), mode="overwrite")
+    after = _ids(t)
+    assert min(after) > before, "high-water mark is monotonic across overwrite"
