@@ -297,6 +297,18 @@ class GraftCatalog:
         commit = self.table(m.group("table")).drop_constraint(m.group("name"))
         return self._row(("table", "version"), (m.group("table"), commit.version))
 
+    def _h_rename_column(self, m: re.Match) -> DataFrame:
+        commit = self.table(m.group("table")).rename_column(
+            m.group("old"), m.group("new")
+        )
+        self._refresh(m.group("table"))
+        return self._row(("table", "version"), (m.group("table"), commit.version))
+
+    def _h_drop_column(self, m: re.Match) -> DataFrame:
+        commit = self.table(m.group("table")).drop_column(m.group("name"))
+        self._refresh(m.group("table"))
+        return self._row(("table", "version"), (m.group("table"), commit.version))
+
     def _h_update(self, m: re.Match) -> DataFrame:
         name = m.group("table")
         assignments: dict[str, str] = {}
@@ -553,6 +565,22 @@ class GraftCatalog:
                 re.I,
             ),
             _h_drop_constraint,
+        ),
+        (
+            re.compile(
+                rf"ALTER\s+TABLE\s+(?P<table>{_IDENT})\s+RENAME\s+COLUMN\s+"
+                rf"(?P<old>\w+)\s+TO\s+(?P<new>\w+)$",
+                re.I,
+            ),
+            _h_rename_column,
+        ),
+        (
+            re.compile(
+                rf"ALTER\s+TABLE\s+(?P<table>{_IDENT})\s+DROP\s+COLUMNS?\s*"
+                rf"\(?\s*(?P<name>\w+)\s*\)?$",
+                re.I,
+            ),
+            _h_drop_column,
         ),
         (
             re.compile(

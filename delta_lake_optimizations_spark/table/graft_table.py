@@ -85,6 +85,30 @@ _GENERATED_PREFIX = "graft.generated."
 #: mark (the next value to allocate), updated by every allocating commit.
 _IDENTITY_PREFIX = "graft.identity."
 _IDENTITY_NEXT_PREFIX = "graft.identity.next."
+#: Column mapping (Delta's columnMapping.mode=name parity): JSON dict
+#: ``{logical_name: physical_name}`` holding only RENAMED columns. The
+#: physical name — the name at column creation — is what parquet files and
+#: footer stats carry forever; renames and drops are metadata-only commits,
+#: never data rewrites (the 100 TB contract: ALTER TABLE is O(1)).
+COLMAP_PROP = "graft.columnMapping"
+
+
+def _colmap(props: dict[str, str]) -> dict[str, str]:
+    raw = props.get(COLMAP_PROP, "")
+    return json.loads(raw) if raw else {}
+
+
+def _physical_schema(schema: T.StructType, colmap: dict[str, str]) -> T.StructType:
+    """The on-disk schema: logical field names replaced by their physical
+    (creation-time) names."""
+    if not colmap:
+        return schema
+    return T.StructType(
+        [
+            T.StructField(colmap.get(f.name, f.name), f.dataType, f.nullable, f.metadata)
+            for f in schema.fields
+        ]
+    )
 
 
 def _identity_specs(props: dict[str, str]) -> dict[str, dict[str, Any]]:
@@ -553,7 +577,18 @@ class GraftTable:
         """Parquet write honoring the table-level codec property
         (``graft.parquet.compression``, e.g. 'zstd' for colder, denser
         tables; parquet records the codec per file, so a codec change
-        never requires rewriting history)."""
+        never requires rewriting history).
+
+        Single write-side column-mapping choke point: every caller hands a
+        LOGICAL-named frame; renamed columns are written under their
+        PHYSICAL names so all files of all commits agree on disk."""
+        cmap = _colmap(props or {})
+        if cmap:
+            df = df.select(
+                *[F.col(c).alias(cmap.get(c, c)) for c in df.columns]
+            )
+            if partition_by:
+                partition_by = [cmap.get(c, c) for c in partition_by]
         writer = df.write.mode("overwrite")
         codec = (props or {}).get(COMPRESSION_PROP)
         if codec:
@@ -969,6 +1004,18 @@ class GraftTable:
         time-travel/RESTORE reads — false-negative pruning)."""
         need_meta = with_provenance or (apply_dvs and any(f.dv_path for f in files))
 
+        # Read-side column-mapping choke point: scan under PHYSICAL names
+        # (what the parquet files carry), hand every caller LOGICAL names.
+        cmap = _colmap(snap.properties)
+        phys_to_logical = {p: l for l, p in cmap.items()}
+
+        def to_logical(df: DataFrame) -> DataFrame:
+            if not phys_to_logical:
+                return df
+            return df.select(
+                *[F.col(c).alias(phys_to_logical.get(c, c)) for c in df.columns]
+            )
+
         def attach_meta(raw: DataFrame) -> DataFrame:
             if not need_meta:
                 return raw
@@ -993,13 +1040,15 @@ class GraftTable:
         if not snap.partition_columns:
             reader = self.spark.read
             if snap.schema is not None:
-                reader = reader.schema(snap.schema)
+                reader = reader.schema(_physical_schema(snap.schema, cmap))
             df = attach_meta(
                 reader.parquet(*[os.path.join(self.path, f.path) for f in files])
             )
             if not apply_dvs:
-                return df
-            return self._apply_deletion_vectors(df, files, with_provenance)
+                return to_logical(df)
+            return to_logical(
+                self._apply_deletion_vectors(df, files, with_provenance)
+            )
 
         # Partitioned: hive partition values live in directory names UNDER
         # each commit dir (data/vNNN-uuid/country=US/...). Partition
@@ -1024,12 +1073,12 @@ class GraftTable:
                 # The full snapshot schema (partition columns included) so
                 # commits that predate a merge_schema evolution null-fill
                 # the newer columns instead of failing the group union.
-                reader = reader.schema(snap.schema)
+                reader = reader.schema(_physical_schema(snap.schema, cmap))
             part_df = attach_meta(reader.parquet(*groups[base]))
             out = part_df if out is None else out.unionByName(part_df)
         if not apply_dvs:
-            return out
-        return self._apply_deletion_vectors(out, files, with_provenance)
+            return to_logical(out)
+        return to_logical(self._apply_deletion_vectors(out, files, with_provenance))
 
     def load(
         self,
@@ -1048,7 +1097,12 @@ class GraftTable:
         snap = self.snapshot(version=version, timestamp=timestamp)
         files = snap.files
         if skip_where:
-            files = [f for f in files if _file_may_match(f, skip_where, snap.partition_columns)]
+            # footer stats / hive partition values are keyed by PHYSICAL
+            # names; bloom sidecars and the exactness re-filter by LOGICAL
+            cmap = _colmap(snap.properties)
+            phys_preds = [(cmap.get(c, c), op, v) for c, op, v in skip_where]
+            phys_parts = [cmap.get(c, c) for c in snap.partition_columns]
+            files = [f for f in files if _file_may_match(f, phys_preds, phys_parts)]
             files = self._bloom_prune(files, skip_where)
         df = self._read_files(snap, files)
         if skip_where:
@@ -1072,7 +1126,10 @@ class GraftTable:
         snap = self.snapshot()
         files = snap.files
         if skip_where:
-            files = [f for f in files if _file_may_match(f, skip_where, snap.partition_columns)]
+            cmap = _colmap(snap.properties)
+            phys_preds = [(cmap.get(c, c), op, v) for c, op, v in skip_where]
+            phys_parts = [cmap.get(c, c) for c in snap.partition_columns]
+            files = [f for f in files if _file_may_match(f, phys_preds, phys_parts)]
             files = self._bloom_prune(files, skip_where)
         return len(files)
 
@@ -1152,6 +1209,112 @@ class GraftTable:
             ]
         )
         return self.spark.createDataFrame(rows, out_schema)
+
+    def _column_referenced_by_props(self, props: dict[str, str], col: str) -> str | None:
+        """First property that textually references ``col`` as an
+        identifier — expressions can't be rewritten reliably, so schema
+        changes on referenced columns are refused instead of silently
+        breaking the referencing feature."""
+        import re as _re
+
+        word = _re.compile(rf"\b{_re.escape(col)}\b")
+        for k, v in props.items():
+            if k.startswith((_CONSTRAINT_PREFIX, _GENERATED_PREFIX)) and word.search(v):
+                return k
+            if k.startswith(_GENERATED_PREFIX) and k[len(_GENERATED_PREFIX):] == col:
+                return k
+            if k.startswith(_IDENTITY_PREFIX) and k.split(".")[-1] == col:
+                return k
+        return None
+
+    def rename_column(self, old: str, new: str) -> Commit:
+        """ALTER TABLE RENAME COLUMN — metadata-only (Delta columnMapping
+        parity): the logical name changes, the PHYSICAL name (creation-time
+        name, recorded in ``graft.columnMapping``) stays on disk forever, so
+        no data file is rewritten. Columns referenced by constraints /
+        generated-column / identity definitions must drop those first.
+        Bloom sidecars keyed by the old name are orphaned (pruning on the
+        new name resumes at the next build — conservative, never wrong).
+        Comma-list properties (cluster-by, bloom columns) are rewritten."""
+        snap = self.snapshot()
+        schema = snap.schema
+        if schema is None or old not in [f.name for f in schema.fields]:
+            raise ValueError(f"no such column: {old!r}")
+        if new in [f.name for f in schema.fields]:
+            raise ValueError(f"column already exists: {new!r}")
+        props = dict(snap.properties)
+        ref = self._column_referenced_by_props(props, old)
+        if ref:
+            raise ValueError(
+                f"cannot rename {old!r}: referenced by property {ref!r} — "
+                "drop the constraint/definition first"
+            )
+        cmap = _colmap(props)
+        physical = cmap.pop(old, old)
+        if physical != new:
+            cmap[new] = physical
+        props[COLMAP_PROP] = json.dumps(cmap)
+        # rewrite comma-list column properties that carry logical names
+        from delta_lake_optimizations_spark.table.maintenance import CLUSTER_BY_PROP
+
+        for list_prop in (CLUSTER_BY_PROP, BLOOM_COLUMNS_PROP):
+            if props.get(list_prop):
+                cols = [c.strip() for c in props[list_prop].split(",") if c.strip()]
+                props[list_prop] = ",".join(new if c == old else c for c in cols)
+        new_fields = [
+            T.StructField(new if f.name == old else f.name, f.dataType, f.nullable, f.metadata)
+            for f in schema.fields
+        ]
+        metadata = {
+            "schemaJson": json.dumps(T.StructType(new_fields).jsonValue()),
+            "partitionColumns": [new if c == old else c for c in snap.partition_columns],
+            "properties": props,
+        }
+        return self._write_commit(
+            "RENAME COLUMN", {"oldName": old, "newName": new}, [], [], metadata,
+            base_version=snap.version,
+        )
+
+    def drop_column(self, col: str) -> Commit:
+        """ALTER TABLE DROP COLUMN — metadata-only: the field leaves the
+        logical schema (scans prune it; zero bytes of it are read), the
+        physical column stays in existing files untouched. Partition
+        columns and columns referenced by constraints/definitions are
+        refused."""
+        snap = self.snapshot()
+        schema = snap.schema
+        if schema is None or col not in [f.name for f in schema.fields]:
+            raise ValueError(f"no such column: {col!r}")
+        if col in snap.partition_columns:
+            raise ValueError(f"cannot drop partition column {col!r}")
+        if len(schema.fields) == 1:
+            raise ValueError("cannot drop the last column")
+        props = dict(snap.properties)
+        ref = self._column_referenced_by_props(props, col)
+        if ref:
+            raise ValueError(
+                f"cannot drop {col!r}: referenced by property {ref!r} — "
+                "drop the constraint/definition first"
+            )
+        cmap = _colmap(props)
+        cmap.pop(col, None)
+        props[COLMAP_PROP] = json.dumps(cmap)
+        from delta_lake_optimizations_spark.table.maintenance import CLUSTER_BY_PROP
+
+        for list_prop in (CLUSTER_BY_PROP, BLOOM_COLUMNS_PROP):
+            if props.get(list_prop):
+                cols = [c.strip() for c in props[list_prop].split(",") if c.strip()]
+                props[list_prop] = ",".join(c for c in cols if c != col)
+        new_fields = [f for f in schema.fields if f.name != col]
+        metadata = {
+            "schemaJson": json.dumps(T.StructType(new_fields).jsonValue()),
+            "partitionColumns": snap.partition_columns,
+            "properties": props,
+        }
+        return self._write_commit(
+            "DROP COLUMN", {"name": col}, [], [], metadata,
+            base_version=snap.version,
+        )
 
     def add_constraint(self, name: str, expression: str) -> Commit:
         """ALTER TABLE ADD CONSTRAINT (CHECK): existing data must already
