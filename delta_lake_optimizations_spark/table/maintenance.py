@@ -86,9 +86,17 @@ def optimize(
                 f"optimize where supports partition columns only; {bad} not in "
                 f"{snap.partition_columns}"
             )
+        # partition_values are keyed by PHYSICAL names — translate the
+        # caller's logical keys through the column mapping
+        from delta_lake_optimizations_spark.table.graft_table import _colmap
+
+        cmap = _colmap(snap.properties)
         targets = [
             f for f in snap.files
-            if all(f.partition_values.get(k) == str(v) for k, v in where.items())
+            if all(
+                f.partition_values.get(cmap.get(k, k)) == str(v)
+                for k, v in where.items()
+            )
         ]
         df = table._read_files(snap, targets)
     else:

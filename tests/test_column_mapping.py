@@ -118,3 +118,22 @@ def test_sql_routes_rename_and_drop(spark, tmp_path, t):
     door.sql("ALTER TABLE tbl DROP COLUMN grp")
     cols = door.table("tbl").load().columns
     assert "grp" not in cols and {"k", "value"} <= set(cols)
+
+
+def test_optimize_where_on_renamed_partition_column(spark, tmp_path):
+    from delta_lake_optimizations_spark.table import optimize
+
+    t = GraftTable(spark, os.path.join(tmp_path, "ow"))
+    df = spark.range(200).select(
+        F.col("id").alias("k"), (F.col("id") % 2).alias("bucket")
+    )
+    t.write(df.repartition(6), partition_by=["bucket"])
+    t.rename_column("bucket", "shard")
+    before = len(t.snapshot().files)
+    optimize(t, where={"shard": "0"}, target_files=1)
+    snap = t.snapshot()
+    # only the shard=0 partition was compacted; shard=1 files untouched
+    zero = [f for f in snap.files if f.partition_values.get("bucket") == "0"]
+    one = [f for f in snap.files if f.partition_values.get("bucket") == "1"]
+    assert len(zero) == 1 and len(one) > 1 and before > len(snap.files)
+    assert t.load().count() == 200
