@@ -110,6 +110,79 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_overlap(train, bench, n=4)
 
 
+def embedding_decontaminate_report(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic (embedding-space) contamination report: for each corpus
+    vector, its MAX cosine against the benchmark set; only vectors at or
+    above ``threshold`` are returned.
+
+    Complements ``ngram_overlap``: paraphrased benchmark leakage carries
+    no shared n-grams but lands close in embedding space (the
+    contamination mode n-gram decontamination cannot see). Same scale
+    shape as the n-gram form — the benchmark side is tiny by definition,
+    so it broadcasts and the corpus is scanned map-side, never shuffled;
+    the aggregation shuffles only (id, partial-max) pairs.
+    """
+    from delta_lake_optimizations_spark.queries.vectors import cosine
+
+    b = F.broadcast(benchmark.select(F.col(vec_col).alias("__bv")))
+    return (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .crossJoin(b)
+        .select(F.col(id_col), cosine(F.col(vec_col), F.col("__bv")).alias("__cos"))
+        .groupBy(id_col)
+        .agg(F.round(F.max("__cos"), 6).alias("max_bench_cos"))
+        .filter(F.col("max_bench_cos") >= threshold)
+    )
+
+
+@query(
+    "decontam_embedding_similarity",
+    tags=("decontam", "similarity", "llm-pipeline"),
+    oracle="""
+        WITH bench AS (
+            SELECT embedding AS bv FROM embeddings WHERE vec_id % 50 = 0
+        ),
+        scored AS (
+            SELECT
+                e.vec_id,
+                list_sum(list_transform(
+                    list_zip(e.embedding, b.bv),
+                    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)
+                ))
+                / (
+                    SQRT(list_sum(list_transform(
+                        e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                    )))
+                    * SQRT(list_sum(list_transform(
+                        b.bv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                    )))
+                ) AS cos_sim
+            FROM embeddings e, bench b
+            WHERE e.vec_id % 50 <> 0
+        )
+        SELECT vec_id, ROUND(MAX(cos_sim), 6) AS max_bench_cos
+        FROM scored
+        GROUP BY vec_id
+        HAVING ROUND(MAX(cos_sim), 6) >= 0.5
+    """,
+)
+def decontam_embedding_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vectors semantically too close to the (synthetic) benchmark
+    slice ``vec_id % 50 == 0`` — max-cosine >= 0.5 against any benchmark
+    vector."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("vec_id") % 50 == 0)
+    corpus = emb.filter(F.col("vec_id") % 50 != 0)
+    return embedding_decontaminate_report(corpus, bench, threshold=0.5)
+
+
+
 @query(
     "decontam_clean_corpus_stats",
     tags=("text", "decontam", "llm-pipeline"),

@@ -557,3 +557,82 @@ def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-repeated 8-token-shingle profile per document."""
     documents = load_table(spark, sf_dir, "documents")
     return repeated_span_profile(documents, "doc_id", "text", k=8)
+
+
+def dedup_chunks_rewrite(
+    docs: DataFrame,
+    chunk_words: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Chunk-level exact dedup WITH corpus rewrite (the Lee et al. 2021
+    "Deduplicating Training Data Makes Language Models Better" removal
+    step, at chunk rather than suffix granularity): split every document
+    into fixed-size word chunks, keep only the corpus-wide FIRST
+    occurrence of each exact chunk (ordered by doc id, then position),
+    and reassemble each document from its surviving chunks in order.
+
+    Unlike the flagging-only dedup family, this REWRITES the corpus —
+    the output is the training text you actually keep. One shuffle keyed
+    by chunk text for the first-occurrence window, one by doc id for
+    reassembly; per-doc state is bounded by document length. Documents
+    whose every chunk appeared earlier vanish entirely (full duplicates).
+    """
+    from pyspark.sql import Window
+
+    cw = int(chunk_words)
+    toks = F.split(F.col(text_col), " ")
+    n_chunks = F.ceil(F.size(toks) / F.lit(float(cw))).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * cw + 1, cw)),
+    )
+    exploded = docs.select(
+        F.col(id_col), F.posexplode(chunks).alias("pos", "chunk")
+    )
+    w = Window.partitionBy("chunk").orderBy(F.col(id_col), F.col("pos"))
+    keep = exploded.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return keep.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "chunk"))),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("chunks_kept"),
+    )
+
+
+@query(
+    "dedup_chunks_rewrite_corpus",
+    tags=("dedup", "text", "llm-pipeline"),
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+        ),
+        chunks AS (
+            SELECT doc_id, i AS pos,
+                   array_to_string(ts[(i*5+1):(i*5+5)], ' ') AS chunk
+            FROM tok,
+                 UNNEST(generate_series(
+                     0, CAST(ceil(len(ts) / 5.0) AS BIGINT) - 1)) AS t(i)
+        ),
+        keep AS (
+            SELECT doc_id, pos, chunk,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY chunk ORDER BY doc_id, pos) AS rn
+            FROM chunks
+        )
+        SELECT doc_id,
+               string_agg(chunk, ' ' ORDER BY pos) AS clean_text,
+               COUNT(*) AS chunks_kept
+        FROM keep WHERE rn = 1
+        GROUP BY doc_id
+    """,
+)
+def dedup_chunks_rewrite_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deduplicated corpus itself: every document rebuilt from the
+    5-word chunks that did not appear earlier in the corpus."""
+    documents = load_table(spark, sf_dir, "documents")
+    return dedup_chunks_rewrite(documents, chunk_words=5)
