@@ -700,8 +700,19 @@ class GraftTable:
         overwrite_schema: bool = False,
         merge_schema: bool = False,
         extra_parameters: dict[str, Any] | None = None,
+        replace_where: list[tuple[str, str, Any]] | None = None,
     ) -> Commit:
         """Write data as a new commit.
+
+        ``replace_where`` (with mode='overwrite'): Delta's ``replaceWhere``
+        — atomically replace ONLY the rows matching the conjunctive
+        predicates ``(col, op, value)`` with the incoming data; everything
+        else is untouched. Files whose partition values prove every row
+        matches are dropped whole (zero read amplification — the common
+        partition-scoped case); files that MAY mix matching and
+        non-matching rows are rewritten keeping their non-matching rows;
+        provably-unaffected files carry over by reference. Incoming rows
+        outside the predicate are rejected (Delta's default check).
 
         ``mode``: 'overwrite' (reference S2: new snapshot replaces all
         files; schema replacement mirrors ``overwriteSchema``,
@@ -823,6 +834,56 @@ class GraftTable:
                         f"{key[len(_CONSTRAINT_PREFIX):]!r}: {expr_text}"
                     )
 
+        rw_targets: list[AddFile] = []
+        if replace_where is not None:
+            if mode != "overwrite":
+                raise ValueError("replace_where requires mode='overwrite'")
+            cond = None
+            for c, op_, v in replace_where:
+                e = _op_expr(c, op_, v)
+                cond = e if cond is None else (cond & e)
+            bad = df.filter(~cond).count()
+            if bad:
+                raise ConstraintViolationError(
+                    f"{bad} incoming row(s) fall outside the replaceWhere "
+                    f"predicate {replace_where}"
+                )
+            if base is not None:
+                if partition_by is None:
+                    partition_by = base.partition_columns
+                if base.schema is not None and not overwrite_schema and not merge_schema:
+                    base_sig = [(f.name, f.dataType) for f in base.schema.fields]
+                    new_sig = [(f.name, f.dataType) for f in df.schema.fields]
+                    if base_sig != new_sig:
+                        raise ValueError(
+                            "schema mismatch on replaceWhere write: "
+                            f"{[(n, t.simpleString()) for n, t in base_sig]} vs "
+                            f"{[(n, t.simpleString()) for n, t in new_sig]}"
+                        )
+                cmap = _colmap(merged_props)
+                phys_preds = [(cmap.get(c, c), o, v) for c, o, v in replace_where]
+                phys_parts = [cmap.get(c, c) for c in base.partition_columns]
+                rw_targets = [
+                    f for f in base.files if _file_may_match(f, phys_preds, phys_parts)
+                ]
+                # whole-file drop is only claimed when partition values
+                # PROVE every row matches (the partition-aligned case);
+                # ambiguous files are rewritten keeping non-matching rows
+                full_paths = {
+                    f.path
+                    for f in rw_targets
+                    if all(
+                        c in phys_parts and f.partition_values.get(c) == str(v)
+                        for c, o, v in phys_preds
+                        if o == "="
+                    )
+                    and all(o == "=" and c in phys_parts for c, o, v in phys_preds)
+                }
+                partial = [f for f in rw_targets if f.path not in full_paths]
+                if partial:
+                    survivors = self._read_files(base, partial).filter(~cond)
+                    df = df.unionByName(survivors)
+
         version_hint = (base.version + 1) if base is not None else 0
         rel_dir = self._new_data_dir(version_hint)
         self._write_data(df, rel_dir, partition_by, merged_props)
@@ -860,6 +921,15 @@ class GraftTable:
             remove: list[str] = []
             operation = "WRITE"
             params = {"mode": "Append"}
+        elif replace_where is not None and base is not None:
+            remove = expand_removes(base, [f.path for f in rw_targets], adds)
+            operation = "WRITE"
+            params = {
+                "mode": "Overwrite",
+                "replaceWhere": [
+                    [c, o, _json_safe(v)] for c, o, v in replace_where
+                ],
+            }
         else:
             remove = (
                 expand_removes(base, [f.path for f in base.files], adds)
