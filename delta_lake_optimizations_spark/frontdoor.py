@@ -25,6 +25,7 @@ Usage::
 from __future__ import annotations
 
 import re
+from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
@@ -297,6 +298,51 @@ class GraftCatalog:
         commit = self.table(m.group("table")).drop_constraint(m.group("name"))
         return self._row(("table", "version"), (m.group("table"), commit.version))
 
+    def _h_insert(self, m: re.Match) -> DataFrame:
+        """INSERT INTO (append) / INSERT OVERWRITE (replace) from any
+        SELECT — the source query goes through the normal dispatcher, so
+        time-travel clauses and registered views all work. INSERT
+        OVERWRITE with a trailing ``REPLACE WHERE col = value`` clause
+        maps to the predicate-scoped replaceWhere write."""
+        name = m.group("table")
+        body = m.group("query").strip()
+        rw = None
+        rw_match = re.match(
+            r"REPLACE\s+WHERE\s+(?P<col>\w+)\s*=\s*(?P<val>'[^']*'|\S+)\s+(?P<rest>SELECT.+)$",
+            body,
+            re.I | re.S,
+        )
+        if m.group("ow") and rw_match:
+            raw = rw_match.group("val")
+            val: Any = _unquote(raw)
+            if raw == val:  # unquoted — try numeric
+                try:
+                    val = int(raw)
+                except ValueError:
+                    try:
+                        val = float(raw)
+                    except ValueError:
+                        pass
+            rw = [(rw_match.group("col"), "=", val)]
+            body = rw_match.group("rest")
+        df = self.spark.sql(self._rewrite_time_travel(body))
+        # ANSI INSERT semantics: columns map POSITIONALLY onto the table
+        # schema and store-assignment casts the declared types (an INSERT
+        # of literal ints into bigint columns must succeed).
+        schema = self.table(name).snapshot().schema
+        if schema is not None and len(schema.fields) == len(df.columns):
+            from pyspark.sql import functions as F
+
+            df = df.toDF(*[f.name for f in schema.fields]).select(
+                *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+            )
+        if m.group("ow"):
+            commit = self.table(name).write(df, mode="overwrite", replace_where=rw)
+        else:
+            commit = self.table(name).write(df, mode="append")
+        self._refresh(name)
+        return self._row(("table", "version"), (name, commit.version))
+
     def _h_rename_column(self, m: re.Match) -> DataFrame:
         commit = self.table(m.group("table")).rename_column(
             m.group("old"), m.group("new")
@@ -565,6 +611,14 @@ class GraftCatalog:
                 re.I,
             ),
             _h_drop_constraint,
+        ),
+        (
+            re.compile(
+                rf"INSERT\s+(?:(?P<ow>OVERWRITE)|INTO)\s+(?:TABLE\s+)?"
+                rf"(?P<table>{_IDENT})\s+(?P<query>(?:REPLACE\s+WHERE\s+.+?)?(?:SELECT|VALUES|WITH)\s+.+)$",
+                re.I | re.S,
+            ),
+            _h_insert,
         ),
         (
             re.compile(

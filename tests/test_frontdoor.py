@@ -415,3 +415,32 @@ def test_restore_to_timestamp_sql(spark, tmp_path):
     out = cat.sql(f"RESTORE TABLE sup_r TO TIMESTAMP AS OF '{ts}'").collect()[0]
     assert out["restoredVersion"] == 0
     assert cat.table("sup_r").load().count() == n0
+
+
+def test_insert_into_and_overwrite_sql(spark, tmp_path):
+    cat = GraftCatalog(spark)
+    df = spark.range(10).select(
+        F.col("id").alias("k"), (F.col("id") % 2).alias("bucket")
+    )
+    cat.create("ins_t", df, str(tmp_path / "ins_t"))
+    cat.sql("INSERT INTO ins_t SELECT k + 100 AS k, bucket FROM ins_t")
+    assert cat.sql("SELECT COUNT(*) AS n FROM ins_t").first()["n"] == 20
+    cat.sql("INSERT INTO ins_t VALUES (999, 1)")
+    assert cat.sql("SELECT COUNT(*) AS n FROM ins_t WHERE k = 999").first()["n"] == 1
+    cat.sql("INSERT OVERWRITE ins_t SELECT CAST(1 AS BIGINT) AS k, CAST(0 AS BIGINT) AS bucket")
+    assert cat.sql("SELECT COUNT(*) AS n FROM ins_t").first()["n"] == 1
+
+
+def test_insert_overwrite_replace_where_sql(spark, tmp_path):
+    cat = GraftCatalog(spark)
+    df = spark.range(20).select(
+        F.col("id").alias("k"), (F.col("id") % 2).alias("bucket")
+    )
+    cat.create("rw_t", df, str(tmp_path / "rw_t"), partition_by=["bucket"])
+    cat.sql(
+        "INSERT OVERWRITE rw_t REPLACE WHERE bucket = 1 "
+        "SELECT CAST(777 AS BIGINT) AS k, CAST(1 AS BIGINT) AS bucket"
+    )
+    out = cat.sql("SELECT bucket, COUNT(*) AS n FROM rw_t GROUP BY bucket ORDER BY bucket")
+    rows = {r["bucket"]: r["n"] for r in out.collect()}
+    assert rows == {0: 10, 1: 1}
