@@ -581,7 +581,20 @@ class GraftTable:
 
         Single write-side column-mapping choke point: every caller hands a
         LOGICAL-named frame; renamed columns are written under their
-        PHYSICAL names so all files of all commits agree on disk."""
+        PHYSICAL names so all files of all commits agree on disk.
+
+        ``graft.optimizeWrite`` (Delta's optimized-write parity, on
+        partitioned tables): shuffle by the partition columns before the
+        write, so each hive partition is produced by one task — one file
+        per partition per write instead of (tasks x partitions) small
+        files. One extra shuffle at write time buys every later scan a
+        compact layout; the small-file problem the reference lab
+        demonstrates (docs/02-lab-optimizations.md:70) never forms."""
+        if (
+            partition_by
+            and (props or {}).get("graft.optimizeWrite", "").lower() == "true"
+        ):
+            df = df.repartition(*partition_by)
         cmap = _colmap(props or {})
         if cmap:
             df = df.select(

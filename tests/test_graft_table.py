@@ -676,3 +676,22 @@ def test_partition_range_pruning_typed(spark, tmp_path):
     assert got.count() == want.count()
     # range below everything scans nothing
     assert t.files_scanned(skip_where=[("o_year", "<", lo)]) == 0
+
+
+def test_optimize_write_one_file_per_partition(spark, tmp_path):
+    """graft.optimizeWrite: a many-task write into a partitioned table
+    produces one file per hive partition, not tasks x partitions."""
+    from delta_lake_optimizations_spark.table import GraftTable
+
+    df = (
+        spark.range(1000)
+        .select(F.col("id").alias("k"), (F.col("id") % 4).alias("bucket"))
+        .repartition(16)
+    )
+    plain = GraftTable(spark, os.path.join(tmp_path, "plain"))
+    plain.write(df, partition_by=["bucket"])
+    opt = GraftTable(spark, os.path.join(tmp_path, "opt"))
+    opt.write(df, partition_by=["bucket"], properties={"graft.optimizeWrite": "true"})
+    assert len(plain.snapshot().files) > 4, "without optimizeWrite: small files"
+    assert len(opt.snapshot().files) == 4, "with optimizeWrite: 1 file/partition"
+    assert opt.load().count() == 1000
