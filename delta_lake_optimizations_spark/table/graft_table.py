@@ -1228,6 +1228,8 @@ class GraftTable:
                 json.dumps(c.operation_parameters),
                 len(c.add),
                 len(c.remove),
+                sum(a.num_records for a in c.add),
+                sum(a.size for a in c.add),
             )
             for c in reversed(self.commits())
         ]
@@ -1239,6 +1241,10 @@ class GraftTable:
                 T.StructField("operationParameters", T.StringType()),
                 T.StructField("numAddedFiles", T.IntegerType()),
                 T.StructField("numRemovedFiles", T.IntegerType()),
+                # Delta operationMetrics parity: written rows/bytes per
+                # commit, from the log alone (no data scan)
+                T.StructField("numOutputRows", T.LongType()),
+                T.StructField("numOutputBytes", T.LongType()),
             ]
         )
         return self.spark.createDataFrame(rows, schema)
