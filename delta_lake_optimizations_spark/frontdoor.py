@@ -166,8 +166,33 @@ class GraftCatalog:
         # Time-travel clause inside an ordinary query: rewrite
         # "<table> VERSION AS OF n" / "<table> TIMESTAMP AS OF 'ts'" to a
         # snapshot temp view, then hand the query to Catalyst.
-        rewritten = self._rewrite_time_travel(stmt)
+        rewritten = self._rewrite_time_travel(self._rewrite_table_changes(stmt))
         return self.spark.sql(rewritten)
+
+    def _rewrite_table_changes(self, stmt: str) -> str:
+        """Delta's ``table_changes('t', from[, to])`` CDF table function:
+        rewritten to a temp view over the version-diff change feed (clone
+        module), so it composes with any surrounding SELECT."""
+
+        def sub(m: re.Match) -> str:
+            name = _unquote(m.group("name"))
+            if name not in self._tables:
+                return m.group(0)
+            from delta_lake_optimizations_spark.table.clone import diff_versions
+
+            from_v = int(m.group("fromv"))
+            to_v = int(m.group("tov")) if m.group("tov") else None
+            view = f"__cdf_{name}_{from_v}_{to_v if to_v is not None else 'latest'}"
+            diff_versions(self._tables[name], from_v, to_v).createOrReplaceTempView(view)
+            return view
+
+        return re.sub(
+            r"table_changes\s*\(\s*(?P<name>'[^']*'|\"[^\"]*\"|\w+)\s*,"
+            r"\s*(?P<fromv>\d+)\s*(?:,\s*(?P<tov>\d+)\s*)?\)",
+            sub,
+            stmt,
+            flags=re.I,
+        )
 
     def _rewrite_time_travel(self, stmt: str) -> str:
         def sub_version(m: re.Match) -> str:

@@ -266,14 +266,21 @@ def load_bloom_index(table, column: str) -> _BloomIndex | None:
 
 
 def bloom_prune(table, files: list, preds: list[tuple[str, str, Any]]) -> list:
-    """Drop files whose Bloom filter proves an ``=`` predicate can't match.
-    Conservative everywhere else: non-equality ops, missing sidecars, and
-    unindexed files all pass through."""
+    """Drop files whose Bloom filter proves an ``=`` (or every value of an
+    ``in``-list) predicate can't match. Conservative everywhere else:
+    non-equality ops, missing sidecars, and unindexed files all pass
+    through."""
     for col, op, value in preds:
-        if op != "=":
+        if op not in ("=", "in"):
             continue
         idx = load_bloom_index(table, col)
         if idx is None:
             continue
-        files = [f for f in files if idx.may_contain(f.path, value)]
+        if op == "=":
+            files = [f for f in files if idx.may_contain(f.path, value)]
+        else:
+            files = [
+                f for f in files
+                if any(idx.may_contain(f.path, v) for v in value)
+            ]
     return files

@@ -1507,6 +1507,8 @@ def _merge_schemas(base: T.StructType, incoming: T.StructType) -> T.StructType:
 
 def _op_expr(col: str, op: str, value: Any):
     c = F.col(col)
+    if op == "in":
+        return c.isin(*list(value))
     return {
         "=": c == value,
         "<": c < value,
@@ -1520,8 +1522,16 @@ def _file_may_match(
     f: AddFile, preds: list[tuple[str, str, Any]], partition_columns: list[str]
 ) -> bool:
     """Conservative min/max + partition-value check: False only when the
-    file provably contains no matching row."""
+    file provably contains no matching row. ``in`` treats the value as an
+    iterable: the file survives if ANY listed value could match."""
     for col, op, value in preds:
+        if op == "in":
+            if not any(
+                _file_may_match(f, [(col, "=", v)], partition_columns)
+                for v in value
+            ):
+                return False
+            continue
         if col in partition_columns:
             pv = f.partition_values.get(col)
             if pv is not None:

@@ -193,3 +193,23 @@ def test_bloom_time_travel_after_dv_delete_no_false_negative(spark, tmp_path):
     # time travel to v0: the row must still be findable through the bloom
     rows = t.load(version=v0, skip_where=probe).collect()
     assert len(rows) == 1 and rows[0]["id"] == 1234
+
+
+def test_in_list_skipping_and_bloom(spark, tmp_path):
+    """IN-list predicates prune via min/max stats AND bloom sidecars: a
+    list of absent keys drops every file; a list containing one present
+    key keeps only that key's true span."""
+    import os as _os
+
+    from delta_lake_optimizations_spark.table import GraftTable
+    from delta_lake_optimizations_spark.table.bloom import bloom_build
+
+    t = GraftTable(spark, _os.path.join(tmp_path, "inl"))
+    df = spark.range(1000).select(F.col("id").alias("k"), (F.col("id") % 7).alias("v"))
+    t.write(df.repartition(8))
+    bloom_build(t, ["k"])
+    n_files = len(t.snapshot().files)
+    assert t.files_scanned(skip_where=[("k", "in", [-5, -6])]) == 0
+    kept = t.files_scanned(skip_where=[("k", "in", [3, -5])])
+    assert 1 <= kept < n_files
+    assert t.load(skip_where=[("k", "in", [3, 500, -1])]).count() == 2

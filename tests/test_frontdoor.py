@@ -444,3 +444,20 @@ def test_insert_overwrite_replace_where_sql(spark, tmp_path):
     out = cat.sql("SELECT bucket, COUNT(*) AS n FROM rw_t GROUP BY bucket ORDER BY bucket")
     rows = {r["bucket"]: r["n"] for r in out.collect()}
     assert rows == {0: 10, 1: 1}
+
+
+def test_table_changes_sql(spark, tmp_path):
+    cat = GraftCatalog(spark)
+    df = spark.range(5).select(F.col("id").alias("k"))
+    cat.create("cdf_t", df, str(tmp_path / "cdf_t"))
+    cat.sql("INSERT INTO cdf_t VALUES (100)")
+    cat.sql("DELETE FROM cdf_t WHERE k = 0")
+    out = cat.sql(
+        "SELECT _change_type, COUNT(*) AS n FROM table_changes('cdf_t', 0) "
+        "GROUP BY _change_type ORDER BY _change_type"
+    ).collect()
+    got = {r["_change_type"]: r["n"] for r in out}
+    assert got == {"insert": 1, "delete": 1}
+    # range form: only the insert commit
+    out2 = cat.sql("SELECT COUNT(*) AS n FROM table_changes('cdf_t', 0, 1)").first()["n"]
+    assert out2 == 1
