@@ -280,6 +280,7 @@ def collect_file_stats(
     maxs: dict[str, Any] = {}
     nulls: dict[str, int] = {}
     no_stats: set[str] = set()
+    no_null_stats: set[str] = set()
     ncols = min(md.num_columns, max_columns)
     for rg in range(md.num_row_groups):
         g = md.row_group(rg)
@@ -289,7 +290,18 @@ def collect_file_stats(
             if "." in name:  # nested/list leaf — not skippable
                 continue
             st = col.statistics
-            if st is None or not st.has_min_max:
+            if st is None:
+                no_stats.add(name)
+                no_null_stats.add(name)
+                continue
+            # null counts are valid even for columns with no min/max (an
+            # all-null column has a null_count but no min/max) — needed
+            # for IS [NOT] NULL file skipping
+            if st.null_count is not None:
+                nulls[name] = nulls.get(name, 0) + st.null_count
+            else:
+                no_null_stats.add(name)
+            if not st.has_min_max:
                 no_stats.add(name)
                 continue
             mn, mx = _json_safe(st.min), _json_safe(st.max)
@@ -298,10 +310,11 @@ def collect_file_stats(
                 continue
             mins[name] = mn if name not in mins else min(mins[name], mn)
             maxs[name] = mx if name not in maxs else max(maxs[name], mx)
-            nulls[name] = nulls.get(name, 0) + (st.null_count or 0)
     for name in no_stats:  # any stats-less row group poisons the column
         mins[name] = None
         maxs[name] = None
+    for name in no_null_stats:  # incomplete counts would claim false proofs
+        nulls.pop(name, None)
     return num_records, {"minValues": mins, "maxValues": maxs, "nullCounts": nulls}
 
 
@@ -1509,6 +1522,10 @@ def _op_expr(col: str, op: str, value: Any):
     c = F.col(col)
     if op == "in":
         return c.isin(*list(value))
+    if op == "isnull":
+        return c.isNull()
+    if op == "notnull":
+        return c.isNotNull()
     return {
         "=": c == value,
         "<": c < value,
@@ -1530,6 +1547,17 @@ def _file_may_match(
                 _file_may_match(f, [(col, "=", v)], partition_columns)
                 for v in value
             ):
+                return False
+            continue
+        if op in ("isnull", "notnull"):
+            # nullCounts-based pruning: a file with zero nulls can't serve
+            # IS NULL; a file that is ALL nulls can't serve IS NOT NULL
+            nc = f.stats.get("nullCounts", {}).get(col)
+            if nc is None:
+                continue
+            if op == "isnull" and int(nc) == 0:
+                return False
+            if op == "notnull" and int(nc) == f.num_records:
                 return False
             continue
         if col in partition_columns:

@@ -695,3 +695,23 @@ def test_optimize_write_one_file_per_partition(spark, tmp_path):
     assert len(plain.snapshot().files) > 4, "without optimizeWrite: small files"
     assert len(opt.snapshot().files) == 4, "with optimizeWrite: 1 file/partition"
     assert opt.load().count() == 1000
+
+
+def test_null_predicate_file_skipping(spark, tmp_path):
+    """IS NULL / IS NOT NULL skip files using nullCounts footer stats."""
+    from delta_lake_optimizations_spark.table import GraftTable
+
+    t = GraftTable(spark, os.path.join(tmp_path, "nulls"))
+    no_nulls = spark.range(100).select(
+        F.col("id").alias("k"), F.col("id").cast("string").alias("v")
+    )
+    all_nulls = spark.range(100, 150).select(
+        F.col("id").alias("k"), F.lit(None).cast("string").alias("v")
+    )
+    t.write(no_nulls.coalesce(1))
+    t.write(all_nulls.coalesce(1), mode="append")
+    assert len(t.snapshot().files) == 2
+    assert t.files_scanned(skip_where=[("v", "isnull", None)]) == 1
+    assert t.files_scanned(skip_where=[("v", "notnull", None)]) == 1
+    assert t.load(skip_where=[("v", "isnull", None)]).count() == 50
+    assert t.load(skip_where=[("v", "notnull", None)]).count() == 100
