@@ -101,6 +101,27 @@ def optimize(
         df = table._read_files(snap, targets)
     else:
         targets = list(snap.files)
+        df = None
+    # Selective compaction (Delta's minFileSize semantics): a plain
+    # bin-packing OPTIMIZE only rewrites files under half the target size
+    # — right-sized files carry over by reference, so recompaction cost is
+    # ∝ small files, not table size (a steady-append table with
+    # auto-compact no longer rewrites its big files every cycle). Z-order
+    # and explicit target_files still rewrite everything: re-clustering /
+    # exact-count requests are whole-layout operations by definition.
+    if zorder_by is None and target_files is None:
+        cutoff = target_file_mb * 1024 * 1024 // 2
+        small = [f for f in targets if f.size < cutoff]
+        if len(small) < 2:
+            return table._write_commit(
+                "OPTIMIZE",
+                {"targetFileMb": target_file_mb, "numFilesBefore": len(targets),
+                 "numFilesCompacted": 0},
+                [], [], None, base_version=snap.version,
+            )
+        targets = small
+        df = table._read_files(snap, targets)
+    elif df is None:
         df = table.load()
     total_bytes = sum(f.size for f in targets)
     if target_files is not None:

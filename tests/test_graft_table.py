@@ -715,3 +715,32 @@ def test_null_predicate_file_skipping(spark, tmp_path):
     assert t.files_scanned(skip_where=[("v", "notnull", None)]) == 1
     assert t.load(skip_where=[("v", "isnull", None)]).count() == 50
     assert t.load(skip_where=[("v", "notnull", None)]).count() == 100
+
+
+def test_selective_optimize_leaves_right_sized_files(spark, tmp_path):
+    """Plain bin-packing OPTIMIZE rewrites only under-sized files; files
+    already at/above half the target carry over by reference (recompaction
+    cost follows the small files, not the table)."""
+    from delta_lake_optimizations_spark.table import GraftTable, optimize
+
+    t = GraftTable(spark, os.path.join(tmp_path, "sel"))
+    # one "big" file (~ >0.5 MB) + many tiny appended files
+    big = spark.range(200_000).select(
+        F.col("id").alias("k"), F.sha2(F.col("id").cast("string"), 256).alias("pad")
+    )
+    t.write(big.coalesce(1))
+    big_paths = {f.path for f in t.snapshot().files}
+    small = spark.range(100).select(
+        F.col("id").alias("k"), F.sha2(F.col("id").cast("string"), 256).alias("pad")
+    )
+    t.write(small.repartition(6), mode="append")
+    assert len(t.snapshot().files) == 7
+    optimize(t, target_file_mb=1)
+    snap = t.snapshot()
+    assert big_paths <= {f.path for f in snap.files}, "right-sized file untouched"
+    assert len(snap.files) == 2, "six small files packed into one"
+    assert t.load().count() == 200_100
+    # second run: nothing under-sized left -> no-op commit, zero rewrites
+    before = {f.path for f in snap.files}
+    optimize(t, target_file_mb=1)
+    assert {f.path for f in t.snapshot().files} == before
