@@ -473,6 +473,19 @@ class GraftCatalog:
         self.register(m.group("table"), _unquote(m.group("loc")))
         return self._row(("table",), (m.group("table"),))
 
+    def _h_ctas(self, m: re.Match) -> DataFrame:
+        """CREATE TABLE ... [PARTITIONED BY (...)] LOCATION '...' AS
+        SELECT — the CTAS form: run the query, write it as a new
+        GraftTable, register the name."""
+        df = self.spark.sql(self._rewrite_time_travel(m.group("query").strip()))
+        parts = None
+        if m.group("parts"):
+            parts = [c.strip().strip("`") for c in m.group("parts").split(",") if c.strip()]
+        self.create(
+            m.group("table"), df, _unquote(m.group("loc")), partition_by=parts
+        )
+        return self._row(("table",), (m.group("table"),))
+
     def _h_analyze(self, m: re.Match) -> DataFrame:
         """ANALYZE TABLE t COMPUTE STATISTICS [FOR ALL COLUMNS] — the
         reference's T2 stats-injection flow (docs/02-lab-optimizations.md:
@@ -612,6 +625,17 @@ class GraftCatalog:
                 re.I,
             ),
             _h_create_location,
+        ),
+        (
+            re.compile(
+                rf"CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<table>{_IDENT})\s+"
+                rf"(?:USING\s+(?:DELTA|GRAFT)\s+)?"
+                rf"(?:PARTITIONED\s+BY\s*\((?P<parts>[^)]*)\)\s+)?"
+                rf"LOCATION\s+(?P<loc>'[^']*'|\"[^\"]*\")\s+"
+                rf"AS\s+(?P<query>(?:SELECT|VALUES|WITH)\s+.+)$",
+                re.I | re.S,
+            ),
+            _h_ctas,
         ),
         (
             re.compile(

@@ -461,3 +461,17 @@ def test_table_changes_sql(spark, tmp_path):
     # range form: only the insert commit
     out2 = cat.sql("SELECT COUNT(*) AS n FROM table_changes('cdf_t', 0, 1)").first()["n"]
     assert out2 == 1
+
+
+def test_create_table_as_select_sql(spark, tmp_path):
+    cat = GraftCatalog(spark)
+    base = spark.range(20).select(F.col("id").alias("k"), (F.col("id") % 2).alias("b"))
+    cat.create("ctas_src", base, str(tmp_path / "ctas_src"))
+    cat.sql(
+        f"CREATE TABLE ctas_dst PARTITIONED BY (b) LOCATION '{tmp_path}/ctas_dst' "
+        "AS SELECT k, b FROM ctas_src WHERE k < 10"
+    )
+    t = cat.table("ctas_dst")
+    assert t.load().count() == 10
+    assert t.snapshot().partition_columns == ["b"]
+    assert cat.sql("SELECT COUNT(*) AS n FROM ctas_dst").first()["n"] == 10
