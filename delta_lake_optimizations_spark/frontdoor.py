@@ -323,6 +323,31 @@ class GraftCatalog:
         commit = self.table(m.group("table")).drop_constraint(m.group("name"))
         return self._row(("table", "version"), (m.group("table"), commit.version))
 
+    def _h_reorg(self, m: re.Match) -> DataFrame:
+        from delta_lake_optimizations_spark.table import reorg_purge
+
+        commit = reorg_purge(self.table(m.group("table")))
+        self._refresh(m.group("table"))
+        return self._row(
+            ("table", "version", "numFilesPurged"),
+            (
+                m.group("table"),
+                commit.version,
+                commit.operation_parameters.get("numFilesPurged", 0),
+            ),
+        )
+
+    def _h_fsck(self, m: re.Match) -> DataFrame:
+        from delta_lake_optimizations_spark.table import fsck_repair
+
+        rep = fsck_repair(self.table(m.group("table")), dry_run=m.group("dry") is not None)
+        if not rep["dry_run"]:
+            self._refresh(m.group("table"))
+        return self._row(
+            ("table", "numMissingFiles", "dryRun"),
+            (m.group("table"), len(rep["missing_files"]), str(rep["dry_run"]).lower()),
+        )
+
     def _h_insert(self, m: re.Match) -> DataFrame:
         """INSERT INTO (append) / INSERT OVERWRITE (replace) from any
         SELECT — the source query goes through the normal dispatcher, so
@@ -660,6 +685,20 @@ class GraftCatalog:
                 re.I,
             ),
             _h_drop_constraint,
+        ),
+        (
+            re.compile(
+                rf"REORG\s+TABLE\s+(?P<table>{_IDENT})\s+APPLY\s*\(\s*PURGE\s*\)$",
+                re.I,
+            ),
+            _h_reorg,
+        ),
+        (
+            re.compile(
+                rf"FSCK\s+REPAIR\s+TABLE\s+(?P<table>{_IDENT})(?P<dry>\s+DRY\s+RUN)?$",
+                re.I,
+            ),
+            _h_fsck,
         ),
         (
             re.compile(

@@ -26,7 +26,9 @@ from delta_lake_optimizations_spark.table.graft_table import (
 )
 from delta_lake_optimizations_spark.table.maintenance import (
     delete,
+    fsck_repair,
     optimize,
+    reorg_purge,
     restore,
     update,
     vacuum,
@@ -48,10 +50,12 @@ __all__ = [
     "convert_to_graft",
     "create_matview",
     "delete",
+    "fsck_repair",
     "matview_is_fresh",
     "merge",
     "optimize",
     "refresh_matview",
+    "reorg_purge",
     "restore",
     "update",
     "vacuum",

@@ -618,3 +618,52 @@ def _prune_bloom_sidecars(table: GraftTable, deleted: set[str]) -> None:
         with open(tmp, "w") as fh:
             _json.dump(sc, fh)
         os.replace(tmp, path)
+
+
+def reorg_purge(table: GraftTable) -> Commit:
+    """``REORG TABLE ... APPLY (PURGE)`` (Delta parity): materialize
+    soft-deletes by rewriting ONLY the files that carry deletion vectors,
+    dropping their tombstoned rows; every DV-free file carries over by
+    reference. After the commit the snapshot references no deletion
+    vectors, so scans stop paying the anti-join and VACUUM can reclaim
+    the DV directories. Cost ∝ DV-carrying files, not table size."""
+    snap = table.snapshot()
+    targets = [f for f in snap.files if f.dv_path]
+    if not targets:
+        return table._write_commit(
+            "REORG", {"applyPurge": True, "numFilesPurged": 0}, [], [],
+            base_version=snap.version,
+        )
+    clean = table._read_files(snap, targets)  # DVs applied at read
+    rel_dir = table._new_data_dir(snap.version + 1)
+    table._write_data(clean, rel_dir, snap.partition_columns or None, snap.properties)
+    adds = table._scan_written_files(rel_dir, snap.properties)
+    return table._write_commit(
+        "REORG",
+        {"applyPurge": True, "numFilesPurged": len(targets)},
+        adds,
+        expand_removes(snap, [f.path for f in targets], adds),
+        base_version=snap.version,
+    )
+
+
+def fsck_repair(table: GraftTable, dry_run: bool = False) -> dict[str, Any]:
+    """``FSCK REPAIR TABLE`` (Delta parity): drop snapshot references to
+    data files that no longer exist on disk (lost to manual deletion or
+    storage failure), so scans stop failing on missing inputs. Driver-side
+    existence checks only — no data I/O. Returns the report; with
+    ``dry_run=False`` commits the removal (history still records the lost
+    paths; time travel to versions needing them will fail, as in Delta)."""
+    snap = table.snapshot()
+    missing = [
+        f.path for f in snap.files
+        if not os.path.isfile(os.path.join(table.path, f.path))
+    ]
+    report = {"missing_files": sorted(missing), "dry_run": dry_run}
+    if missing and not dry_run:
+        commit = table._write_commit(
+            "FSCK", {"numRemovedFiles": len(missing)}, [], list(missing),
+            base_version=snap.version,
+        )
+        report["version"] = commit.version
+    return report

@@ -139,3 +139,48 @@ def test_partitioned_dv_delete(spark, tmp_path):
     out = t.load()
     assert out.count() == 400 - 20
     assert out.filter("part = '1'").count() == 80
+
+
+def test_reorg_purge_materializes_dvs(spark, tmp_path):
+    """REORG APPLY (PURGE) rewrites only DV-carrying files; the purged
+    snapshot references no deletion vectors and scans stay correct."""
+    import os as _os
+
+    from delta_lake_optimizations_spark.table import GraftTable, delete, reorg_purge
+
+    t = GraftTable(spark, _os.path.join(tmp_path, "rp"))
+    t.write(
+        spark.range(100)
+        .selectExpr("id AS k", "id * 2 AS v")
+        .repartition(4)
+    )
+    clean_before = {f.path for f in t.snapshot().files}
+    delete(t, "k < 10", deletion_vectors=True)
+    assert any(f.dv_path for f in t.snapshot().files)
+    dv_free = {f.path for f in t.snapshot().files if not f.dv_path}
+    commit = reorg_purge(t)
+    snap = t.snapshot()
+    assert not any(f.dv_path for f in snap.files), "no DVs after purge"
+    assert dv_free <= {f.path for f in snap.files}, "DV-free files untouched"
+    assert commit.operation_parameters["numFilesPurged"] >= 1
+    assert t.load().count() == 90
+    # idempotent: second purge is a no-op commit
+    assert reorg_purge(t).operation_parameters["numFilesPurged"] == 0
+
+
+def test_fsck_repair_drops_missing_files(spark, tmp_path):
+    import os as _os
+
+    from delta_lake_optimizations_spark.table import GraftTable, fsck_repair
+
+    t = GraftTable(spark, _os.path.join(tmp_path, "fsck"))
+    t.write(spark.range(100).selectExpr("id AS k").repartition(4))
+    victim = t.snapshot().files[0]
+    _os.remove(_os.path.join(t.path, victim.path))
+    rep = fsck_repair(t, dry_run=True)
+    assert rep["missing_files"] == [victim.path]
+    assert len(t.snapshot().files) == 4, "dry run commits nothing"
+    rep = fsck_repair(t)
+    assert rep["missing_files"] == [victim.path] and "version" in rep
+    assert len(t.snapshot().files) == 3
+    assert t.load().count() == 75

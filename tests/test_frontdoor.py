@@ -475,3 +475,22 @@ def test_create_table_as_select_sql(spark, tmp_path):
     assert t.load().count() == 10
     assert t.snapshot().partition_columns == ["b"]
     assert cat.sql("SELECT COUNT(*) AS n FROM ctas_dst").first()["n"] == 10
+
+
+def test_reorg_and_fsck_sql(spark, tmp_path):
+    import os as _os
+
+    cat = GraftCatalog(spark)
+    df = spark.range(50).select(F.col("id").alias("k"))
+    cat.create("mnt_t", df, str(tmp_path / "mnt_t"))
+    cat.sql("DELETE FROM mnt_t WHERE k < 5")
+    out = cat.sql("REORG TABLE mnt_t APPLY (PURGE)").first()
+    assert out["table"] == "mnt_t"
+    t = cat.table("mnt_t")
+    victim = t.snapshot().files[0]
+    _os.remove(_os.path.join(t.path, victim.path))
+    dry = cat.sql("FSCK REPAIR TABLE mnt_t DRY RUN").first()
+    assert dry["numMissingFiles"] == 1 and dry["dryRun"] == "true"
+    fixed = cat.sql("FSCK REPAIR TABLE mnt_t").first()
+    assert fixed["numMissingFiles"] == 1 and fixed["dryRun"] == "false"
+    assert cat.sql("SELECT COUNT(*) AS n FROM mnt_t").first()["n"] == t.load().count()
