@@ -619,6 +619,11 @@ class GraftTable:
         codec = (props or {}).get(COMPRESSION_PROP)
         if codec:
             writer = writer.option("compression", codec)
+        # cap rows per output file (Spark splits a task's output into
+        # multiple files) — bounds file size without a repartition
+        mrpf = (props or {}).get("graft.maxRecordsPerFile")
+        if mrpf:
+            writer = writer.option("maxRecordsPerFile", int(mrpf))
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(os.path.join(self.path, rel_dir))

@@ -778,3 +778,17 @@ def test_cluster_by_sorts_appends_for_skipping(spark, tmp_path):
         assert f.stats["minValues"]["k"] is not None
     # correctness unchanged
     assert t.load().count() == 20_000
+
+
+def test_max_records_per_file_property(spark, tmp_path):
+    from delta_lake_optimizations_spark.table import GraftTable
+
+    t = GraftTable(spark, os.path.join(tmp_path, "mrpf"))
+    t.write(
+        spark.range(1000).selectExpr("id AS k").coalesce(1),
+        properties={"graft.maxRecordsPerFile": "250"},
+    )
+    snap = t.snapshot()
+    assert len(snap.files) == 4
+    assert all(f.num_records == 250 for f in snap.files)
+    assert t.load().count() == 1000
