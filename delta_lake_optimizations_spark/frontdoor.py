@@ -323,6 +323,14 @@ class GraftCatalog:
         commit = self.table(m.group("table")).drop_constraint(m.group("name"))
         return self._row(("table", "version"), (m.group("table"), commit.version))
 
+    def _h_show_tblproperties(self, m: re.Match) -> DataFrame:
+        props = self.table(m.group("table")).snapshot().properties
+        rows = [(k, v) for k, v in sorted(props.items())]
+        schema = T.StructType(
+            [T.StructField("key", T.StringType()), T.StructField("value", T.StringType())]
+        )
+        return self.spark.createDataFrame(rows, schema)
+
     def _h_reorg(self, m: re.Match) -> DataFrame:
         from delta_lake_optimizations_spark.table import reorg_purge
 
@@ -685,6 +693,13 @@ class GraftCatalog:
                 re.I,
             ),
             _h_drop_constraint,
+        ),
+        (
+            re.compile(
+                rf"SHOW\s+TBLPROPERTIES\s+(?P<table>{_IDENT})$",
+                re.I,
+            ),
+            _h_show_tblproperties,
         ),
         (
             re.compile(

@@ -760,6 +760,17 @@ class GraftTable:
         base = self.snapshot() if existed else None
         if mode == "error" and existed:
             raise FileExistsError(f"table exists at {self.path}")
+        # delta.appendOnly parity: a table marked append-only refuses any
+        # write that could drop rows (overwrite/replaceWhere); DML verbs
+        # check the same property (maintenance module).
+        if (
+            base is not None
+            and base.properties.get("delta.appendOnly", "").lower() == "true"
+            and (mode != "append" or replace_where is not None)
+        ):
+            raise ConstraintViolationError(
+                "table is delta.appendOnly=true: only plain appends allowed"
+            )
 
         merged_props = dict(base.properties) if base is not None else {}
         if properties:

@@ -34,6 +34,14 @@ CLUSTER_BY_PROP = "graft.cluster.by"
                               # (docs/02-lab-optimizations.md:346)
 
 
+def _refuse_if_append_only(table: GraftTable, verb: str) -> None:
+    """delta.appendOnly parity: row-dropping verbs are refused."""
+    props = table.snapshot().properties
+    if props.get("delta.appendOnly", "").lower() == "true":
+        raise ValueError(f"table is delta.appendOnly=true: {verb} refused")
+
+
+
 # ---------------------------------------------------------------------------
 # OPTIMIZE (M1) + V-Order approximation (M2) + Z-Order (M3)
 # ---------------------------------------------------------------------------
@@ -276,6 +284,7 @@ def delete(
     rewrite into an O(deleted-rows) write; run OPTIMIZE later to fold
     DVs into clean files (any rewrite clears them naturally).
     """
+    _refuse_if_append_only(table, "DELETE")
     snap = table.snapshot()
     df = table._read_files(snap, snap.files, with_provenance=True)
     pred = F.expr(predicate)
@@ -395,6 +404,7 @@ def update(
     contain matching rows; each is rewritten with
     ``CASE WHEN p THEN expr ELSE c END`` per updated column. ``set`` maps
     column name -> SQL expression string or Column."""
+    _refuse_if_append_only(table, "UPDATE")
     snap = table.snapshot()
     df = table._read_files(snap, snap.files, with_provenance=True)
     pred = F.expr(predicate) if predicate is not None else F.lit(True)

@@ -64,6 +64,9 @@ def merge(
     you KNOW the source is dimension-sized; an unconditional broadcast of
     a large source (the 100 TB CDC story) would OOM the driver.
     """
+    from delta_lake_optimizations_spark.table.maintenance import _refuse_if_append_only
+
+    _refuse_if_append_only(table, "MERGE")
     if when_matched_delete and when_matched_update:
         raise ValueError("choose update OR delete for matched rows")
 

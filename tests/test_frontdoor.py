@@ -494,3 +494,12 @@ def test_reorg_and_fsck_sql(spark, tmp_path):
     fixed = cat.sql("FSCK REPAIR TABLE mnt_t").first()
     assert fixed["numMissingFiles"] == 1 and fixed["dryRun"] == "false"
     assert cat.sql("SELECT COUNT(*) AS n FROM mnt_t").first()["n"] == t.load().count()
+
+
+def test_show_tblproperties_sql(spark, tmp_path):
+    cat = GraftCatalog(spark)
+    df = spark.range(5).select(F.col("id").alias("k"))
+    cat.create("props_t", df, str(tmp_path / "props_t"))
+    cat.sql("ALTER TABLE props_t SET TBLPROPERTIES ('graft.cluster.by' = 'k')")
+    rows = {r["key"]: r["value"] for r in cat.sql("SHOW TBLPROPERTIES props_t").collect()}
+    assert rows.get("graft.cluster.by") == "k"

@@ -792,3 +792,30 @@ def test_max_records_per_file_property(spark, tmp_path):
     assert len(snap.files) == 4
     assert all(f.num_records == 250 for f in snap.files)
     assert t.load().count() == 1000
+
+
+def test_append_only_table_refuses_row_dropping_verbs(spark, tmp_path):
+    """delta.appendOnly=true: appends fine; overwrite, replaceWhere,
+    DELETE, UPDATE, MERGE all refused."""
+    import pytest as _pytest
+
+    from delta_lake_optimizations_spark.table import GraftTable, delete, merge, update
+    from delta_lake_optimizations_spark.table.graft_table import (
+        ConstraintViolationError,
+    )
+
+    t = GraftTable(spark, os.path.join(tmp_path, "ao"))
+    df = spark.range(10).selectExpr("id AS k")
+    t.write(df, properties={"delta.appendOnly": "true"})
+    t.write(df, mode="append")  # fine
+    assert t.load().count() == 20
+    with _pytest.raises(ConstraintViolationError, match="appendOnly"):
+        t.write(df, mode="overwrite")
+    with _pytest.raises(ConstraintViolationError, match="appendOnly"):
+        t.write(df, replace_where=[("k", "=", 1)])
+    with _pytest.raises(ValueError, match="appendOnly"):
+        delete(t, "k = 1")
+    with _pytest.raises(ValueError, match="appendOnly"):
+        update(t, {"k": "k + 1"}, "k = 1")
+    with _pytest.raises(ValueError, match="appendOnly"):
+        merge(t, df, on=["k"])

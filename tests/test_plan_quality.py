@@ -234,3 +234,25 @@ def test_text_normalize_is_map_only(spark):
     assert s["exchanges"] == 0, "normalization must run at scan speed"
     cols = read_columns(df)
     assert all(len(c) <= 2 for c in cols), cols
+
+
+def test_embedding_decontam_broadcasts_benchmark(spark):
+    """The benchmark vector side must broadcast (BroadcastNestedLoopJoin
+    for the cross join) — the corpus side is scanned map-side, and the
+    only shuffle is the per-id max aggregation."""
+    df = _DEFS["decontam_embedding_similarity"].fn(spark, SF_DIR)
+    s = plan_summary(df)
+    assert s["sort_merge_joins"] == 0, s
+    assert s["exchanges"] <= 2, s  # partial/final max only
+    assert not s["global_window"], s
+
+
+def test_chunk_dedup_rewrite_bounded_shuffles(spark):
+    """Chunk dedup + reassembly: one shuffle keyed by chunk (first-
+    occurrence window), one by doc id (reassembly) — nothing global."""
+    df = _DEFS["dedup_chunks_rewrite_corpus"].fn(spark, SF_DIR)
+    s = plan_summary(df)
+    assert s["exchanges"] <= 3, s
+    assert not s["single_partition"], s
+    cols = read_columns(df)
+    assert cols and all(set(c) <= {"doc_id", "text"} for c in cols), cols
