@@ -315,3 +315,75 @@ def weighted_sample_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample_bernoulli(documents, "n_chars", 0.2, "doc_id").select(
         "doc_id", "n_chars"
     )
+
+
+def temperature_rebalance(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    temperature: float,
+) -> DataFrame:
+    """Temperature-scaled mixture sampling (the multilingual-LM recipe:
+    target share ∝ empirical_share^(1/T)). T=1 keeps the corpus as-is,
+    T→∞ flattens toward uniform across groups — boosting low-resource
+    groups' RELATIVE share without upsampling (downsample-only, like
+    :func:`mixture_rebalance`, which this composes: the per-group counts
+    are one tiny collect, the realized quotas the same deterministic
+    best-hash-ranked keep)."""
+    if temperature <= 0:
+        raise ValueError("temperature must be > 0")
+    counts = {
+        r["g"]: r["n"]
+        for r in df.groupBy(F.col(group_col).alias("g"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    if not counts:
+        return df
+    total = sum(counts.values())
+    powered = {g: (n / total) ** (1.0 / temperature) for g, n in counts.items()}
+    z = sum(powered.values())
+    weights = {g: p / z for g, p in powered.items()}
+    return mixture_rebalance(df, group_col, key_col, weights)
+
+
+@query(
+    "temperature_rebalance_langs",
+    tags=("sampling", "curation", "llm-pipeline"),
+    oracle="""
+        WITH counts AS (
+            SELECT lang AS g, COUNT(*) AS n FROM documents GROUP BY lang
+        ),
+        tot AS (SELECT SUM(n) AS t FROM counts),
+        weights AS (
+            SELECT g, POWER(n / t, 0.5)
+                      / SUM(POWER(n / t, 0.5)) OVER () AS w
+            FROM counts CROSS JOIN tot
+        ),
+        scale AS (
+            SELECT MIN(n / w) AS c FROM counts JOIN weights USING (g)
+        ),
+        quotas AS (
+            SELECT g, CAST(FLOOR(c * w) AS BIGINT) AS q
+            FROM weights CROSS JOIN scale
+        )
+        SELECT doc_id, lang
+        FROM (
+            SELECT doc_id, lang,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+                   ) AS rn
+            FROM documents
+        ) t JOIN quotas ON t.lang = quotas.g
+        WHERE rn <= q
+    """,
+)
+def temperature_rebalance_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T=2 temperature mixture over languages: low-resource languages'
+    relative share rises toward uniform, realized by deterministic
+    downsampling."""
+    documents = load_table(spark, sf_dir, "documents")
+    return temperature_rebalance(documents, "lang", "doc_id", 2.0).select(
+        "doc_id", "lang"
+    )
