@@ -171,3 +171,64 @@ def test_chunk_windows_reconstructs_documents(spark, texts, size, stride_raw):
         rebuilt = "".join(c["chunk_text"][:stride] for c in chunks[:-1]) + chunks[-1]["chunk_text"]
         assert rebuilt == t
         assert all(c["chunk_len"] == len(c["chunk_text"]) for c in chunks)
+
+
+_rw_rows = st.lists(
+    st.integers(min_value=0, max_value=60), min_size=1, max_size=30, unique=True
+)
+_rw_new = st.lists(
+    st.integers(min_value=0, max_value=60), min_size=0, max_size=10, unique=True
+)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(keys=_rw_rows, lo=st.integers(0, 50), span=st.integers(1, 20), new=_rw_new)
+def test_replace_where_set_semantics(spark, tmp_path_factory, keys, lo, span, new):
+    """replaceWhere == (old rows NOT matching predicate) ∪ incoming, for
+    arbitrary key sets and ranges — file layout independent."""
+    import os as _os
+
+    from delta_lake_optimizations_spark.table import GraftTable
+
+    hi = lo + span
+    new_in_range = [k for k in new if lo <= k < hi]
+    root = str(tmp_path_factory.mktemp("rw"))
+    t = GraftTable(spark, _os.path.join(root, "t"))
+    t.write(
+        spark.createDataFrame([(k,) for k in keys], "k long").repartition(3)
+    )
+    t.write(
+        spark.createDataFrame([(k,) for k in new_in_range] or [], "k long"),
+        replace_where=[("k", ">=", lo), ("k", "<", hi)],
+    )
+    got = sorted(r["k"] for r in t.load().collect())
+    expect = sorted([k for k in keys if not (lo <= k < hi)] + new_in_range)
+    assert got == expect
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    sizes=st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=4),
+    parts=st.integers(min_value=1, max_value=5),
+)
+def test_identity_unique_across_appends(spark, tmp_path_factory, sizes, parts):
+    """Identity values stay globally unique and monotonic-per-write across
+    arbitrary append sizes and partitioning."""
+    import os as _os
+
+    from delta_lake_optimizations_spark.table import GraftTable
+
+    root = str(tmp_path_factory.mktemp("idp"))
+    t = GraftTable(spark, _os.path.join(root, "t"))
+    total = 0
+    for i, n in enumerate(sizes):
+        df = spark.range(n).selectExpr("id AS payload").repartition(parts)
+        t.write(
+            df,
+            mode="append" if i else "overwrite",
+            properties=None if i else {"graft.identity.id": "start=1,step=1"},
+        )
+        total += n
+    ids = [r["id"] for r in t.load().select("id").collect()]
+    assert len(ids) == total
+    assert len(set(ids)) == total, "identity collision"
