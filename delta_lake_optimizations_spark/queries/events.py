@@ -310,3 +310,39 @@ def events_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("total"), F.lit(0.0)).alias("total_value"),
         )
     )
+
+
+@query(
+    "events_transition_matrix",
+    tags=("events", "markov", "analytics"),
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   LEAD(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS next_type
+            FROM events
+        )
+        SELECT event_type AS from_type, next_type AS to_type,
+               COUNT(*) AS n
+        FROM seq
+        WHERE next_type IS NOT NULL
+        GROUP BY event_type, next_type
+    """,
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition counts between consecutive event types per user
+    (journey analysis): one shuffle on user_id for the LEAD ordering, a
+    tiny (|types|^2-row) aggregation after — the classic funnel-discovery
+    primitive at any scale."""
+    events = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        events.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
