@@ -116,12 +116,15 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "weighted_sample_by_length",
     "frequent_tokens_heavy_hitters",
     "window_percent_rank_cume_dist",
+    # NEW round-3 oracle-backed operators (added mid-round; take window
+    # slots from queries already double-proven green in r01+r02 — those
+    # keep their historical driver rows and the local gate)
+    "dedup_chunks_rewrite_corpus",
+    "decontam_embedding_similarity",
+    "temperature_rebalance_langs",
+    "events_transition_matrix",
     # proven greens re-verified (source files touched this round, or family
     # representatives keeping the window full)
-    "multimodal_manifest",
-    "column_stats_summary",
-    "array_agg_status_profile",
-    "q12_priority_shipping_classes",
     "vector_label_centroids",
     "dedup_exact_text",
     "dedup_embedding_cosine",
