@@ -166,7 +166,9 @@ class GraftCatalog:
         # Time-travel clause inside an ordinary query: rewrite
         # "<table> VERSION AS OF n" / "<table> TIMESTAMP AS OF 'ts'" to a
         # snapshot temp view, then hand the query to Catalyst.
-        rewritten = self._rewrite_time_travel(self._rewrite_table_changes(stmt))
+        rewritten = self._rewrite_time_travel(
+            self._rewrite_table_changes(self._rewrite_graft_files(stmt))
+        )
         return self.spark.sql(rewritten)
 
     def _rewrite_table_changes(self, stmt: str) -> str:
@@ -189,6 +191,50 @@ class GraftCatalog:
         return re.sub(
             r"table_changes\s*\(\s*(?P<name>'[^']*'|\"[^\"]*\"|\w+)\s*,"
             r"\s*(?P<fromv>\d+)\s*(?:,\s*(?P<tov>\d+)\s*)?\)",
+            sub,
+            stmt,
+            flags=re.I,
+        )
+
+    def _rewrite_graft_files(self, stmt: str) -> str:
+        """``graft_files('t')`` metadata table function (Iceberg's
+        ``t.files`` shape): the current snapshot's file inventory —
+        path, size, rows, live rows, partition values, has_dv — as a
+        queryable view. Pure log metadata, no data I/O."""
+
+        def sub(m: re.Match) -> str:
+            name = _unquote(m.group("name"))
+            if name not in self._tables:
+                return m.group(0)
+            t = self._tables[name]
+            snap = t.snapshot()
+            rows = [
+                (
+                    f.path,
+                    f.size,
+                    f.num_records,
+                    f.live_records,
+                    str(dict(sorted(f.partition_values.items()))),
+                    f.dv_path is not None,
+                )
+                for f in snap.files
+            ]
+            schema = T.StructType(
+                [
+                    T.StructField("path", T.StringType()),
+                    T.StructField("size_bytes", T.LongType()),
+                    T.StructField("num_records", T.LongType()),
+                    T.StructField("live_records", T.LongType()),
+                    T.StructField("partition_values", T.StringType()),
+                    T.StructField("has_deletion_vector", T.BooleanType()),
+                ]
+            )
+            view = f"__files_{name}_v{snap.version}"
+            self.spark.createDataFrame(rows, schema).createOrReplaceTempView(view)
+            return view
+
+        return re.sub(
+            r"graft_files\s*\(\s*(?P<name>'[^']*'|\"[^\"]*\"|\w+)\s*\)",
             sub,
             stmt,
             flags=re.I,
@@ -400,6 +446,13 @@ class GraftCatalog:
             commit = self.table(name).write(df, mode="append")
         self._refresh(name)
         return self._row(("table", "version"), (name, commit.version))
+
+    def _h_add_column(self, m: re.Match) -> DataFrame:
+        commit = self.table(m.group("table")).add_column(
+            m.group("col"), m.group("dtype").strip()
+        )
+        self._refresh(m.group("table"))
+        return self._row(("table", "version"), (m.group("table"), commit.version))
 
     def _h_rename_column(self, m: re.Match) -> DataFrame:
         commit = self.table(m.group("table")).rename_column(
@@ -722,6 +775,14 @@ class GraftCatalog:
                 re.I | re.S,
             ),
             _h_insert,
+        ),
+        (
+            re.compile(
+                rf"ALTER\s+TABLE\s+(?P<table>{_IDENT})\s+ADD\s+COLUMNS?\s*"
+                rf"\(?\s*(?P<col>\w+)\s+(?P<dtype>[A-Za-z0-9_<>,() ]+?)\s*\)?$",
+                re.I,
+            ),
+            _h_add_column,
         ),
         (
             re.compile(

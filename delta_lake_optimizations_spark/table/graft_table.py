@@ -1368,6 +1368,36 @@ class GraftTable:
                 return k
         return None
 
+    def add_column(self, name: str, dtype: str | T.DataType) -> Commit:
+        """ALTER TABLE ADD COLUMN — metadata-only: the field joins the
+        logical schema (nullable); historical files simply null-fill it at
+        read time (the parquet scan gets the snapshot schema), so no data
+        is rewritten. The write-side append check then expects the column
+        from future writers."""
+        snap = self.snapshot()
+        schema = snap.schema
+        if schema is None:
+            raise ValueError("table has no schema")
+        if name in [f.name for f in schema.fields]:
+            raise ValueError(f"column already exists: {name!r}")
+        dt = (
+            dtype
+            if isinstance(dtype, T.DataType)
+            else T._parse_datatype_string(dtype)
+        )
+        new_fields = [*schema.fields, T.StructField(name, dt, True)]
+        metadata = {
+            "schemaJson": json.dumps(T.StructType(new_fields).jsonValue()),
+            "partitionColumns": snap.partition_columns,
+            "properties": dict(snap.properties),
+        }
+        return self._write_commit(
+            "ADD COLUMNS",
+            {"name": name, "type": dt.simpleString()},
+            [], [], metadata,
+            base_version=snap.version,
+        )
+
     def rename_column(self, old: str, new: str) -> Commit:
         """ALTER TABLE RENAME COLUMN — metadata-only (Delta columnMapping
         parity): the logical name changes, the PHYSICAL name (creation-time

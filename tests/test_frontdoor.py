@@ -503,3 +503,31 @@ def test_show_tblproperties_sql(spark, tmp_path):
     cat.sql("ALTER TABLE props_t SET TBLPROPERTIES ('graft.cluster.by' = 'k')")
     rows = {r["key"]: r["value"] for r in cat.sql("SHOW TBLPROPERTIES props_t").collect()}
     assert rows.get("graft.cluster.by") == "k"
+
+
+def test_add_column_sql_and_null_fill(spark, tmp_path):
+    cat = GraftCatalog(spark)
+    df = spark.range(5).select(F.col("id").alias("k"))
+    cat.create("addc_t", df, str(tmp_path / "addc_t"))
+    before = {f.path for f in cat.table("addc_t").snapshot().files}
+    cat.sql("ALTER TABLE addc_t ADD COLUMN score double")
+    t = cat.table("addc_t")
+    assert {f.path for f in t.snapshot().files} == before, "metadata-only"
+    out = cat.sql("SELECT k, score FROM addc_t")
+    assert out.count() == 5
+    assert out.filter(F.col("score").isNull()).count() == 5, "old files null-fill"
+    # future appends must carry the column
+    cat.sql("INSERT INTO addc_t VALUES (99, 0.5)")
+    assert cat.sql("SELECT COUNT(*) AS n FROM addc_t WHERE score = 0.5").first()["n"] == 1
+
+
+def test_graft_files_metadata_function(spark, tmp_path):
+    cat = GraftCatalog(spark)
+    df = spark.range(100).select(F.col("id").alias("k"), (F.col("id") % 2).alias("b"))
+    cat.create("ft_t", df, str(tmp_path / "ft_t"), partition_by=["b"])
+    out = cat.sql(
+        "SELECT COUNT(*) AS n_files, SUM(num_records) AS rows FROM graft_files('ft_t')"
+    ).first()
+    snap = cat.table("ft_t").snapshot()
+    assert out["n_files"] == len(snap.files)
+    assert out["rows"] == 100
