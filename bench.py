@@ -178,6 +178,17 @@ def main() -> None:
     args = parser.parse_args()
 
     spark = get_spark(app_name="bench")
+
+    # Machine-speed calibration: a fixed engine-independent workload (raw
+    # parquet scan + filter count, no engine code) timed per run. Round-
+    # over-round query deltas divide by this to separate code regressions
+    # from host slowdown (shared-VM throughput varies >2x between rounds).
+    cal = spark.read.parquet(os.path.join(args.sf_dir, "lineitem.parquet"))
+    cal.filter("l_returnflag = 'R'").count()  # warm the exact plan (JIT/codegen)
+    t0 = time.perf_counter()
+    cal.filter("l_returnflag = 'R'").count()
+    calibration_sec = round(time.perf_counter() - t0, 4)
+
     headline = {name: q for name, q in registry().items() if q.headline}
 
     import statistics
@@ -226,6 +237,7 @@ def main() -> None:
         "metric": "headline_queries_total_sec",
         "value": total,
         "unit": "sec",
+        "calibration_scan_sec": calibration_sec,
         "queries": timings,
         "queries_detail": detail,
         "sf": _sf_from_dir(args.sf_dir),
@@ -242,6 +254,7 @@ def main() -> None:
         "metric": "headline_queries_total_sec",
         "value": total,
         "unit": "sec",
+        "calibration_scan_sec": calibration_sec,
         "queries": timings,
         "sf": _sf_from_dir(args.sf_dir),
     }
