@@ -66,6 +66,14 @@ class GraftFilePartition(InputPartition):
     partition_values: tuple[tuple[str, str], ...]  # hive col -> string value
     logical_path: str = ""  # AddFile.path — DV rows are keyed against it
     dv_abs_path: str | None = None  # deletion-vector parquet dir, if any
+    # change-feed extensions (readChangeFeed=true): what kind of change
+    # this partition emits, tagged with the commit that produced it.
+    # mode "data" serves the file's rows; mode "dv_diff" serves ONLY the
+    # rows newly tombstoned by this commit's DV (new minus previous DV).
+    change_type: str = "insert"
+    commit_version: int = -1
+    mode: str = "data"
+    prev_dv_abs_path: str | None = None
 
 
 def _snapshot(path: str, version: int | None = None, timestamp: str | None = None):
@@ -121,6 +129,7 @@ def _read_file_as_batches(
     batch_rows: int = 65536,
     logical_path: str = "",
     dv_abs_path: str | None = None,
+    take_positions: list[int] | None = None,
 ) -> Iterator[pa.RecordBatch]:
     """Executor-side scan of one parquet file, emitted as Arrow batches
     matching the table schema exactly (order, names, types). Partition
@@ -135,7 +144,9 @@ def _read_file_as_batches(
         f.name for f in schema.fields if f.name not in partition_values and f.name in present
     ]
     table = pq.read_table(abs_path, columns=file_cols)
-    if dv_abs_path is not None:
+    if take_positions is not None:
+        table = table.take(pa.array(take_positions, type=pa.int64()))
+    elif dv_abs_path is not None:
         mask = _dv_mask(dv_abs_path, logical_path, table.num_rows)
         if mask is not None:
             table = table.filter(mask)
@@ -194,8 +205,50 @@ class GraftBatchReader(DataSourceReader):
         )
 
 
+def _dv_positions(dv_abs_path: str | None, logical_path: str) -> set[int]:
+    if dv_abs_path is None:
+        return set()
+    dv = pq.read_table(dv_abs_path, columns=["file_path", "row_index"])
+    want = _suffix2(logical_path)
+    return {
+        idx
+        for fp, idx in zip(
+            dv.column("file_path").to_pylist(), dv.column("row_index").to_pylist()
+        )
+        if _suffix2(fp) == want
+    }
+
+
+_CDF_FIELDS = (
+    T.StructField("_change_type", T.StringType()),
+    T.StructField("_commit_version", T.LongType()),
+)
+
+
+def _append_cdf_columns(
+    batch: pa.RecordBatch, change_type: str, version: int
+) -> pa.RecordBatch:
+    n = batch.num_rows
+    arrays = list(batch.columns) + [
+        pa.array([change_type] * n, type=pa.string()),
+        pa.array([version] * n, type=pa.int64()),
+    ]
+    names = list(batch.schema.names) + ["_change_type", "_commit_version"]
+    return pa.RecordBatch.from_arrays(arrays, names=names)
+
+
 class GraftStreamReader(DataSourceStreamReader):
-    """Offset = highest fully-committed table version served so far."""
+    """Offset = highest fully-committed table version served so far.
+
+    ``readChangeFeed=true`` turns the stream into a row-level CHANGE FEED
+    (Delta CDF parity): plain appends stream their rows tagged
+    ``insert``; a deletion-vector DELETE commit streams exactly the rows
+    it tombstoned (new-DV minus previous-DV positions) tagged ``delete``;
+    data-preserving rewrites (OPTIMIZE, REORG) are skipped automatically
+    — no logical change; any other rewriting commit (copy-on-write
+    DELETE/UPDATE/MERGE, overwrite, RESTORE) has no recorded change rows
+    and raises unless ``skipChangeCommits=true``. Every emitted row
+    carries ``_change_type`` and ``_commit_version``."""
 
     def __init__(self, schema: T.StructType, options: dict):
         self._schema = schema
@@ -203,6 +256,11 @@ class GraftStreamReader(DataSourceStreamReader):
         self._path = _required_path(options)
         self._skip_change = _bool_opt(options, "skipchangecommits")
         self._ignore_changes = _bool_opt(options, "ignorechanges")
+        self._cdf = _bool_opt(options, "readchangefeed")
+        # the data columns (without the CDF metadata tail) drive file reads
+        self._data_schema = (
+            T.StructType(schema.fields[:-2]) if self._cdf else schema
+        )
 
     def initialOffset(self) -> dict:
         starting = self._options.get("startingversion")
@@ -223,6 +281,44 @@ class GraftStreamReader(DataSourceStreamReader):
         out: list[InputPartition] = []
         for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
             commit = tbl._read_commit(v)
+            if self._cdf and commit.remove:
+                if commit.operation in ("OPTIMIZE", "REORG"):
+                    continue  # data-preserving rewrite: no logical change
+                # DV DELETE: removes old entries, re-adds the same files
+                # with a DV pointer — the change rows are exactly the new
+                # tombstones, recoverable from the DV diff.
+                prev = tbl.snapshot(version=v - 1)
+                prev_dv = {f.path: f.dv_path for f in prev.files}
+                removed_paths = set(commit.remove)
+                dv_only = commit.add and all(
+                    f.dv_path and f.path in removed_paths for f in commit.add
+                )
+                if dv_only:
+                    out.extend(
+                        GraftFilePartition(
+                            abs_path=os.path.join(self._path, f.path),
+                            partition_values=tuple(sorted(f.partition_values.items())),
+                            logical_path=f.path,
+                            dv_abs_path=os.path.join(self._path, f.dv_path),
+                            change_type="delete",
+                            commit_version=v,
+                            mode="dv_diff",
+                            prev_dv_abs_path=(
+                                os.path.join(self._path, prev_dv[f.path])
+                                if prev_dv.get(f.path)
+                                else None
+                            ),
+                        )
+                        for f in commit.add
+                    )
+                    continue
+                if self._skip_change:
+                    continue
+                raise ValueError(
+                    f"change feed hit rewriting commit v{v} ({commit.operation}) "
+                    "with no recorded change rows; set skipChangeCommits=true "
+                    "to skip it"
+                )
             # Appends add files; metadata-only commits (TBLPROPERTIES,
             # constraints) touch nothing; anything that REMOVES files
             # (overwrite, OPTIMIZE, DELETE, UPDATE, MERGE, RESTORE) is a
@@ -245,19 +341,40 @@ class GraftStreamReader(DataSourceStreamReader):
                     dv_abs_path=(
                         os.path.join(self._path, f.dv_path) if f.dv_path else None
                     ),
+                    commit_version=v,
                 )
                 for f in commit.add
             )
         return out
 
     def read(self, partition: GraftFilePartition) -> Iterator[pa.RecordBatch]:
-        yield from _read_file_as_batches(
+        if partition.mode == "dv_diff":
+            # the rows THIS commit tombstoned: new DV minus previous DV
+            new_pos = _dv_positions(partition.dv_abs_path, partition.logical_path)
+            old_pos = _dv_positions(partition.prev_dv_abs_path, partition.logical_path)
+            fresh = sorted(new_pos - old_pos)
+            if not fresh:
+                return
+            for batch in _read_file_as_batches(
+                partition.abs_path,
+                dict(partition.partition_values),
+                self._data_schema,
+                take_positions=fresh,
+            ):
+                yield _append_cdf_columns(batch, "delete", partition.commit_version)
+            return
+        batches = _read_file_as_batches(
             partition.abs_path,
             dict(partition.partition_values),
-            self._schema,
+            self._data_schema,
             logical_path=partition.logical_path,
             dv_abs_path=partition.dv_abs_path,
         )
+        if not self._cdf:
+            yield from batches
+            return
+        for batch in batches:
+            yield _append_cdf_columns(batch, partition.change_type, partition.commit_version)
 
     def commit(self, end: dict) -> None:  # offsets live in the query checkpoint
         pass
@@ -469,9 +586,13 @@ class GraftDataSource(DataSource):
             raise ValueError(f"GraftTable at {path} has no schema in its log")
         # Parquet scans surface every column as nullable; mirror that so a
         # graft-source frame is schema-identical to GraftTable.load.
-        return T.StructType(
-            [T.StructField(f.name, f.dataType, True, f.metadata) for f in snap.schema.fields]
-        )
+        fields = [
+            T.StructField(f.name, f.dataType, True, f.metadata)
+            for f in snap.schema.fields
+        ]
+        if _bool_opt(dict(self.options), "readchangefeed"):
+            fields.extend(_CDF_FIELDS)
+        return T.StructType(fields)
 
     def reader(self, schema: T.StructType) -> DataSourceReader:
         return GraftBatchReader(schema, dict(self.options))

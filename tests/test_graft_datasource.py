@@ -224,3 +224,76 @@ def test_writer_enforces_check_constraints(graft, tmp_path):
     assert tbl.load().count() == 10  # nothing landed
     spark.range(10, 15).write.format("graft").mode("append").save(path)
     assert tbl.load().count() == 15
+
+
+def test_stream_change_feed_inserts_and_dv_deletes(graft, tmp_path):
+    """readChangeFeed=true: appends stream as _change_type='insert'; a
+    deletion-vector DELETE streams exactly its newly tombstoned rows as
+    'delete'; OPTIMIZE is skipped (no logical change)."""
+    spark = graft
+    path = str(tmp_path / "cdf")
+    tbl = GraftTable(spark, path)
+    tbl.write(spark.range(0, 50).selectExpr("id AS k"))
+    tbl.write(spark.range(50, 60).selectExpr("id AS k"), mode="append")
+    delete(tbl, "k < 5", deletion_vectors=True)
+    optimize(tbl)  # data-preserving: must not emit
+    delete(tbl, "k >= 55", deletion_vectors=True)
+
+    out_dir = str(tmp_path / "out")
+    q = (
+        spark.readStream.format("graft")
+        .option("path", path)
+        .option("readChangeFeed", "true")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.read.parquet(out_dir)
+    ins = {r["k"] for r in got.filter("_change_type = 'insert'").collect()}
+    dels = {r["k"] for r in got.filter("_change_type = 'delete'").collect()}
+    assert ins == set(range(60))
+    assert dels == set(range(5)) | set(range(55, 60))
+    # every row is version-tagged; the two deletes carry different versions
+    vers = {
+        r["_commit_version"]
+        for r in got.filter("_change_type = 'delete'").collect()
+    }
+    assert len(vers) == 2
+
+
+def test_stream_change_feed_rejects_rewrites(graft, tmp_path):
+    spark = graft
+    path = str(tmp_path / "cdf2")
+    tbl = GraftTable(spark, path)
+    tbl.write(spark.range(0, 20).selectExpr("id AS k"))
+    delete(tbl, "k < 3")  # copy-on-write: no recorded change rows
+
+    def run(extra):
+        opts = (
+            spark.readStream.format("graft")
+            .option("path", path)
+            .option("readChangeFeed", "true")
+        )
+        for k, v in extra.items():
+            opts = opts.option(k, v)
+        q = (
+            opts.load()
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / f"out{len(extra)}"))
+            .option("checkpointLocation", str(tmp_path / f"ck{len(extra)}"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="rewriting commit|no recorded change"):
+        run({})
+    run({"skipChangeCommits": "true"})  # skipping is allowed
