@@ -175,9 +175,29 @@ class GraftBatchReader(DataSourceReader):
     def __init__(self, schema: T.StructType, options: dict):
         self._schema = schema
         self._options = options
+        self._cdf = _bool_opt(options, "readchangefeed")
+        self._data_schema = (
+            T.StructType(schema.fields[:-2]) if self._cdf else schema
+        )
 
     def partitions(self) -> list[InputPartition]:
         path = _required_path(self._options)
+        if self._cdf:
+            # batch change-feed read (Delta's CDF batch form): all changes
+            # in startingVersion..endingVersion (default: latest)
+            start = int(self._options.get("startingversion", 0))
+            ending = self._options.get("endingversion")
+            if ending is None:
+                tbl, _ = _snapshot(path)
+                ending = tbl.latest_version()
+            return _commit_range_partitions(
+                path,
+                start,
+                int(ending),
+                cdf=True,
+                skip_change=_bool_opt(self._options, "skipchangecommits"),
+                ignore_changes=False,
+            )
         version = self._options.get("versionasof")
         timestamp = self._options.get("timestampasof")
         _, snap = _snapshot(
@@ -196,13 +216,34 @@ class GraftBatchReader(DataSourceReader):
         ]
 
     def read(self, partition: GraftFilePartition) -> Iterator[pa.RecordBatch]:
-        yield from _read_file_as_batches(
+        if partition.mode == "dv_diff":
+            new_pos = _dv_positions(partition.dv_abs_path, partition.logical_path)
+            old_pos = _dv_positions(partition.prev_dv_abs_path, partition.logical_path)
+            fresh = sorted(new_pos - old_pos)
+            if not fresh:
+                return
+            for batch in _read_file_as_batches(
+                partition.abs_path,
+                dict(partition.partition_values),
+                self._data_schema,
+                take_positions=fresh,
+            ):
+                yield _append_cdf_columns(batch, "delete", partition.commit_version)
+            return
+        batches = _read_file_as_batches(
             partition.abs_path,
             dict(partition.partition_values),
-            self._schema,
+            self._data_schema,
             logical_path=partition.logical_path,
             dv_abs_path=partition.dv_abs_path,
         )
+        if not self._cdf:
+            yield from batches
+            return
+        for batch in batches:
+            yield _append_cdf_columns(
+                batch, partition.change_type, partition.commit_version
+            )
 
 
 def _dv_positions(dv_abs_path: str | None, logical_path: str) -> set[int]:
@@ -235,6 +276,90 @@ def _append_cdf_columns(
     ]
     names = list(batch.schema.names) + ["_change_type", "_commit_version"]
     return pa.RecordBatch.from_arrays(arrays, names=names)
+
+
+def _commit_range_partitions(
+    path: str,
+    first_v: int,
+    last_v: int,
+    cdf: bool,
+    skip_change: bool,
+    ignore_changes: bool,
+) -> list[InputPartition]:
+    """Input splits for the commits ``first_v..last_v`` (both inclusive):
+    the shared engine behind streaming offsets AND batch change-feed
+    reads. See :class:`GraftStreamReader` for the change-commit policy."""
+    from delta_lake_optimizations_spark.table.graft_table import GraftTable
+
+    tbl = GraftTable(None, path)  # type: ignore[arg-type]
+    out: list[InputPartition] = []
+    for v in range(first_v, last_v + 1):
+        commit = tbl._read_commit(v)
+        if cdf and commit.remove:
+            if commit.operation in ("OPTIMIZE", "REORG"):
+                continue  # data-preserving rewrite: no logical change
+            # DV DELETE: removes old entries, re-adds the same files with
+            # a DV pointer — the change rows are exactly the new
+            # tombstones, recoverable from the DV diff.
+            prev = tbl.snapshot(version=v - 1)
+            prev_dv = {f.path: f.dv_path for f in prev.files}
+            removed_paths = set(commit.remove)
+            dv_only = commit.add and all(
+                f.dv_path and f.path in removed_paths for f in commit.add
+            )
+            if dv_only:
+                out.extend(
+                    GraftFilePartition(
+                        abs_path=os.path.join(path, f.path),
+                        partition_values=tuple(sorted(f.partition_values.items())),
+                        logical_path=f.path,
+                        dv_abs_path=os.path.join(path, f.dv_path),
+                        change_type="delete",
+                        commit_version=v,
+                        mode="dv_diff",
+                        prev_dv_abs_path=(
+                            os.path.join(path, prev_dv[f.path])
+                            if prev_dv.get(f.path)
+                            else None
+                        ),
+                    )
+                    for f in commit.add
+                )
+                continue
+            if skip_change:
+                continue
+            raise ValueError(
+                f"change feed hit rewriting commit v{v} ({commit.operation}) "
+                "with no recorded change rows; set skipChangeCommits=true "
+                "to skip it"
+            )
+        # Appends add files; metadata-only commits (TBLPROPERTIES,
+        # constraints) touch nothing; anything that REMOVES files
+        # (overwrite, OPTIMIZE, DELETE, UPDATE, MERGE, RESTORE) is a
+        # change commit — serving its adds would duplicate or lose rows.
+        if commit.remove:
+            if skip_change:
+                continue
+            if not ignore_changes:
+                raise ValueError(
+                    f"graft stream hit non-append commit v{v} "
+                    f"({commit.operation}); set skipChangeCommits=true to "
+                    "skip rewrites or ignoreChanges=true to emit their "
+                    "added files (may duplicate rewritten rows)"
+                )
+        out.extend(
+            GraftFilePartition(
+                abs_path=os.path.join(path, f.path),
+                partition_values=tuple(sorted(f.partition_values.items())),
+                logical_path=f.path,
+                dv_abs_path=(
+                    os.path.join(path, f.dv_path) if f.dv_path else None
+                ),
+                commit_version=v,
+            )
+            for f in commit.add
+        )
+    return out
 
 
 class GraftStreamReader(DataSourceStreamReader):
@@ -277,75 +402,14 @@ class GraftStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
         from delta_lake_optimizations_spark.table.graft_table import GraftTable
 
-        tbl = GraftTable(None, self._path)  # type: ignore[arg-type]
-        out: list[InputPartition] = []
-        for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
-            commit = tbl._read_commit(v)
-            if self._cdf and commit.remove:
-                if commit.operation in ("OPTIMIZE", "REORG"):
-                    continue  # data-preserving rewrite: no logical change
-                # DV DELETE: removes old entries, re-adds the same files
-                # with a DV pointer — the change rows are exactly the new
-                # tombstones, recoverable from the DV diff.
-                prev = tbl.snapshot(version=v - 1)
-                prev_dv = {f.path: f.dv_path for f in prev.files}
-                removed_paths = set(commit.remove)
-                dv_only = commit.add and all(
-                    f.dv_path and f.path in removed_paths for f in commit.add
-                )
-                if dv_only:
-                    out.extend(
-                        GraftFilePartition(
-                            abs_path=os.path.join(self._path, f.path),
-                            partition_values=tuple(sorted(f.partition_values.items())),
-                            logical_path=f.path,
-                            dv_abs_path=os.path.join(self._path, f.dv_path),
-                            change_type="delete",
-                            commit_version=v,
-                            mode="dv_diff",
-                            prev_dv_abs_path=(
-                                os.path.join(self._path, prev_dv[f.path])
-                                if prev_dv.get(f.path)
-                                else None
-                            ),
-                        )
-                        for f in commit.add
-                    )
-                    continue
-                if self._skip_change:
-                    continue
-                raise ValueError(
-                    f"change feed hit rewriting commit v{v} ({commit.operation}) "
-                    "with no recorded change rows; set skipChangeCommits=true "
-                    "to skip it"
-                )
-            # Appends add files; metadata-only commits (TBLPROPERTIES,
-            # constraints) touch nothing; anything that REMOVES files
-            # (overwrite, OPTIMIZE, DELETE, UPDATE, MERGE, RESTORE) is a
-            # change commit — serving its adds would duplicate or lose rows.
-            if commit.remove:
-                if self._skip_change:
-                    continue
-                if not self._ignore_changes:
-                    raise ValueError(
-                        f"graft stream hit non-append commit v{v} "
-                        f"({commit.operation}); set skipChangeCommits=true to "
-                        "skip rewrites or ignoreChanges=true to emit their "
-                        "added files (may duplicate rewritten rows)"
-                    )
-            out.extend(
-                GraftFilePartition(
-                    abs_path=os.path.join(self._path, f.path),
-                    partition_values=tuple(sorted(f.partition_values.items())),
-                    logical_path=f.path,
-                    dv_abs_path=(
-                        os.path.join(self._path, f.dv_path) if f.dv_path else None
-                    ),
-                    commit_version=v,
-                )
-                for f in commit.add
-            )
-        return out
+        return _commit_range_partitions(
+            self._path,
+            int(start["version"]) + 1,
+            int(end["version"]),
+            cdf=self._cdf,
+            skip_change=self._skip_change,
+            ignore_changes=self._ignore_changes,
+        )
 
     def read(self, partition: GraftFilePartition) -> Iterator[pa.RecordBatch]:
         if partition.mode == "dv_diff":

@@ -297,3 +297,36 @@ def test_stream_change_feed_rejects_rewrites(graft, tmp_path):
     with _pytest.raises(Exception, match="rewriting commit|no recorded change"):
         run({})
     run({"skipChangeCommits": "true"})  # skipping is allowed
+
+
+def test_batch_change_feed_read(graft, tmp_path):
+    """Batch CDF (spark.read with readChangeFeed): startingVersion /
+    endingVersion bound the commit range; inserts and DV deletes carry
+    _change_type/_commit_version."""
+    spark = graft
+    path = str(tmp_path / "bcdf")
+    tbl = GraftTable(spark, path)
+    tbl.write(spark.range(0, 30).selectExpr("id AS k"))          # v0
+    tbl.write(spark.range(30, 40).selectExpr("id AS k"), mode="append")  # v1
+    delete(tbl, "k < 3", deletion_vectors=True)                  # v2
+
+    full = (
+        spark.read.format("graft")
+        .option("path", path)
+        .option("readChangeFeed", "true")
+        .load()
+    )
+    ins = {r["k"] for r in full.filter("_change_type = 'insert'").collect()}
+    dels = {r["k"] for r in full.filter("_change_type = 'delete'").collect()}
+    assert ins == set(range(40)) and dels == {0, 1, 2}
+
+    ranged = (
+        spark.read.format("graft")
+        .option("path", path)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "1")
+        .option("endingVersion", "1")
+        .load()
+    )
+    assert {r["k"] for r in ranged.collect()} == set(range(30, 40))
+    assert ranged.select("_commit_version").distinct().first()[0] == 1
