@@ -32,6 +32,7 @@ from delta_lake_optimizations_spark.table.maintenance import (
     restore,
     update,
     vacuum,
+    vacuum_log,
 )
 from delta_lake_optimizations_spark.table.matview import (
     create_matview,
@@ -59,4 +60,5 @@ __all__ = [
     "restore",
     "update",
     "vacuum",
+    "vacuum_log",
 ]

@@ -677,3 +677,51 @@ def fsck_repair(table: GraftTable, dry_run: bool = False) -> dict[str, Any]:
         )
         report["version"] = commit.version
     return report
+
+
+def vacuum_log(table: GraftTable, keep_versions: int = 100) -> dict[str, Any]:
+    """Commit-log retention (Delta's logRetentionDuration shape, counted in
+    versions): delete commit JSONs already folded into a checkpoint and
+    older than ``latest - keep_versions``, plus superseded checkpoints.
+    At one commit per micro-batch a 100 TB ingest table accrues log files
+    without bound; replay cost is already O(checkpoint interval), this
+    caps the FILE COUNT too.
+
+    Safety: the newest checkpoint at/under the cutoff becomes the history
+    floor — the checkpoint's own commit file is retained so
+    ``snapshot(version=floor)`` still works; time travel BELOW the floor
+    raises (same contract as Delta after log cleanup). Latest-snapshot
+    reads, replay, and incremental consumers above the floor are
+    unaffected.
+    """
+    versions = table._versions()
+    if not versions:
+        return {"removed_commits": 0, "removed_checkpoints": 0, "floor": None}
+    cutoff = versions[-1] - keep_versions
+    floor = None
+    for cp in table._checkpoint_versions():
+        if cp <= cutoff:
+            floor = cp
+    if floor is None:
+        return {"removed_commits": 0, "removed_checkpoints": 0, "floor": None}
+    removed_c = 0
+    for v in versions:
+        if v < floor:
+            try:
+                os.remove(os.path.join(table._log_path, f"{v:011d}.json"))
+                removed_c += 1
+            except OSError:
+                pass
+    removed_cp = 0
+    for cp in table._checkpoint_versions():
+        if cp < floor:
+            try:
+                os.remove(table._checkpoint_path(cp))
+                removed_cp += 1
+            except OSError:
+                pass
+    return {
+        "removed_commits": removed_c,
+        "removed_checkpoints": removed_cp,
+        "floor": floor,
+    }

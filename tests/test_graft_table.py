@@ -819,3 +819,30 @@ def test_append_only_table_refuses_row_dropping_verbs(spark, tmp_path):
         update(t, {"k": "k + 1"}, "k = 1")
     with _pytest.raises(ValueError, match="appendOnly"):
         merge(t, df, on=["k"])
+
+
+def test_vacuum_log_retention(spark, tmp_path):
+    """Commit-log retention: commits below the checkpoint floor are
+    deleted, latest reads and floor-and-above time travel still work,
+    below-floor time travel raises."""
+    import pytest as _pytest
+
+    from delta_lake_optimizations_spark.table import GraftTable
+    from delta_lake_optimizations_spark.table.maintenance import vacuum_log
+
+    t = GraftTable(spark, os.path.join(tmp_path, "vl"))
+    t.write(spark.range(5).selectExpr("id AS k"))
+    for i in range(24):  # versions 1..24 — checkpoints at 10 and 20
+        t.write(spark.range(1).selectExpr(f"id + {100 + i} AS k"), mode="append")
+    assert t.latest_version() == 24
+    rep = vacuum_log(t, keep_versions=5)
+    assert rep["floor"] == 10
+    assert rep["removed_commits"] == 10, "v0..v9 deleted"
+    assert t._versions()[0] == 10
+    assert t.load().count() == 29, "latest snapshot intact"
+    assert t.load(version=10).count() == 15, "floor version readable"
+    assert t.load(version=15).count() == 20, "above-floor replay works"
+    with _pytest.raises(ValueError, match="not in log"):
+        t.load(version=3)
+    # idempotent second pass removes nothing new
+    assert vacuum_log(t, keep_versions=5)["removed_commits"] == 0
