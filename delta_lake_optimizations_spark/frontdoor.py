@@ -559,6 +559,53 @@ class GraftCatalog:
         self.register(m.group("table"), _unquote(m.group("loc")))
         return self._row(("table",), (m.group("table"),))
 
+    def _h_create_schema(self, m: re.Match) -> DataFrame:
+        """CREATE TABLE t (col type, ..., [col BIGINT GENERATED {ALWAYS |
+        BY DEFAULT} AS IDENTITY [(START WITH s INCREMENT BY i)]])
+        LOCATION '...' — an EMPTY table with a declared schema; identity
+        declarations become the corresponding table properties."""
+        cols, props = [], {}
+        for item in _split_top_level_commas(m.group("cols")):
+            cm = re.match(
+                r"(?P<name>\w+)\s+(?P<dtype>[A-Za-z0-9_<>,() ]+?)"
+                r"(?:\s+GENERATED\s+(?P<kind>ALWAYS|BY\s+DEFAULT)\s+AS\s+IDENTITY"
+                r"(?:\s*\(\s*START\s+WITH\s+(?P<start>-?\d+)\s+"
+                r"INCREMENT\s+BY\s+(?P<step>-?\d+)\s*\))?)?$",
+                item.strip(),
+                re.I,
+            )
+            if not cm:
+                raise ValueError(f"cannot parse column definition: {item!r}")
+            cols.append(f"{cm.group('name')} {cm.group('dtype').strip()}")
+            if cm.group("kind"):
+                start = cm.group("start") or "1"
+                step = cm.group("step") or "1"
+                always = "true" if cm.group("kind").upper() == "ALWAYS" else "false"
+                props[f"graft.identity.{cm.group('name')}"] = (
+                    f"start={start},step={step},always={always}"
+                )
+        schema = T.StructType.fromDDL(", ".join(cols))
+        df = self.spark.createDataFrame([], schema)
+        t = GraftTable(self.spark, _unquote(m.group("loc")))
+        t.write(df, properties=props or None)
+        self._tables[m.group("table")] = t
+        self._refresh(m.group("table"))
+        return self._row(("table",), (m.group("table"),))
+
+    def _h_truncate(self, m: re.Match) -> DataFrame:
+        """TRUNCATE TABLE: one commit removing every row, schema and
+        properties kept; old versions remain time-travelable."""
+        t = self.table(m.group("table"))
+        snap = t.snapshot()
+        empty = self.spark.createDataFrame([], snap.schema)
+        commit = t.write(
+            empty,
+            mode="overwrite",
+            partition_by=snap.partition_columns or None,
+        )
+        self._refresh(m.group("table"))
+        return self._row(("table", "version"), (m.group("table"), commit.version))
+
     def _h_ctas(self, m: re.Match) -> DataFrame:
         """CREATE TABLE ... [PARTITIONED BY (...)] LOCATION '...' AS
         SELECT — the CTAS form: run the query, write it as a new
@@ -722,6 +769,23 @@ class GraftCatalog:
                 re.I | re.S,
             ),
             _h_ctas,
+        ),
+        (
+            re.compile(
+                rf"CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<table>{_IDENT})\s*"
+                rf"\((?P<cols>.+)\)\s*"
+                rf"(?:USING\s+(?:DELTA|GRAFT)\s+)?"
+                rf"LOCATION\s+(?P<loc>'[^']*'|\"[^\"]*\")$",
+                re.I | re.S,
+            ),
+            _h_create_schema,
+        ),
+        (
+            re.compile(
+                rf"TRUNCATE\s+TABLE\s+(?P<table>{_IDENT})$",
+                re.I,
+            ),
+            _h_truncate,
         ),
         (
             re.compile(

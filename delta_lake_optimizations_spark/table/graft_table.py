@@ -817,6 +817,11 @@ class GraftTable:
             next_val = int(merged_props.get(next_key, spec["start"]))
             if id_col in df.columns:
                 if spec["always"]:
+                    # a table-creation write of an EMPTY frame is a pure
+                    # schema declaration (CREATE TABLE ... GENERATED ALWAYS
+                    # AS IDENTITY) — nothing is being supplied
+                    if base is None and df.isEmpty():
+                        continue
                     raise ConstraintViolationError(
                         f"column {id_col!r} is GENERATED ALWAYS AS IDENTITY — "
                         "values may not be supplied (declare always=false for "

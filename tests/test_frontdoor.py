@@ -531,3 +531,45 @@ def test_graft_files_metadata_function(spark, tmp_path):
     snap = cat.table("ft_t").snapshot()
     assert out["n_files"] == len(snap.files)
     assert out["rows"] == 100
+
+
+def test_create_table_with_schema_and_identity_sql(spark, tmp_path):
+    cat = GraftCatalog(spark)
+    cat.sql(
+        "CREATE TABLE sch_t (id BIGINT GENERATED ALWAYS AS IDENTITY "
+        "(START WITH 10 INCREMENT BY 5), name STRING, score DOUBLE) "
+        f"LOCATION '{tmp_path}/sch_t'"
+    )
+    t = cat.table("sch_t")
+    assert [f.name for f in t.snapshot().schema.fields] == ["id", "name", "score"]
+    assert t.load().count() == 0
+    props = t.snapshot().properties
+    assert props["graft.identity.id"] == "start=10,step=5,always=true"
+
+
+def test_create_schema_identity_allocates(spark, tmp_path):
+    cat = GraftCatalog(spark)
+    cat.sql(
+        "CREATE TABLE idt (id BIGINT GENERATED ALWAYS AS IDENTITY "
+        "(START WITH 10 INCREMENT BY 5), name STRING) "
+        f"LOCATION '{tmp_path}/idt'"
+    )
+    t = cat.table("idt")
+    t.write(
+        spark.createDataFrame([("a",), ("b",), ("c",)], "name string"),
+        mode="append",
+    )
+    ids = sorted(r["id"] for r in t.load().collect())
+    assert ids == [10, 15, 20]
+
+
+def test_truncate_table_sql(spark, tmp_path):
+    cat = GraftCatalog(spark)
+    df = spark.range(50).select(F.col("id").alias("k"))
+    cat.create("tr_t", df, str(tmp_path / "tr_t"))
+    v = cat.table("tr_t").latest_version()
+    cat.sql("TRUNCATE TABLE tr_t")
+    assert cat.sql("SELECT COUNT(*) AS n FROM tr_t").first()["n"] == 0
+    assert cat.table("tr_t").load(version=v).count() == 50, "time travel intact"
+    cat.sql("INSERT INTO tr_t VALUES (7)")
+    assert cat.sql("SELECT COUNT(*) AS n FROM tr_t").first()["n"] == 1
