@@ -86,3 +86,51 @@ def test_identity_survives_overwrite_monotonic(spark, tmp_path):
     t.write(spark.range(3).select(F.col("id").alias("k")), mode="overwrite")
     after = _ids(t)
     assert min(after) > before, "high-water mark is monotonic across overwrite"
+
+
+def test_concurrent_identity_appends_never_double_allocate(spark, tmp_path):
+    """Two writers allocating identity values from the same snapshot:
+    exactly one commits; the loser gets ConcurrentCommitError (identity
+    appends carry metadata, so they are never blind-rebased — a rebase
+    would duplicate the allocated range). Retrying from a fresh snapshot
+    succeeds with non-overlapping values."""
+    from delta_lake_optimizations_spark.table.graft_table import (
+        ConcurrentCommitError,
+    )
+
+    t = GraftTable(spark, os.path.join(tmp_path, "race"))
+    t.write(
+        spark.range(5).select(F.col("id").alias("k")),
+        properties={"graft.identity.id": "start=1,step=1"},
+    )
+
+    # simulate the race deterministically: both writers read the same
+    # snapshot version, writer A commits first, writer B's commit (built
+    # against the stale base) must abort
+    stale_base = t.latest_version()
+    df = spark.range(3).select(F.col("id").alias("k"))
+
+    t.write(df, mode="append")  # writer A wins
+    # writer B: force the stale base by committing at base_version + 1
+    stale = GraftTable(spark, t.path)
+    import delta_lake_optimizations_spark.table.graft_table as gt
+
+    orig = gt.GraftTable._write_commit
+
+    def stale_commit(self, operation, parameters, add, remove, metadata=None, base_version=None):
+        return orig(
+            self, operation, parameters, add, remove, metadata,
+            base_version=stale_base,
+        )
+
+    try:
+        gt.GraftTable._write_commit = stale_commit
+        with pytest.raises(ConcurrentCommitError):
+            stale.write(df, mode="append")
+    finally:
+        gt.GraftTable._write_commit = orig
+
+    # retry from a fresh snapshot: values continue past A's allocation
+    t.write(df, mode="append")
+    ids = [r["id"] for r in t.load().select("id").collect()]
+    assert len(ids) == 11 and len(set(ids)) == 11, "no double allocation"
