@@ -50,7 +50,7 @@ def salted_join(
         SELECT
             p.p_brand,
             CAST(COUNT(*) AS BIGINT) AS n_items,
-            SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS revenue
+            ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue
         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         GROUP BY p.p_brand
     """,
@@ -73,5 +73,7 @@ def skew_salted_join_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFram
     joined = salted_join(li, part, on="l_partkey", salt=8)
     return joined.groupBy("p_brand").agg(
         F.count(F.lit(1)).alias("n_items"),
-        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("revenue"),
+        F.round(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double"), 2
+        ).alias("revenue"),
     )

@@ -470,8 +470,18 @@ class GraftTable:
 
     def _write_checkpoint(self, version: int) -> None:
         """Persist the full snapshot state at ``version`` so later readers
-        replay at most CHECKPOINT_INTERVAL commits."""
-        snap = self._replay(version, from_version=None)
+        replay at most CHECKPOINT_INTERVAL commits.
+
+        The replay is based on the newest existing checkpoint <= version
+        (the same selection ``snapshot()`` makes), NOT from scratch: after
+        ``vacuum_log`` purges commit JSONs below the checkpoint floor, a
+        from-scratch replay would silently drop every file/schema recorded
+        only in the purged commits and corrupt all later snapshots."""
+        base = None
+        for cp in self._checkpoint_versions():
+            if cp <= version:
+                base = cp
+        snap = self._replay(version, from_version=base)
         doc = {
             "version": version,
             "files": [f.to_json() for f in snap.files],
@@ -817,10 +827,11 @@ class GraftTable:
             next_val = int(merged_props.get(next_key, spec["start"]))
             if id_col in df.columns:
                 if spec["always"]:
-                    # a table-creation write of an EMPTY frame is a pure
-                    # schema declaration (CREATE TABLE ... GENERATED ALWAYS
-                    # AS IDENTITY) — nothing is being supplied
-                    if base is None and df.isEmpty():
+                    # an EMPTY frame supplies no values — a table-creation
+                    # write (CREATE TABLE ... GENERATED ALWAYS AS IDENTITY)
+                    # is a pure schema declaration, and an empty overwrite
+                    # of an existing table (TRUNCATE TABLE) must also pass
+                    if df.isEmpty():
                         continue
                     raise ConstraintViolationError(
                         f"column {id_col!r} is GENERATED ALWAYS AS IDENTITY — "
@@ -845,111 +856,125 @@ class GraftTable:
         if identity_updates:
             merged_props.update(identity_updates)
 
-        evolved_schema: T.StructType | None = None
-        if merge_schema and base is not None and base.schema is not None:
-            evolved_schema = _merge_schemas(base.schema, df.schema)
-        if mode == "append" and base is not None:
-            if partition_by is None:
-                partition_by = base.partition_columns
-            base_schema = base.schema
-            if base_schema is not None and not overwrite_schema and not merge_schema:
-                # Compare names AND types (in order): a same-named column
-                # with a different type would commit a new schemaJson that
-                # _read_files then applies to historical parquet files,
-                # corrupting old data. Type changes must go through the
-                # explicit overwrite_schema path. (Nullability is excluded:
-                # Spark flips it freely across transformations.)
-                base_sig = [(f.name, f.dataType) for f in base_schema.fields]
-                new_sig = [(f.name, f.dataType) for f in df.schema.fields]
-                if base_sig != new_sig:
-                    raise ValueError(
-                        "schema mismatch on append (pass merge_schema=True to add "
-                        "columns or overwrite_schema=True to replace the schema): "
-                        f"{[(n, t.simpleString()) for n, t in base_sig]} vs "
-                        f"{[(n, t.simpleString()) for n, t in new_sig]}"
-                    )
-
-        # CHECK-constraint enforcement (schema-on-write ACID guarantee,
-        # Delta's ALTER TABLE ADD CONSTRAINT semantics): reject the whole
-        # write if any incoming row violates any registered constraint.
-        for key, expr_text in merged_props.items():
-            if key.startswith(_CONSTRAINT_PREFIX):
-                bad = df.filter(~F.expr(expr_text)).count()
-                if bad:
-                    raise ConstraintViolationError(
-                        f"{bad} row(s) violate CHECK constraint "
-                        f"{key[len(_CONSTRAINT_PREFIX):]!r}: {expr_text}"
-                    )
-
-        rw_targets: list[AddFile] = []
-        if replace_where is not None:
-            if mode != "overwrite":
-                raise ValueError("replace_where requires mode='overwrite'")
-            cond = None
-            for c, op_, v in replace_where:
-                e = _op_expr(c, op_, v)
-                cond = e if cond is None else (cond & e)
-            bad = df.filter(~cond).count()
-            if bad:
-                raise ConstraintViolationError(
-                    f"{bad} incoming row(s) fall outside the replaceWhere "
-                    f"predicate {replace_where}"
-                )
-            if base is not None:
+        # Everything from here through the data write can raise (append
+        # schema mismatch, CHECK constraint, replaceWhere rejection, the
+        # write itself) — the finally releases the identity allocation's
+        # pinned frames on every path, not just success (ADVICE r03).
+        try:
+            evolved_schema: T.StructType | None = None
+            if merge_schema and base is not None and base.schema is not None:
+                evolved_schema = _merge_schemas(base.schema, df.schema)
+            if mode == "append" and base is not None:
                 if partition_by is None:
                     partition_by = base.partition_columns
-                if base.schema is not None and not overwrite_schema and not merge_schema:
-                    base_sig = [(f.name, f.dataType) for f in base.schema.fields]
+                base_schema = base.schema
+                if base_schema is not None and not overwrite_schema and not merge_schema:
+                    # Compare names AND types (in order): a same-named column
+                    # with a different type would commit a new schemaJson that
+                    # _read_files then applies to historical parquet files,
+                    # corrupting old data. Type changes must go through the
+                    # explicit overwrite_schema path. (Nullability is excluded:
+                    # Spark flips it freely across transformations.)
+                    base_sig = [(f.name, f.dataType) for f in base_schema.fields]
                     new_sig = [(f.name, f.dataType) for f in df.schema.fields]
                     if base_sig != new_sig:
                         raise ValueError(
-                            "schema mismatch on replaceWhere write: "
+                            "schema mismatch on append (pass merge_schema=True to add "
+                            "columns or overwrite_schema=True to replace the schema): "
                             f"{[(n, t.simpleString()) for n, t in base_sig]} vs "
                             f"{[(n, t.simpleString()) for n, t in new_sig]}"
                         )
-                cmap = _colmap(merged_props)
-                phys_preds = [(cmap.get(c, c), o, v) for c, o, v in replace_where]
-                phys_parts = [cmap.get(c, c) for c in base.partition_columns]
-                rw_targets = [
-                    f for f in base.files if _file_may_match(f, phys_preds, phys_parts)
-                ]
-                # whole-file drop is only claimed when partition values
-                # PROVE every row matches (the partition-aligned case);
-                # ambiguous files are rewritten keeping non-matching rows
-                full_paths = {
-                    f.path
-                    for f in rw_targets
-                    if all(
-                        c in phys_parts and f.partition_values.get(c) == str(v)
-                        for c, o, v in phys_preds
-                        if o == "="
+
+            # CHECK-constraint enforcement (schema-on-write ACID guarantee,
+            # Delta's ALTER TABLE ADD CONSTRAINT semantics): reject the whole
+            # write if any incoming row violates any registered constraint.
+            for key, expr_text in merged_props.items():
+                if key.startswith(_CONSTRAINT_PREFIX):
+                    bad = df.filter(~F.expr(expr_text)).count()
+                    if bad:
+                        raise ConstraintViolationError(
+                            f"{bad} row(s) violate CHECK constraint "
+                            f"{key[len(_CONSTRAINT_PREFIX):]!r}: {expr_text}"
+                        )
+
+            rw_targets: list[AddFile] = []
+            if replace_where is not None:
+                if mode != "overwrite":
+                    raise ValueError("replace_where requires mode='overwrite'")
+                cond = None
+                for c, op_, v in replace_where:
+                    e = _op_expr(c, op_, v)
+                    cond = e if cond is None else (cond & e)
+                # NULL-safe: a row where the predicate evaluates to NULL (e.g.
+                # NULL in the predicate column) is NOT inside the predicate —
+                # plain ~cond would be NULL and let it slip past rejection.
+                bad = df.filter(~F.coalesce(cond, F.lit(False))).count()
+                if bad:
+                    raise ConstraintViolationError(
+                        f"{bad} incoming row(s) fall outside the replaceWhere "
+                        f"predicate {replace_where}"
                     )
-                    and all(o == "=" and c in phys_parts for c, o, v in phys_preds)
-                }
-                partial = [f for f in rw_targets if f.path not in full_paths]
-                if partial:
-                    survivors = self._read_files(base, partial).filter(~cond)
-                    df = df.unionByName(survivors)
+                if base is not None:
+                    if partition_by is None:
+                        partition_by = base.partition_columns
+                    if base.schema is not None and not overwrite_schema and not merge_schema:
+                        base_sig = [(f.name, f.dataType) for f in base.schema.fields]
+                        new_sig = [(f.name, f.dataType) for f in df.schema.fields]
+                        if base_sig != new_sig:
+                            raise ValueError(
+                                "schema mismatch on replaceWhere write: "
+                                f"{[(n, t.simpleString()) for n, t in base_sig]} vs "
+                                f"{[(n, t.simpleString()) for n, t in new_sig]}"
+                            )
+                    cmap = _colmap(merged_props)
+                    phys_preds = [(cmap.get(c, c), o, v) for c, o, v in replace_where]
+                    phys_parts = [cmap.get(c, c) for c in base.partition_columns]
+                    rw_targets = [
+                        f for f in base.files if _file_may_match(f, phys_preds, phys_parts)
+                    ]
+                    # whole-file drop is only claimed when partition values
+                    # PROVE every row matches (the partition-aligned case);
+                    # ambiguous files are rewritten keeping non-matching rows
+                    full_paths = {
+                        f.path
+                        for f in rw_targets
+                        if all(
+                            c in phys_parts and f.partition_values.get(c) == str(v)
+                            for c, o, v in phys_preds
+                            if o == "="
+                        )
+                        and all(o == "=" and c in phys_parts for c, o, v in phys_preds)
+                    }
+                    partial = [f for f in rw_targets if f.path not in full_paths]
+                    if partial:
+                        # Keep every row the predicate does NOT match, including
+                        # NULL-predicate rows (Delta preserves them; plain ~cond
+                        # is NULL for them and would silently drop data).
+                        survivors = self._read_files(base, partial).filter(
+                            ~F.coalesce(cond, F.lit(False))
+                        )
+                        df = df.unionByName(survivors)
 
-        # Write-time clustering (liquid-clustering-on-write shape): when the
-        # table declares a clustering key, sort each task's output by it
-        # before writing — map-side only, no shuffle — so min/max footer
-        # stats are selective on fresh appends even before the next
-        # OPTIMIZE re-clusters globally. Maintenance rewrites don't pass
-        # through here (they call _write_data directly), so a Z-order
-        # layout is never accidentally re-sorted.
-        cluster_prop = merged_props.get("graft.cluster.by", "")
-        if cluster_prop:
-            ccols = [c.strip() for c in cluster_prop.split(",") if c.strip()]
-            if ccols and all(c in df.columns for c in ccols):
-                df = df.sortWithinPartitions(*ccols)
+            # Write-time clustering (liquid-clustering-on-write shape): when the
+            # table declares a clustering key, sort each task's output by it
+            # before writing — map-side only, no shuffle — so min/max footer
+            # stats are selective on fresh appends even before the next
+            # OPTIMIZE re-clusters globally. Maintenance rewrites don't pass
+            # through here (they call _write_data directly), so a Z-order
+            # layout is never accidentally re-sorted.
+            cluster_prop = merged_props.get("graft.cluster.by", "")
+            if cluster_prop:
+                ccols = [c.strip() for c in cluster_prop.split(",") if c.strip()]
+                if ccols and all(c in df.columns for c in ccols):
+                    df = df.sortWithinPartitions(*ccols)
 
-        version_hint = (base.version + 1) if base is not None else 0
-        rel_dir = self._new_data_dir(version_hint)
-        self._write_data(df, rel_dir, partition_by, merged_props)
-        adds = self._scan_written_files(rel_dir, merged_props)
-        for pinned in to_unpersist:
-            pinned.unpersist()
+            version_hint = (base.version + 1) if base is not None else 0
+            rel_dir = self._new_data_dir(version_hint)
+            self._write_data(df, rel_dir, partition_by, merged_props)
+            adds = self._scan_written_files(rel_dir, merged_props)
+        finally:
+            for pinned in to_unpersist:
+                pinned.unpersist()
         # BY DEFAULT identity with caller-supplied values: advance the
         # high-water mark past the written max (footer stats — no scan), so
         # later allocations can never collide with explicit values.

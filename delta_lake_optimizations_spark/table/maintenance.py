@@ -570,6 +570,17 @@ def _orphan_candidates(
                 referenced.add(a.dv_path)
         referenced.update(c.remove)
 
+    # After vacuum_log purges commit JSONs below the checkpoint floor, the
+    # only record of pre-floor adds that are still live is the checkpoint
+    # itself — union every checkpoint's file list so those files are never
+    # misclassified as never-referenced orphans.
+    for cp in table._checkpoint_versions():
+        snap = table._load_checkpoint(cp)
+        for f in snap.files:
+            referenced.add(f.path)
+            if f.dv_path:
+                referenced.add(f.dv_path)
+
     def covered(rel: str) -> bool:
         p = rel
         while p and p != ".":  # a referenced ancestor dir (e.g. a DV dir) covers it

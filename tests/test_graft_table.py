@@ -846,3 +846,38 @@ def test_vacuum_log_retention(spark, tmp_path):
         t.load(version=3)
     # idempotent second pass removes nothing new
     assert vacuum_log(t, keep_versions=5)["removed_commits"] == 0
+
+
+def test_checkpoint_and_vacuum_survive_vacuum_log(spark, tmp_path):
+    """Regression (ADVICE r03, high): after vacuum_log purges commits below
+    the checkpoint floor, (a) the NEXT checkpoint must not be rebuilt from
+    scratch — it would silently drop every file recorded only in purged
+    commits — and (b) vacuum must not classify still-live pre-floor data
+    files as never-referenced orphans and physically delete them."""
+    from delta_lake_optimizations_spark.table import GraftTable
+    from delta_lake_optimizations_spark.table.maintenance import vacuum, vacuum_log
+
+    t = GraftTable(spark, os.path.join(tmp_path, "vlcp"))
+    t.write(spark.range(5).selectExpr("id AS k"))
+    for i in range(24):  # versions 1..24 — checkpoints at 10 and 20
+        t.write(spark.range(1).selectExpr(f"id + {100 + i} AS k"), mode="append")
+    rep = vacuum_log(t, keep_versions=5)
+    assert rep["floor"] == 10
+
+    # (b) vacuum past retention right after vacuum_log: pre-floor live
+    # files are only recorded in purged commits + the checkpoint.
+    deleted = vacuum(t, retain_hours=0.0, dry_run=False)
+    assert t.load().count() == 29, f"vacuum deleted live data: {deleted}"
+
+    # (a) write past the next checkpoint interval (v30) and re-read.
+    for i in range(6):  # versions through >= 31
+        t.write(spark.range(1).selectExpr(f"id + {200 + i} AS k"), mode="append")
+    assert t.latest_version() >= 30
+    assert 30 in t._checkpoint_versions()
+    assert t.load().count() == 35, "post-vacuum_log checkpoint dropped files"
+    # a fresh handle (no cached state) must see the same table
+    t2 = GraftTable(spark, os.path.join(tmp_path, "vlcp"))
+    assert t2.load().count() == 35
+    # and vacuum again after the new checkpoint: still nothing live deleted
+    vacuum(t2, retain_hours=0.0, dry_run=False)
+    assert t2.load().count() == 35

@@ -134,3 +134,38 @@ def test_concurrent_identity_appends_never_double_allocate(spark, tmp_path):
     t.write(df, mode="append")
     ids = [r["id"] for r in t.load().select("id").collect()]
     assert len(ids) == 11 and len(set(ids)) == 11, "no double allocation"
+
+
+def test_truncate_allowed_on_always_identity_table(spark, tmp_path):
+    """Regression (ADVICE r03): an empty overwrite (TRUNCATE TABLE) on an
+    existing GENERATED ALWAYS table supplies no values and must pass; the
+    high-water mark survives so post-truncate appends stay monotonic."""
+    t = GraftTable(spark, os.path.join(tmp_path, "trunc"))
+    t.write(
+        spark.range(10).select(F.col("id").alias("k")),
+        properties={"graft.identity.id": "start=1,step=1"},
+    )
+    high = max(_ids(t))
+    snap = t.snapshot()
+    empty = spark.createDataFrame([], snap.schema)
+    t.write(empty, mode="overwrite")
+    assert t.load().count() == 0
+    t.write(spark.range(3).select(F.col("id").alias("k")), mode="append")
+    assert min(_ids(t)) > high, "allocation continues past pre-truncate mark"
+
+
+def test_failed_write_unpersists_pinned_identity_frames(spark, tmp_path):
+    """Regression (ADVICE r03): identity allocation persists frames; a
+    pre-write validation failure (append schema mismatch) must still
+    release them instead of leaking cache for the session."""
+    t = GraftTable(spark, os.path.join(tmp_path, "leak"))
+    t.write(
+        spark.range(5).select(F.col("id").alias("k")),
+        properties={"graft.identity.id": "start=1,step=1"},
+    )
+    before = len(spark.sparkContext._jsc.getPersistentRDDs())
+    bad = spark.range(3).select(F.col("id").cast("string").alias("k"))  # type mismatch
+    with pytest.raises(ValueError, match="schema mismatch"):
+        t.write(bad, mode="append")
+    after = len(spark.sparkContext._jsc.getPersistentRDDs())
+    assert after <= before, f"pinned frames leaked: {before} -> {after}"

@@ -22,6 +22,23 @@ def test_query_matches_oracle(spark, duck, name):
     compare_spark_duckdb(df, duck, qdef.oracle)
 
 
+@pytest.mark.parametrize("name", sorted(_DEFS))
+def test_no_decimal_output_columns(spark, name):
+    """Registry lint (VERDICT r03 #9): the driver's value canonicalizer hashes
+    Spark and DuckDB decimal representations differently even for equal
+    values, so the convention (registry.py) is sum-in-DECIMAL then
+    cast-double + round on BOTH sides. Fail any query whose output schema
+    still exposes a DecimalType column."""
+    from pyspark.sql.types import DecimalType
+
+    df = _DEFS[name].fn(spark, SF_DIR)
+    bad = [f.name for f in df.schema.fields if isinstance(f.dataType, DecimalType)]
+    assert not bad, (
+        f"{name} exposes DecimalType column(s) {bad}; cast to double and "
+        f"round per the registry convention"
+    )
+
+
 @pytest.mark.parametrize("name", _ROWS_ONLY)
 def test_rows_only_query_runs(spark, name):
     qdef = _DEFS[name]

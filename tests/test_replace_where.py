@@ -91,3 +91,30 @@ def test_replace_where_requires_overwrite_mode(t):
     )
     with pytest.raises(ValueError, match="replace_where requires"):
         t.write(fresh, mode="append", replace_where=[("bucket", "=", 0)])
+
+
+def test_null_predicate_rows_survive_rewrite(spark, tmp_path):
+    """Regression (ADVICE r03): rows where the predicate evaluates to NULL
+    are non-matching — Delta preserves them; filter(~cond) alone would
+    silently drop them from rewritten mixed files."""
+    t = GraftTable(spark, os.path.join(tmp_path, "nulls"))
+    df = spark.createDataFrame(
+        [(1, 10), (2, 20), (None, 30), (None, 40), (5, 50)], "k int, val int"
+    )
+    t.write(df.coalesce(1))  # one mixed file so the rewrite path runs
+    fresh = spark.createDataFrame([(2, -1)], "k int, val int")
+    t.write(fresh, replace_where=[("k", "=", 2)])
+    out = t.load()
+    assert out.count() == 5, "NULL-k rows must survive the rewrite"
+    assert out.filter(F.col("k").isNull()).count() == 2
+    assert out.filter(F.col("k") == 2).first()["val"] == -1
+
+
+def test_null_predicate_incoming_rows_rejected(spark, tmp_path):
+    """Mirror hole: an incoming row with NULL in the predicate column is
+    NOT inside the predicate and must be rejected, not slip past ~cond."""
+    t = GraftTable(spark, os.path.join(tmp_path, "nulls2"))
+    t.write(spark.createDataFrame([(1, 10), (2, 20)], "k int, val int"))
+    bad = spark.createDataFrame([(2, -1), (None, -2)], "k int, val int")
+    with pytest.raises(ConstraintViolationError, match="outside the replaceWhere"):
+        t.write(bad, replace_where=[("k", "=", 2)])
