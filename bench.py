@@ -161,12 +161,124 @@ def _bench_workshop_scale(spark, n_rows: int, n_files: int) -> dict:
     return out
 
 
+def _bench_ann_index(spark, n_vectors: int = 100_000, dim: int = 64) -> dict:
+    """VERDICT r03 #3 acceptance: the CANDIDATE stage served from the
+    MATERIALIZED LSH index must cost less than the exact brute-force scan
+    (the inline-LSH shape couldn't — it recomputed 192 dots per row per
+    query; the index pays them once at build).
+
+    Fair comparison: BOTH paths scan a materialized GraftTable (the
+    brute-force side a plain vectors table, the indexed side the covering
+    index), so the delta is candidate-stage arithmetic, not IO shape.
+    ``candidate_stage_med_sec`` vs ``bruteforce_query_med_sec`` is the
+    acceptance; ``indexed_query_med_sec`` records the end-to-end number
+    honestly (at 100k rows fixed overhead still dominates — see the
+    lsh_index module docstring for the at-scale dials)."""
+    import shutil
+    import statistics
+    import tempfile
+
+    from delta_lake_optimizations_spark.operators.lsh_index import (
+        ann_topk_from_index,
+        build_lsh_index,
+    )
+    from delta_lake_optimizations_spark.operators.pipeline import hash_embed
+    from delta_lake_optimizations_spark.operators.similarity import topk_cosine
+    from delta_lake_optimizations_spark.table import GraftTable
+
+    root = tempfile.mkdtemp(prefix="bench_annidx_")
+    out: dict = {"n_vectors": n_vectors, "dim": dim}
+    try:
+        generated = spark.range(n_vectors).select(
+            F.col("id").alias("vec_id"),
+            hash_embed(F.col("id").cast("string"), dim=dim).alias("embedding"),
+        )
+        base = GraftTable(spark, os.path.join(root, "base"))
+        base.write(generated)
+        corpus = base.load()
+        t0 = time.perf_counter()
+        t = build_lsh_index(spark, corpus, os.path.join(root, "idx"), dim)
+        out["index_build_sec"] = round(time.perf_counter() - t0, 4)
+        indexed = t.load()
+
+        qvecs = [
+            [float(x) for x in r["embedding"]]
+            for r in corpus.filter(F.col("vec_id") < 5).collect()
+        ]
+        from delta_lake_optimizations_spark.operators.lsh_index import (
+            PROBE_HAMMING,
+            query_codes,
+        )
+
+        brute, idx, cand_stage = [], [], []
+        for qv in qvecs:  # warm once per shape, then time each probe
+            topk_cosine(corpus, qv, k=10).count()
+            ann_topk_from_index(indexed, qv, k=10).count()
+        n_cand = 0
+        for qv in qvecs:
+            t0 = time.perf_counter()
+            topk_cosine(corpus, qv, k=10).count()
+            brute.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            ann_topk_from_index(indexed, qv, k=10).count()
+            idx.append(time.perf_counter() - t0)
+            # candidate stage alone: the bit-compare filter over stored codes
+            cond = None
+            for ti, qc in enumerate(query_codes(qv)):
+                hit = (
+                    F.bit_count(F.col(f"lsh_code_{ti}").bitwiseXOR(F.lit(qc)))
+                    <= PROBE_HAMMING
+                )
+                cond = hit if cond is None else (cond | hit)
+            t0 = time.perf_counter()
+            n_cand += indexed.filter(cond).count()
+            cand_stage.append(time.perf_counter() - t0)
+        out["bruteforce_query_med_sec"] = round(statistics.median(brute), 4)
+        out["indexed_query_med_sec"] = round(statistics.median(idx), 4)
+        out["candidate_stage_med_sec"] = round(statistics.median(cand_stage), 4)
+        out["candidate_fraction"] = round(n_cand / (len(qvecs) * n_vectors), 4)
+        out["speedup_vs_bruteforce"] = round(
+            statistics.median(brute) / statistics.median(idx), 2
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+def _bench_sf1_rehearsal(spark, sf_dir: str, sf01_timings: dict[str, float]) -> dict:
+    """VERDICT r03 #7: run the headline suite + MinHash dedup at 10x the
+    bench corpus ("sf1", generated once under /tmp with referentially
+    intact key shifts — scripts/make_sfx.py). Acceptance: no query takes
+    more than ~10x its sf0.1 median (linear-ish scaling; superlinear blowup
+    means a plan that won't survive 100 TB)."""
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts"))
+    from make_sfx import make_sfx
+
+    out_dir = make_sfx(spark, sf_dir, "/tmp/spark_graft_sfx/sf1", factor=10)
+    reg = registry()
+    names = [n for n, q in reg.items() if q.headline] + ["dedup_minhash_lsh"]
+    out: dict = {"dir": out_dir, "factor": 10, "queries": {}, "ratio_vs_sf01": {}}
+    for name in sorted(set(names)):
+        fn = reg[name].fn
+        t0 = time.perf_counter()
+        fn(spark, out_dir).count()
+        sec = round(time.perf_counter() - t0, 4)
+        out["queries"][name] = sec
+        base = sf01_timings.get(name)
+        if base:
+            out["ratio_vs_sf01"][name] = round(sec / base, 2)
+    out["total_sec"] = round(sum(out["queries"].values()), 4)
+    ratios = [r for r in out["ratio_vs_sf01"].values()]
+    out["max_ratio_vs_sf01"] = max(ratios) if ratios else None
+    return out
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument(
         "--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     )
-    parser.add_argument("--reps", type=int, default=2)
+    parser.add_argument("--reps", type=int, default=5)
     parser.add_argument("--warmup", type=int, default=1)
     parser.add_argument("--no-maintenance", action="store_true")
     parser.add_argument(
@@ -175,6 +287,8 @@ def main() -> None:
     )
     parser.add_argument("--workshop-rows", type=int, default=5_000_000)
     parser.add_argument("--workshop-files", type=int, default=400)
+    parser.add_argument("--no-ann-index", action="store_true")
+    parser.add_argument("--no-sf1", action="store_true")
     args = parser.parse_args()
 
     spark = get_spark(app_name="bench")
@@ -232,6 +346,14 @@ def main() -> None:
         if not args.no_workshop
         else None
     )
+    ann_index = _bench_ann_index(spark) if not args.no_ann_index else None
+    # sf1 rehearsal only at the driver's bench scale (generating 10x of a
+    # tiny sf would prove nothing about scaling)
+    sf1 = (
+        _bench_sf1_rehearsal(spark, args.sf_dir, timings)
+        if not args.no_sf1 and _sf_from_dir(args.sf_dir) == 0.1
+        else None
+    )
 
     full = {
         "metric": "headline_queries_total_sec",
@@ -244,6 +366,8 @@ def main() -> None:
         "reps": args.reps,
         "maintenance": maintenance,
         "workshop_scale": workshop,
+        "ann_index": ann_index,
+        "sf1": sf1,
     }
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_detail.json")
     with open(detail_path, "w") as f:
@@ -273,7 +397,28 @@ def main() -> None:
         compact["maintenance"] = {k: maintenance[k] for k in _MAINT_HEADLINE if k in maintenance}
     if workshop is not None:
         compact["workshop_scale"] = {k: workshop[k] for k in _WS_HEADLINE if k in workshop}
+    if ann_index is not None:
+        compact["ann_index"] = {
+            k: ann_index[k]
+            for k in (
+                "index_build_sec", "bruteforce_query_med_sec",
+                "indexed_query_med_sec", "candidate_stage_med_sec",
+                "candidate_fraction", "speedup_vs_bruteforce",
+            )
+            if k in ann_index
+        }
+    if sf1 is not None:
+        compact["sf1"] = {
+            "total_sec": sf1["total_sec"],
+            "max_ratio_vs_sf01": sf1["max_ratio_vs_sf01"],
+        }
     line = json.dumps(compact)
+    if len(line) > 1900:
+        compact.pop("ann_index", None)
+        line = json.dumps(compact)
+    if len(line) > 1900:
+        compact.pop("sf1", None)
+        line = json.dumps(compact)
     if len(line) > 1900:  # hard guarantee: stay inside the driver's tail window
         compact.pop("workshop_scale", None)
         line = json.dumps(compact)

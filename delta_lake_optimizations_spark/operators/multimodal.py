@@ -21,8 +21,16 @@ from delta_lake_optimizations_spark.catalog import load_table
 from delta_lake_optimizations_spark.registry import query
 
 DECODE_SCHEMA = (
-    "doc_id bigint, mime string, n_bytes bigint, width int, height int, n_pixels bigint"
+    "doc_id bigint, mime string, n_bytes bigint, width int, height int, "
+    "n_pixels bigint, decoder string"
 )
+
+# Real codec when available: PIL decodes actual pixels. The container may
+# not ship it, so it is strictly optional — import once at module load.
+try:  # pragma: no cover - presence depends on the environment
+    from PIL import Image as _PILImage
+except ImportError:  # pragma: no cover
+    _PILImage = None
 
 
 def to_multimodal(
@@ -42,11 +50,10 @@ def to_multimodal(
 
 
 def _fake_decode(payload: bytes) -> tuple[int, int]:
-    """STUB codec: deterministic fake width/height derived from the payload.
-
-    Replace with a real decoder (PIL / torchaudio / pyav) where available —
-    the surrounding Arrow/mapInPandas plumbing is production-shaped.
-    """
+    """FALLBACK codec for opaque (non-media) payloads: deterministic fake
+    width/height derived from the payload, so the distributed plumbing is
+    exercised end-to-end on any corpus. Real media bytes never reach this —
+    see :func:`_decode_dims`'s cascade."""
     if payload is None:
         raise NotImplementedError("real decode requires a media library")
     w = 16 + (payload[0] if len(payload) > 0 else 0) % 64
@@ -54,16 +61,51 @@ def _fake_decode(payload: bytes) -> tuple[int, int]:
     return w, h
 
 
+def _decode_dims(payload: bytes | None) -> tuple[int | None, int | None, str]:
+    """Decode cascade, best codec first:
+
+    1. PIL when importable — full pixel decode of any format it knows;
+    2. stdlib header parse (``mediaprobe.probe_media``) — REAL parsing of
+       real PNG/JPEG/GIF/BMP bytes, dimensions without touching a pixel;
+    3. the deterministic fallback for payloads that are not media at all
+       (e.g. the text corpus used in tests), keeping the pipeline total.
+
+    Returns ``(width, height, decoder)`` where decoder records which
+    branch ran — downstream filters can demand ``decoder != 'fallback'``.
+    """
+    if payload is None:
+        raise NotImplementedError("real decode requires a media library")
+    b = bytes(payload)
+    if _PILImage is not None:
+        import io
+
+        try:
+            with _PILImage.open(io.BytesIO(b)) as img:
+                return int(img.width), int(img.height), "pil"
+        except Exception:
+            pass  # not an image PIL knows — fall through
+    from delta_lake_optimizations_spark.operators.mediaprobe import probe_media
+
+    probed = probe_media(b)
+    if probed["width"] is not None:
+        return int(probed["width"]), int(probed["height"]), "header"
+    w, h = _fake_decode(b)
+    return w, h, "fallback"
+
+
 def decode_assets(assets: DataFrame) -> DataFrame:
-    """Arrow-batched 'decode' over the binary payload via mapInPandas.
+    """Arrow-batched decode over the binary payload via mapInPandas.
 
     Batches stream through Python without materializing a partition at
-    once; output schema is fixed so downstream plans are stable.
+    once; output schema is fixed so downstream plans are stable. Real
+    media payloads get real dimensions (PIL if installed, else the stdlib
+    header parse); opaque payloads take the deterministic fallback and are
+    labeled ``decoder='fallback'``.
     """
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            dims = [_fake_decode(p) for p in pdf["payload"]]
+            dims = [_decode_dims(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -71,7 +113,10 @@ def decode_assets(assets: DataFrame) -> DataFrame:
                     "n_bytes": pdf["n_bytes"],
                     "width": [d[0] for d in dims],
                     "height": [d[1] for d in dims],
-                    "n_pixels": [d[0] * d[1] for d in dims],
+                    "n_pixels": [
+                        None if d[0] is None else d[0] * d[1] for d in dims
+                    ],
+                    "decoder": [d[2] for d in dims],
                 }
             )
 
@@ -180,11 +225,15 @@ def multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_decode_stub", tags=("multimodal", "stub"))
-def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary payload -> fake-decoded dimensions via Arrow-batched
-    mapInPandas (rows-only driver check: the codec is a deterministic stub,
-    the distributed plumbing is real)."""
+@query("multimodal_decode_dims", tags=("multimodal",))
+def multimodal_decode_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload -> decoded dimensions via Arrow-batched mapInPandas.
+    The decode cascade is real (PIL if installed, stdlib header parse for
+    real media bytes — exercised on spec-correct PNG/JPEG/GIF/BMP/WAV in
+    tests/test_mediaprobe.py + test_multimodal.py); this corpus's text
+    payloads take the labeled deterministic fallback, which
+    ``multimodal_decode_consistency`` value-checks under the driver.
+    (Rows-only driver check for the frame itself.)"""
     documents = load_table(spark, sf_dir, "documents")
     assets = to_multimodal(documents, "doc_id", "text", "text/plain")
     return decode_assets(assets)

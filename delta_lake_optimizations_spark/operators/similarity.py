@@ -18,7 +18,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from delta_lake_optimizations_spark.catalog import load_table
-from delta_lake_optimizations_spark.queries.vectors import cosine, dot, l2_norm_sq
+from delta_lake_optimizations_spark.queries.vectors import cosine, dot
 from delta_lake_optimizations_spark.registry import query
 
 # Unblocked (no block_col) pair generators are O(n^2) oracle baselines.
@@ -236,6 +236,11 @@ def ann_lsh_buckets(
     Vectors with equal bucket are likely-similar; at scale, near-dup and
     ANN both become equi-joins/groupBys on this column.
     """
+    # NB: plane projections stay on the FOLD dot, not the expanded
+    # dot_lit — n_planes expansions are ~n_planes*dim*2 expression nodes
+    # and Catalyst's optimizer goes nonlinear on trees that size (measured:
+    # a 16x12-plane expanded select planned for minutes; the fold plans
+    # instantly and the pass is once-per-corpus, not per-query).
     bucket: Column = F.lit(0).cast("long")
     for i in range(n_planes):
         plane = F.array(*[F.lit(v) for v in _hyperplane(dim, i)])

@@ -55,85 +55,85 @@ _QUERY_MODULES = (
     "delta_lake_optimizations_spark.operators.skew",
     "delta_lake_optimizations_spark.operators.ranking",
     "delta_lake_optimizations_spark.operators.heavyhitters",
+    "delta_lake_optimizations_spark.operators.lsh_index",
+    "delta_lake_optimizations_spark.operators.metrics",
 )
 
 
 # The driver's correctness gate checks exactly the FIRST 50 registry entries
-# (registration order) each round. Window history: round 1 verified the
-# relational / TPC-H / window / setop families; round 2 rotated in the
-# scalar / events / vector / dedup / similarity / text / sampling families
-# (42/44 oracle-backed green). Round 3 (this window): the two round-2 ERR
-# rows re-verify with serialized vector columns, the 21 queries that have
-# never had a driver row rotate in, the two LSH ANN queries re-run under
-# their new honest multi-probe configs, `pipeline_curate_documents` stays in
-# as a regression watch, and the remaining slots re-verify proven greens
-# whose source files changed this round. Everything demoted out of the
-# window stays covered by the identical local gate in
+# (registration order) each round. Window history: r01 relational/TPC-H/
+# window/setops; r02 scalar/events/vector/dedup/similarity/text/sampling;
+# r03 reshape + the remaining never-checked queries (49/50 green — the skew
+# decimal bug was the one red). Round 4 (this window): the fixed skew query
+# re-verifies, the NEW metric queries give the approximate operators their
+# first oracle-backed driver rows, the 10 rows-only slots carry the
+# never-checked pagerank + the new materialized-index ANN + family
+# representatives, and the rest re-verifies proven greens. Everything
+# demoted out of the window stays covered by the identical local gate in
 # ``tests/test_oracle_parity.py``.
 DRIVER_WINDOW = 50
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # round-2 ERR rows (array columns), fixed — must re-verify under driver
-    "pipeline_chunk_embed",
-    "multimodal_byte_features",
-    # never-driver-checked, oracle-backed (reshape family)
-    "unpivot_price_components",
-    "explode_doc_tokens",
-    "map_event_props",
-    "pivot_status_qty",
-    # never-driver-checked, oracle-backed (events / dedup / text / sampling)
-    "events_resample_gapfill",
-    "events_asof_next_purchase",
-    "dedup_repeated_spans",
-    "seq_length_histogram",
-    "zipf_top_tokens",
-    "quality_classifier_scores",
-    "bigram_lm_perplexity",
-    "token_entropy_scores",
-    "cap_source_share",
-    "mixture_rebalance_langs",
-    "decontam_clean_corpus_stats",
-    "importance_sample_by_length",
-    # never-driver-checked, rows-only (non-SQL-expressible ANN / fingerprint)
-    "knn_join_ivf",
-    "ann_pq_topk",
-    "doc_fingerprint",
-    "multimodal_decode_stub",
-    "semantic_dedup_embeddings",
-    # re-verify under the new honest multi-probe configs (rows-only)
+    # r03's single red row, fixed (decimal -> rounded double) — re-verify
+    "skew_salted_join_brand_revenue",
+    # NEW round-4 metric queries (operators/metrics.py): oracle-backed
+    # validation of the formerly rows-only approximate operators —
+    # ground-truth counts value-checked by DuckDB, recall/error verdicts
+    # emitted as driver-hashed booleans
+    "ann_lsh_recall",
+    "ann_ivf_recall",
+    "ann_pq_recall",
+    "knn_join_lsh_recall",
+    "knn_join_ivf_recall",
+    "hard_negatives_lsh_overlap",
+    "minhash_lsh_recall",
+    "simhash_jaccard_recall",
+    "hll_error_by_flag",
+    "approx_percentile_error_by_flag",
+    "doc_fingerprint_shingles",
+    "doc_fingerprint_consistency",
+    "chunk_embed_consistency",
+    "dedup_components_ngram",
+    "pagerank_mass_conservation",
+    "multimodal_decode_consistency",
+    "ann_lsh_indexed_matches_inline",
+    # rows-only slots (<= 10, tests/test_registry_window.py): the one
+    # never-driver-checked query, the new materialized-index ANN, and the
+    # family representatives whose metric twins are above
+    "pagerank_dedup_graph",
+    "ann_lsh_topk_indexed",
     "ann_lsh_topk",
     "knn_join_lsh",
-    # r02 regression watch (bench medians regressed 0.96->1.16 s)
+    "dedup_minhash_lsh",
+    "doc_fingerprint",
+    "semantic_dedup_embeddings",
+    "multimodal_decode_dims",
+    "multimodal_byte_features",
+    "pipeline_chunk_embed",
+    # regression watches (bench medians under observation this round)
     "pipeline_curate_documents",
-    # NEW round-3 queries (first driver look)
-    "skew_salted_join_brand_revenue",
-    "global_rank_events",
-    "ntile_exact_buckets",
-    "events_funnel_conversion",
-    "events_daily_retention",
-    "text_normalize_clean",
+    "events_tumbling_window",
+    "q21_suppliers_kept_orders_waiting",
+    # proven greens re-verified: sources touched this round or family
+    # representatives keeping the window full
+    "doc_chunk_windows",
+    "dedup_ngram_jaccard",
+    "dedup_levenshtein_prefix_block",
+    "topk_cosine_bruteforce",
+    "knn_join_exact",
     "hard_negatives_exact",
-    "hard_negatives_lsh",
-    "weighted_sample_by_length",
-    "frequent_tokens_heavy_hitters",
-    "window_percent_rank_cume_dist",
-    # NEW round-3 oracle-backed operators (added mid-round; take window
-    # slots from queries already double-proven green in r01+r02 — those
-    # keep their historical driver rows and the local gate)
-    "dedup_chunks_rewrite_corpus",
-    "decontam_embedding_similarity",
-    "temperature_rebalance_langs",
-    "events_transition_matrix",
-    # proven greens re-verified (source files touched this round, or family
-    # representatives keeping the window full)
-    "vector_label_centroids",
     "dedup_exact_text",
     "dedup_embedding_cosine",
-    "topk_cosine_bruteforce",
     "semantic_search_with_text",
-    "knn_join_exact",
-    "text_quality_scores",
-    "bm25_keyword_search",
     "decontam_ngram_overlap",
+    "events_asof_next_purchase",
+    "column_stats_summary",
+    "group_percentiles",
+    "window_topk_per_group",
+    "q1_pricing_summary",
+    "q3_top_unshipped_orders",
+    "q5_revenue_by_nation",
+    "q9_product_type_profit",
+    "bm25_keyword_search",
 )
 
 

@@ -1065,9 +1065,14 @@ class GraftTable:
             base_version=base.version if base is not None else -1,
         )
         # T1 parity: "statistics collected automatically at write time"
-        # (reference docs/02-lab-optimizations.md:591-596), opted in via the
-        # reference's own table property (:621-628).
-        if metadata["properties"].get("delta.stats.extended.collect") == "true":
+        # (reference docs/02-lab-optimizations.md:591-596). Precedence
+        # mirrors the lab exactly: the per-table property (:617-628,
+        # "It overrides session configs") wins when SET — either way —
+        # else the session conf (:605-610) decides, else off.
+        if self._extended_stats_enabled(
+            metadata["properties"], "delta.stats.extended.collect",
+            "spark.microsoft.delta.stats.collect.extended",
+        ):
             from delta_lake_optimizations_spark.stats import StatisticsStore
 
             StatisticsStore(self).collect()
@@ -1087,6 +1092,19 @@ class GraftTable:
         if metadata["properties"].get("delta.autoOptimize.autoCompact") == "true":
             self._maybe_auto_compact(metadata["properties"])
         return commit
+
+    def _extended_stats_enabled(
+        self, props: dict[str, str], table_prop: str, session_conf: str
+    ) -> bool:
+        """Extended-stats opt-in with the reference's precedence: table
+        property (SET either way) > session conf > off
+        (docs/02-lab-optimizations.md:605-628)."""
+        prop = props.get(table_prop)
+        if prop is not None:
+            return prop.strip().lower() == "true"
+        return (
+            self.spark.conf.get(session_conf, "false") or "false"
+        ).strip().lower() == "true"
 
     def _maybe_auto_compact(self, props: dict[str, str]) -> None:
         from delta_lake_optimizations_spark.table.maintenance import (

@@ -53,7 +53,19 @@ def main() -> None:
     ap.add_argument("--threshold", type=float, default=0.2)
     args = ap.parse_args()
 
-    old, new = _queries(_load(args.old)), _queries(_load(args.new))
+    old_doc, new_doc = _load(args.old), _load(args.new)
+    old, new = _queries(old_doc), _queries(new_doc)
+    # Host-speed normalization: both records carry a fixed engine-free
+    # calibration scan; dividing the new medians by the host-speed ratio
+    # separates code regressions from shared-VM slowdown.
+    ratio = 1.0
+    oc = (old_doc.get("parsed") or old_doc).get("calibration_scan_sec")
+    nc = (new_doc.get("parsed") or new_doc).get("calibration_scan_sec")
+    if oc and nc:
+        ratio = float(nc) / float(oc)
+        print(f"calibration: old={oc}s new={nc}s host-speed ratio={ratio:.3f} "
+              f"(new medians divided by this)")
+        new = {k: v / ratio for k, v in new.items()}
     names = sorted(set(old) | set(new))
     flagged = []
     print(f"{'query':42s} {'old':>8s} {'new':>8s} {'delta':>8s}")

@@ -881,3 +881,111 @@ def test_checkpoint_and_vacuum_survive_vacuum_log(spark, tmp_path):
     # and vacuum again after the new checkpoint: still nothing live deleted
     vacuum(t2, retain_hours=0.0, dry_run=False)
     assert t2.load().count() == 35
+
+
+def test_stale_optimize_vs_append_conflicts_and_append_rebases(spark, sales):
+    """VERDICT r03 #8 interleavings, both orders of OPTIMIZE vs append:
+
+    (a) OPTIMIZE reads its snapshot, an APPEND lands in between -> the
+        OPTIMIZE commit must abort (its add/remove was computed from the
+        stale snapshot; landing it could drop the appended files from the
+        compacted view), and the appended rows must survive a retried
+        OPTIMIZE.
+    (b) An APPEND whose base went stale because an OPTIMIZE landed must
+        auto-rebase (a compaction that touched none of its files cannot
+        invalidate a blind add) — ingest never fails behind maintenance.
+    """
+    from unittest.mock import patch
+
+    from delta_lake_optimizations_spark.table.graft_table import (
+        ConcurrentCommitError,
+    )
+
+    n0 = sales.load().count()
+    batch = sales.load().limit(5)
+
+    # (a) optimize loses to a concurrent append
+    real_snapshot = type(sales).snapshot
+    state = {"injected": False}
+
+    def snapshot_then_append(self, *a, **kw):
+        snap = real_snapshot(self, *a, **kw)
+        if not state["injected"] and not a and not kw:
+            state["injected"] = True
+            other = GraftTable(spark, self.path)
+            other.write(batch, mode="append")
+        return snap
+
+    with patch.object(type(sales), "snapshot", snapshot_then_append):
+        with pytest.raises(ConcurrentCommitError):
+            optimize(sales)
+    assert sales.load().count() == n0 + 5, "appended rows survived the abort"
+    optimize(sales)  # fresh snapshot -> clean compaction
+    assert sales.load().count() == n0 + 5
+
+    # (b) append rebases past a landed optimize
+    state2 = {"injected": False}
+
+    def snapshot_then_optimize(self, *a, **kw):
+        snap = real_snapshot(self, *a, **kw)
+        if not state2["injected"] and not a and not kw:
+            state2["injected"] = True
+            optimize(GraftTable(spark, self.path))
+        return snap
+
+    with patch.object(type(sales), "snapshot", snapshot_then_optimize):
+        sales.write(batch, mode="append")  # must NOT raise
+    assert sales.load().count() == n0 + 10
+
+
+def test_stale_delete_vs_append_conflicts_and_append_rebases(spark, sales):
+    """Same two interleavings for DELETE vs append: a DELETE whose
+    snapshot went stale behind an append must abort (its rewrite set was
+    computed without the new files — landing it would silently exempt
+    them); an append behind a landed DELETE must rebase."""
+    from unittest.mock import patch
+
+    from delta_lake_optimizations_spark.table.graft_table import (
+        ConcurrentCommitError,
+    )
+
+    n0 = sales.load().count()
+    batch = sales.load().filter(F.col("l_quantity") >= 20).limit(5)
+    n_low0 = sales.load().filter(F.col("l_quantity") < 10).count()
+    assert n_low0 > 0
+
+    real_snapshot = type(sales).snapshot
+    # delete() reads the snapshot twice: once inside the append-only
+    # guard, once for its own rewrite set — inject AFTER the second read,
+    # the one its add/remove lists are computed from
+    state = {"calls": 0}
+
+    def snapshot_then_append(self, *a, **kw):
+        snap = real_snapshot(self, *a, **kw)
+        if not a and not kw:
+            state["calls"] += 1
+            if state["calls"] == 2:
+                GraftTable(spark, self.path).write(batch, mode="append")
+        return snap
+
+    with patch.object(type(sales), "snapshot", snapshot_then_append):
+        with pytest.raises(ConcurrentCommitError):
+            delete(sales, "l_quantity < 10")
+    assert sales.load().count() == n0 + 5, "append survived the aborted delete"
+    delete(sales, "l_quantity < 10")  # retry on a fresh snapshot
+    assert sales.load().filter(F.col("l_quantity") < 10).count() == 0
+
+    state2 = {"injected": False}
+
+    def snapshot_then_delete(self, *a, **kw):
+        snap = real_snapshot(self, *a, **kw)
+        if not state2["injected"] and not a and not kw:
+            state2["injected"] = True
+            delete(GraftTable(spark, self.path), "l_quantity >= 40")
+        return snap
+
+    n_before = sales.load().count()
+    n_killed = sales.load().filter(F.col("l_quantity") >= 40).count()
+    with patch.object(type(sales), "snapshot", snapshot_then_delete):
+        sales.write(batch, mode="append")  # must NOT raise
+    assert sales.load().count() == n_before - n_killed + 5

@@ -1,0 +1,91 @@
+"""Materialized LSH index (operators/lsh_index.py): build-once code
+columns, bit-compare query path, equivalence with the inline multi-probe
+ANN, and the cost shape (no dot products at query time)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from delta_lake_optimizations_spark.catalog import load_table
+from delta_lake_optimizations_spark.operators.lsh_index import (
+    N_PLANES,
+    N_TABLES,
+    ann_topk_from_index,
+    build_lsh_index,
+    lsh_index_frame,
+    query_codes,
+)
+from delta_lake_optimizations_spark.operators.similarity import (
+    ann_topk_multiprobe,
+    embedding_dim,
+    query_vector,
+)
+
+from .conftest import SF_DIR
+
+
+def test_indexed_ann_equals_inline_multiprobe(spark, tmp_path):
+    """Same planes -> same codes -> identical candidate set and result."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    dim = embedding_dim(SF_DIR)
+    t = build_lsh_index(spark, emb, os.path.join(tmp_path, "idx"), dim)
+    indexed = t.load()
+    for vid in (0, 3, 7):
+        qv = query_vector(spark, SF_DIR, vid)
+        inline = [(r[0], r[1]) for r in ann_topk_multiprobe(emb, qv, k=10).collect()]
+        from_idx = [(r[0], r[1]) for r in ann_topk_from_index(indexed, qv, k=10).collect()]
+        assert inline == from_idx, f"vec {vid}: index diverges from inline"
+
+
+def test_index_is_commit_logged_and_narrow(spark, tmp_path):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    dim = embedding_dim(SF_DIR)
+    t = build_lsh_index(spark, emb, os.path.join(tmp_path, "idx"), dim)
+    snap = t.snapshot()
+    assert snap.version == 0
+    assert snap.properties["graft.lsh.nTables"] == str(N_TABLES)
+    cols = set(t.load().columns)
+    assert {"vec_id", "embedding"} <= cols
+    assert {f"lsh_code_{i}" for i in range(N_TABLES)} <= cols
+
+
+def test_query_codes_match_stored_codes(spark):
+    """The driver-side query-code arithmetic must agree with the JVM
+    expression codes for the same vector (else candidates are garbage)."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    dim = embedding_dim(SF_DIR)
+    frame = lsh_index_frame(emb, dim)
+    row = frame.filter(F.col("vec_id") == 5).first()
+    qc = query_codes([float(x) for x in row["embedding"]])
+    stored = [row[f"lsh_code_{t}"] for t in range(N_TABLES)]
+    assert qc == stored
+
+
+def test_query_plan_has_no_dot_products(spark, tmp_path):
+    """The scale claim: at query time the candidate filter is pure integer
+    bit math on stored columns — the plan must not contain the aggregate-
+    based dot-product expression the inline path uses."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    dim = embedding_dim(SF_DIR)
+    t = build_lsh_index(spark, emb, os.path.join(tmp_path, "idx"), dim)
+    qv = query_vector(spark, SF_DIR, 0)
+    plan = (
+        ann_topk_from_index(t.load(), qv, k=10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    inline_plan = (
+        ann_topk_multiprobe(emb, qv, k=10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the inline path folds a dot product per plane via aggregate() (16
+    # tables x 12 planes = 192 of them); the indexed path may only carry
+    # the re-rank cosine (dot + two norms) and must bit-compare stored codes
+    assert plan.count("aggregate(") <= 4, "re-rank cosine only, no per-plane dots"
+    assert inline_plan.count("aggregate(") > 100, "inline path shape changed?"
+    assert "bit_count" in plan

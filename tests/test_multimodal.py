@@ -59,3 +59,32 @@ def test_features_normalized_and_searchable(spark):
     q = [float(x) for x in rows[0]["feature"]]
     top = topk_cosine(feats, q, k=3, id_col="doc_id", vec_col="feature").collect()
     assert top[0]["doc_id"] == rows[0]["doc_id"]  # self is most similar
+
+
+def test_decode_assets_real_media_bytes(spark):
+    """The decode cascade (VERDICT r03 #5): spec-correct PNG/JPEG/GIF/BMP
+    payloads get their REAL dimensions (PIL when installed, stdlib header
+    parse otherwise — never the fallback); opaque payloads are labeled
+    fallback."""
+    from tests.test_mediaprobe import _bmp, _gif, _jpeg, _png
+
+    rows = [
+        (1, bytearray(_png(640, 480)), "image/png"),
+        (2, bytearray(_jpeg(320, 200)), "image/jpeg"),
+        (3, bytearray(_gif(99, 77)), "image/gif"),
+        (4, bytearray(_bmp(12, 34)), "image/bmp"),
+        (5, bytearray(b"not media at all"), "application/octet-stream"),
+    ]
+    assets = spark.createDataFrame(
+        [(i, p, m, len(p)) for i, p, m in rows],
+        "doc_id long, payload binary, mime string, n_bytes long",
+    )
+    out = {r["doc_id"]: r for r in decode_assets(assets).collect()}
+    assert (out[1]["width"], out[1]["height"]) == (640, 480)
+    assert (out[2]["width"], out[2]["height"]) == (320, 200)
+    assert (out[3]["width"], out[3]["height"]) == (99, 77)
+    assert (out[4]["width"], out[4]["height"]) == (12, 34)
+    for i in (1, 2, 3, 4):
+        assert out[i]["decoder"] in ("pil", "header"), out[i]
+        assert out[i]["n_pixels"] == out[i]["width"] * out[i]["height"]
+    assert out[5]["decoder"] == "fallback"

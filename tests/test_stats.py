@@ -93,3 +93,41 @@ def test_auto_stats_at_write(spark, tmp_path):
     t.write(df.limit(3), mode="append")
     assert store.get()["version"] == 1
     assert store.get()["rowCount"] == df.count() + 3
+
+
+def test_session_conf_enables_stats_collect(spark, tmp_path):
+    """Reference parity (docs/02-lab-optimizations.md:605-610): the lab's
+    conf-first flow — set the SESSION conf, never touch TBLPROPERTIES —
+    must collect extended stats at write."""
+    from delta_lake_optimizations_spark.table import GraftTable
+
+    df = spark.read.parquet(f"{SF_DIR}/nation.parquet")
+    spark.conf.set("spark.microsoft.delta.stats.collect.extended", "true")
+    try:
+        t = GraftTable(spark, str(tmp_path / "conf_on"))
+        t.write(df)
+        assert StatisticsStore(t).get() is not None, "session conf ignored"
+    finally:
+        spark.conf.set("spark.microsoft.delta.stats.collect.extended", "false")
+    # conf off again: a fresh table collects nothing
+    t2 = GraftTable(spark, str(tmp_path / "conf_off"))
+    t2.write(df)
+    assert StatisticsStore(t2).get() is None
+
+
+def test_table_property_overrides_session_conf(spark, tmp_path):
+    """Reference parity (:617, 'It overrides session configs'): an explicit
+    table property wins in BOTH directions."""
+    from delta_lake_optimizations_spark.table import GraftTable
+
+    df = spark.read.parquet(f"{SF_DIR}/nation.parquet")
+    spark.conf.set("spark.microsoft.delta.stats.collect.extended", "true")
+    try:
+        t = GraftTable(spark, str(tmp_path / "prop_false"))
+        t.write(df, properties={"delta.stats.extended.collect": "false"})
+        assert StatisticsStore(t).get() is None, "property=false must win"
+    finally:
+        spark.conf.set("spark.microsoft.delta.stats.collect.extended", "false")
+    t2 = GraftTable(spark, str(tmp_path / "prop_true"))
+    t2.write(df, properties={"delta.stats.extended.collect": "true"})
+    assert StatisticsStore(t2).get() is not None, "property=true must win"
