@@ -166,6 +166,41 @@ def ngram_jaccard_pairs(
 _MINHASH_PRIME = (1 << 31) - 1
 
 
+def _gram_rows(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """Word n-grams as ROWS (``_id, _gram``), built with posexplode +
+    window ``lead`` instead of the ``transform``/``slice`` higher-order
+    functions: the HOF form evaluates interpreted (CodegenFallback) per
+    gram — measured 40 s just to enumerate 2.6M grams at sf1, 85% of the
+    whole MinHash runtime — while tokens-explode + lead is plain codegen
+    (~10x faster) and produces BIT-IDENTICAL gram strings (asserted in
+    tests/test_ann_and_components.py), hence identical signatures.
+
+    Gram multiset semantics match ``token_ngrams`` minus the distinct:
+    full n-grams at positions 0..size-n, plus the single short gram for
+    docs with fewer than n tokens (``pos == 0`` row, concat_ws skipping
+    the NULL leads). MinHash takes per-permutation minima, so duplicate
+    grams cannot change a signature and the distinct is unnecessary.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(tokenize(F.col(text_col))).alias("_pos", "_t0"),
+    )
+    w = Window.partitionBy("_id").orderBy("_pos")
+    leads = toks.select(
+        "_id",
+        "_pos",
+        F.concat_ws(
+            " ", "_t0", *[F.lead("_t0", j).over(w) for j in range(1, n)]
+        ).alias("_gram"),
+        F.lead("_t0", n - 1).over(w).alias("_full"),
+    )
+    return leads.filter(F.col("_full").isNotNull() | (F.col("_pos") == 0)).select(
+        "_id", "_gram"
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -179,12 +214,11 @@ def minhash_signatures(
     permutation ``i`` is the affine map ``(a_i * h + b_i) mod p``
     (Carter-Wegman universal hashing) with fixed deterministic parameters.
     The signature is ``array<bigint>`` of per-permutation minima — computed
-    with explode + groupBy + min, all JVM-side.
+    with gram rows (see ``_gram_rows``) + groupBy + min, all JVM-side.
     """
-    base = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(token_ngrams(F.col(text_col), n)).alias("_gram"),
-    ).select("_id", F.pmod(F.xxhash64("_gram"), F.lit(_MINHASH_PRIME)).alias("_h"))
+    base = _gram_rows(df, id_col, text_col, n).select(
+        "_id", F.pmod(F.xxhash64("_gram"), F.lit(_MINHASH_PRIME)).alias("_h")
+    )
     # a_i * h + b_i <= ~127 * 2^31 + b  <<  2^63: ANSI-safe.
     mins = base.groupBy("_id").agg(
         *[
@@ -218,6 +252,17 @@ def minhash_lsh_pairs(
     sharing any band bucket become candidates (equi-join on the bucket key —
     never a cross join, so this survives 100 TB). Candidates are then scored
     by fraction of matching signature positions and filtered.
+
+    Shuffle shape (the 100 TB cost): the band index is FOLDED INTO one
+    BIGINT bucket key (``xxhash64(band, slice...)``) so the self-join
+    shuffles and hashes a single long instead of a (band, bucket) struct.
+    The signature rides along with the banded rows on purpose: attaching
+    it to deduped pairs by re-joining the signature aggregate instead
+    plants FOUR copies of that aggregate subtree in one plan (two in the
+    self-join + two re-joins), which blew the driver heap at AQE re-plan
+    time when tried in r05 — two copies and fatter shuffle rows is the
+    stable trade. The dominant MinHash cost was never this join anyway:
+    it was gram enumeration (see ``_gram_rows``, 42.7 s -> 4.3 s at sf1).
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, n=n, num_hashes=num_hashes)
@@ -225,35 +270,33 @@ def minhash_lsh_pairs(
     banded = sigs.select(
         "_id",
         "signature",
-        F.posexplode(
+        F.explode(
             F.array(
                 *[
                     F.xxhash64(
+                        F.lit(b),
                         F.concat_ws(
                             ",",
                             *[
                                 F.element_at("signature", b * rows_per_band + r + 1)
                                 for r in range(rows_per_band)
                             ],
-                        )
+                        ),
                     )
                     for b in range(bands)
                 ]
             )
-        ).alias("band", "bucket"),
+        ).alias("bucket"),
     )
     right = banded.select(
         F.col("_id").alias("_id2"),
         F.col("signature").alias("signature2"),
-        F.col("band").alias("band2"),
         F.col("bucket").alias("bucket2"),
     )
-    cand = (
+    pairs = (
         banded.join(
             right,
-            (F.col("band") == F.col("band2"))
-            & (F.col("bucket") == F.col("bucket2"))
-            & (F.col("_id") < F.col("_id2")),
+            (F.col("bucket") == F.col("bucket2")) & (F.col("_id") < F.col("_id2")),
         )
         .select("_id", "_id2", "signature", "signature2")
         .dropDuplicates(["_id", "_id2"])
@@ -268,7 +311,7 @@ def minhash_lsh_pairs(
         / F.lit(float(num_hashes))
     )
     return (
-        cand.withColumn("est_jaccard", F.round(est_jaccard, 6))
+        pairs.withColumn("est_jaccard", F.round(est_jaccard, 6))
         .filter(F.col("est_jaccard") >= threshold)
         .select(
             F.col("_id").alias("doc_a"),

@@ -169,3 +169,143 @@ def ann_ivf_topk(spark, sf_dir: str) -> DataFrame:
     qv = query_vector(spark, sf_dir, 0)
     assigned, centroids = ivf_build(emb, nlist=8, seed=7)
     return ivf_search(assigned, centroids, qv, k=10, nprobe=4)
+
+
+# ---------------------------------------------------------------------------
+# Materialized IVF index (VERDICT r04 #2): the assigned table written as a
+# GraftTable PARTITIONED BY list_id, centroids carried in table properties.
+# A probe loads only the nprobe partitions nearest the query — hive-dir +
+# stats pruning through the engine's own skip_where machinery — so query
+# IO is nprobe/nlist of the index at any scale. Build is one distributed
+# KMeans fit + assignment pass, paid once per corpus.
+# ---------------------------------------------------------------------------
+
+import hashlib as _hashlib
+import json as _json
+import os as _os
+import tempfile as _tempfile
+
+CENTROIDS_PROP = "graft.ivf.centroids"
+
+
+def build_ivf_index(
+    spark,
+    df: DataFrame,
+    path: str,
+    nlist: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 7,
+    sample_fraction: float | None = None,
+):
+    """Materialize the IVF index: ``(list_id, id, vector)`` partitioned by
+    ``list_id`` (one hive dir per Voronoi cell), centroids JSON in the
+    table properties (nlist x dim floats — index metadata small enough for
+    the commit log at any realistic nlist; a 4096x768 deployment would put
+    ~25 MB there, at which point a sidecar parquet is the right home, same
+    pattern as the bloom sidecars). Returns the table handle."""
+    from delta_lake_optimizations_spark.table import GraftTable
+
+    assigned, centroids = ivf_build(
+        df, nlist=nlist, vec_col=vec_col, id_col=id_col, seed=seed,
+        sample_fraction=sample_fraction,
+    )
+    t = GraftTable(spark, path)
+    t.write(
+        assigned.select("list_id", id_col, vec_col),
+        mode="overwrite",
+        partition_by=["list_id"],
+        properties={
+            CENTROIDS_PROP: _json.dumps(
+                [[round(x, 8) for x in c] for c in centroids]
+            ),
+            "graft.ivf.nlist": str(nlist),
+            # one writer task per cell -> one file per hive partition
+            # (instead of tasks x cells small files); the probe then reads
+            # exactly nprobe files
+            "graft.optimizeWrite": "true",
+        },
+    )
+    return t
+
+
+def ivf_index_centroids(table) -> list[list[float]]:
+    """Centroid matrix back out of the table properties."""
+    return _json.loads(table.snapshot().properties[CENTROIDS_PROP])
+
+
+def ann_topk_from_ivf_index(
+    table,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k from the materialized IVF index: rank centroids driver-side
+    (nlist is small by design), load ONLY the nprobe nearest cells'
+    partitions (``list_id IN probes`` -> hive-partition pruning), exact
+    cosine re-rank. No KMeans fit, no full scan, at query time."""
+    import math
+
+    centroids = ivf_index_centroids(table)
+
+    def sqdist(a: list[float], b: list[float]) -> float:
+        return math.fsum((x - y) ** 2 for x, y in zip(a, b))
+
+    order = sorted(range(len(centroids)), key=lambda i: sqdist(centroids[i], query_vec))
+    probes = order[:nprobe]
+    cand = table.load(skip_where=[("list_id", "in", probes)]).select(id_col, vec_col)
+    return topk_cosine(cand, query_vec, k=k, id_col=id_col, vec_col=vec_col)
+
+
+def ivf_probe_files_scanned(table, query_vec: list[float], nprobe: int = 4) -> int:
+    """Index files the probe reads (partition pruning, driver-side)."""
+    import math
+
+    centroids = ivf_index_centroids(table)
+
+    def sqdist(a: list[float], b: list[float]) -> float:
+        return math.fsum((x - y) ** 2 for x, y in zip(a, b))
+
+    order = sorted(range(len(centroids)), key=lambda i: sqdist(centroids[i], query_vec))
+    return table.files_scanned(skip_where=[("list_id", "in", order[:nprobe])])
+
+
+def _ivf_corpus_fingerprint(sf_dir: str) -> str:
+    from delta_lake_optimizations_spark.operators.lsh_index import _corpus_fingerprint
+
+    return _corpus_fingerprint(sf_dir)
+
+
+def _cached_ivf_index(spark, sf_dir: str, nlist: int = 8):
+    """Build-once-per-corpus IVF index (content-fingerprinted cache key,
+    same scheme as the LSH index caches)."""
+    from delta_lake_optimizations_spark.catalog import load_table
+    from delta_lake_optimizations_spark.table import GraftTable
+
+    key = _hashlib.sha256(
+        f"{_os.path.abspath(sf_dir)}|ivf|{nlist}|"
+        f"{_ivf_corpus_fingerprint(sf_dir)}".encode()
+    ).hexdigest()[:16]
+    path = _os.path.join(_tempfile.gettempdir(), "spark_graft_ivf_index", key)
+    t = GraftTable(spark, path)
+    if not t.exists():
+        emb = load_table(spark, sf_dir, "embeddings")
+        t = build_ivf_index(spark, emb, path, nlist=nlist, seed=7)
+    return t
+
+
+@query("ann_ivf_topk_indexed", tags=("similarity", "approx", "index"))
+def ann_ivf_topk_indexed(spark, sf_dir: str) -> DataFrame:
+    """IVF-Flat approximate top-10 for vec_id=0 served from the
+    MATERIALIZED index (list_id-partitioned GraftTable, centroids from
+    table properties): no per-query KMeans fit, and the probe reads only
+    nprobe/nlist of the index via partition pruning. (Rows-only driver
+    check; ``ann_ivf_indexed_matches_inline`` is the oracle-backed
+    equivalence metric.)"""
+    from delta_lake_optimizations_spark.operators.similarity import query_vector
+
+    t = _cached_ivf_index(spark, sf_dir, nlist=8)
+    qv = query_vector(spark, sf_dir, 0)
+    return ann_topk_from_ivf_index(t, qv, k=10, nprobe=4)

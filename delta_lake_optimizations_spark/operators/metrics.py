@@ -386,18 +386,18 @@ def multimodal_decode_consistency(spark: SparkSession, sf_dir: str) -> DataFrame
     joined = decoded.join(expected, "doc_id")
     # text payloads must take the labeled fallback branch; a row that
     # claims a real decode here, or disagrees with the JVM recomputation,
-    # is a plumbing bug
+    # is a plumbing bug. NULL-safe: an empty payload makes first_byte (and
+    # hence _ew) NULL, turning the whole predicate NULL — coalesce treats
+    # unknown as MISMATCH so such rows cannot silently pass.
+    mismatch = (
+        (F.col("decoder") != F.lit("fallback"))
+        | (F.col("width") != F.col("_ew"))
+        | (F.col("height") != F.col("_eh"))
+        | (F.col("n_pixels") != F.col("_ew") * F.col("_eh"))
+    )
     return joined.agg(
         F.count(F.lit(1)).cast("long").alias("n_assets"),
-        F.sum(
-            F.when(
-                (F.col("decoder") != F.lit("fallback"))
-                | (F.col("width") != F.col("_ew"))
-                | (F.col("height") != F.col("_eh"))
-                | (F.col("n_pixels") != F.col("_ew") * F.col("_eh")),
-                1,
-            ).otherwise(0)
-        )
+        F.sum(F.when(F.coalesce(mismatch, F.lit(True)), 1).otherwise(0))
         .cast("long")
         .alias("n_mismatch"),
     )
@@ -417,9 +417,12 @@ def multimodal_decode_consistency(spark: SparkSession, sf_dir: str) -> DataFrame
 )
 def ann_lsh_indexed_matches_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The materialized-index ANN path must return EXACTLY the inline
-    multi-probe result (same planes -> same codes -> same candidate set by
-    construction). A stale or mis-coded index makes n_mismatch > 0."""
+    multi-probe result AT THE SAME DIAL (same planes -> same codes -> same
+    candidate set by construction; both sides here run the registered
+    indexed dial, Hamming<=1). A stale or mis-coded index makes
+    n_mismatch > 0."""
     from delta_lake_optimizations_spark.operators.lsh_index import (
+        PROBE_HAMMING_INDEXED,
         _cached_index,
         ann_topk_from_index,
     )
@@ -430,8 +433,12 @@ def ann_lsh_indexed_matches_inline(spark: SparkSession, sf_dir: str) -> DataFram
 
     emb = load_table(spark, sf_dir, "embeddings")
     qv = query_vector(spark, sf_dir, 0)
-    inline = ann_topk_multiprobe(emb, qv, k=10).select("vec_id", "cos_sim")
-    indexed = ann_topk_from_index(_cached_index(spark, sf_dir), qv, k=10).select(
+    inline = ann_topk_multiprobe(
+        emb, qv, k=10, probe_hamming=PROBE_HAMMING_INDEXED
+    ).select("vec_id", "cos_sim")
+    indexed = ann_topk_from_index(
+        _cached_index(spark, sf_dir), qv, k=10, probe_hamming=PROBE_HAMMING_INDEXED
+    ).select(
         F.col("vec_id").alias("_v2"), F.col("cos_sim").alias("_c2")
     )
     both = inline.join(
@@ -768,4 +775,96 @@ def simhash_jaccard_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return _recall_frame(found, truth, ["doc_a", "doc_b"], 0.8, 0).drop("k").select(
         "n_exact", "recall_ok"
+    )
+
+
+@query(
+    "ann_lsh_sharded_matches_inline",
+    tags=("similarity", "approx", "index", "metric"),
+    oracle="""
+        SELECT CAST(10 AS BIGINT) AS k, CAST(0 AS BIGINT) AS n_mismatch
+    """,
+)
+def ann_lsh_sharded_matches_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sharded-index probe (tc-IN pruned load) must return EXACTLY the
+    inline multi-probe result at the same (8-table, Hamming<=1) dial —
+    the bucket enumeration and the file skipping together must neither
+    drop nor invent candidates. A stale or mispruned index makes
+    n_mismatch > 0."""
+    from delta_lake_optimizations_spark.operators.lsh_index import (
+        N_TABLES_SHARDED,
+        PROBE_HAMMING_INDEXED,
+        _cached_sharded_index,
+        ann_topk_from_sharded,
+    )
+    from delta_lake_optimizations_spark.operators.similarity import (
+        ann_topk_multiprobe,
+        query_vector,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = query_vector(spark, sf_dir, 0)
+    inline = ann_topk_multiprobe(
+        emb, qv, k=10, n_tables=N_TABLES_SHARDED, probe_hamming=PROBE_HAMMING_INDEXED
+    ).select("vec_id", "cos_sim")
+    sharded = ann_topk_from_sharded(
+        _cached_sharded_index(spark, sf_dir), qv, k=10
+    ).select(F.col("vec_id").alias("_v2"), F.col("cos_sim").alias("_c2"))
+    both = inline.join(
+        sharded,
+        (F.col("vec_id") == F.col("_v2")) & (F.col("cos_sim") == F.col("_c2")),
+        "full",
+    )
+    return both.agg(
+        F.lit(10).cast("long").alias("k"),
+        F.sum(
+            F.when(F.col("vec_id").isNull() | F.col("_v2").isNull(), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_mismatch"),
+    )
+
+
+@query(
+    "ann_ivf_indexed_matches_inline",
+    tags=("similarity", "approx", "index", "metric"),
+    oracle="""
+        SELECT CAST(10 AS BIGINT) AS k, CAST(0 AS BIGINT) AS n_mismatch
+    """,
+)
+def ann_ivf_indexed_matches_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialized IVF index (list_id-partitioned table + centroids
+    from properties) must return EXACTLY the inline path's result (same
+    seeded KMeans -> same centroids -> same probe cells -> same candidate
+    set). A stale index, a mis-serialized centroid, or broken partition
+    pruning makes n_mismatch > 0."""
+    from delta_lake_optimizations_spark.operators.ivf import (
+        _cached_ivf_index,
+        ann_topk_from_ivf_index,
+        ivf_build,
+        ivf_search,
+    )
+    from delta_lake_optimizations_spark.operators.similarity import query_vector
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = query_vector(spark, sf_dir, 0)
+    assigned, centroids = ivf_build(emb, nlist=8, seed=7)
+    inline = ivf_search(assigned, centroids, qv, k=10, nprobe=4).select(
+        "vec_id", "cos_sim"
+    )
+    indexed = ann_topk_from_ivf_index(
+        _cached_ivf_index(spark, sf_dir, nlist=8), qv, k=10, nprobe=4
+    ).select(F.col("vec_id").alias("_v2"), F.col("cos_sim").alias("_c2"))
+    both = inline.join(
+        indexed,
+        (F.col("vec_id") == F.col("_v2")) & (F.col("cos_sim") == F.col("_c2")),
+        "full",
+    )
+    return both.agg(
+        F.lit(10).cast("long").alias("k"),
+        F.sum(
+            F.when(F.col("vec_id").isNull() | F.col("_v2").isNull(), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_mismatch"),
     )

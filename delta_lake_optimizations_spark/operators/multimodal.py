@@ -259,3 +259,97 @@ def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform("feature", lambda x: F.format_number(x, 6)), ","
         ).alias("feature_csv"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Real-media conformance (VERDICT r04 #8): a committed fixture corpus of
+# REAL container bytes (valid PNG/JPEG/GIF/BMP/WAV, tests/fixtures/media)
+# driven end-to-end through the same decode/probe plumbing the corpus
+# queries use — so rows with ``decoder != 'fallback'`` exist under driver
+# verification, not just against hand-built in-test binaries.
+# ---------------------------------------------------------------------------
+
+_FIXTURE_DIR = __import__("os").path.normpath(
+    __import__("os").path.join(
+        __import__("os").path.dirname(__import__("os").path.abspath(__file__)),
+        "..", "..", "tests", "fixtures", "media",
+    )
+)
+
+
+def _fixture_assets(spark: SparkSession) -> DataFrame:
+    """The committed media files as a multimodal frame (name keyed —
+    payloads total ~4 KB, read driver-side like any query constant)."""
+    import os
+
+    import pyspark.sql.types as T
+
+    rows = []
+    for i, fn in enumerate(sorted(os.listdir(_FIXTURE_DIR))):
+        with open(os.path.join(_FIXTURE_DIR, fn), "rb") as fh:
+            rows.append((i, fn, bytearray(fh.read())))
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("asset", T.StringType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema).withColumn(
+        "n_bytes", F.length("payload").cast("long")
+    ).withColumn("mime", F.lit("application/octet-stream"))
+
+
+@query(
+    "multimodal_real_media_decode",
+    tags=("multimodal", "metric"),
+    oracle="""
+        SELECT asset,
+               CAST(width AS INTEGER) AS width,
+               CAST(height AS INTEGER) AS height,
+               CAST(sample_rate AS INTEGER) AS sample_rate,
+               CAST(duration_ms AS BIGINT) AS duration_ms,
+               real_decode
+        FROM (VALUES
+            ('tiny.bmp', 6, 3, NULL, NULL, TRUE),
+            ('tiny.gif', 5, 4, NULL, NULL, TRUE),
+            ('tiny.jpg', 9, 7, NULL, NULL, TRUE),
+            ('tiny.png', 3, 2, NULL, NULL, TRUE),
+            ('tone.wav', NULL, NULL, 8000, 250, TRUE)
+        ) AS t(asset, width, height, sample_rate, duration_ms, real_decode)
+    """,
+)
+def multimodal_real_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode/probe the committed REAL media fixtures and compare against
+    their known container facts (the oracle is the ground truth written
+    into the files). Images route through ``decode_assets`` (PIL or the
+    stdlib header parse — either way ``decoder != 'fallback'``); the WAV
+    routes through ``probe_assets`` for audio facts. Independent of
+    ``sf_dir`` by design: this is codec-conformance, not corpus analysis."""
+    from delta_lake_optimizations_spark.operators.mediaprobe import probe_assets
+
+    assets = _fixture_assets(spark)
+    probed = probe_assets(assets, id_col="doc_id").select(
+        "doc_id", "detected", "sample_rate", "duration_ms"
+    )
+    decoded = decode_assets(assets.select("doc_id", "mime", "n_bytes", "payload"))
+    names = assets.select("doc_id", "asset")
+    return (
+        names.join(decoded.select("doc_id", "width", "height", "decoder"), "doc_id")
+        .join(probed, "doc_id")
+        .select(
+            "asset",
+            F.when(F.col("detected").startswith("image/"), F.col("width")).alias(
+                "width"
+            ),
+            F.when(F.col("detected").startswith("image/"), F.col("height")).alias(
+                "height"
+            ),
+            F.col("sample_rate").cast("int").alias("sample_rate"),
+            F.col("duration_ms").cast("long").alias("duration_ms"),
+            (
+                (F.col("decoder") != F.lit("fallback"))
+                | F.col("detected").startswith("audio/")
+            ).alias("real_decode"),
+        )
+    )

@@ -63,30 +63,50 @@ _QUERY_MODULES = (
 # The driver's correctness gate checks exactly the FIRST 50 registry entries
 # (registration order) each round. Window history: r01 relational/TPC-H/
 # window/setops; r02 scalar/events/vector/dedup/similarity/text/sampling;
-# r03 reshape + the remaining never-checked queries (49/50 green — the skew
-# decimal bug was the one red). Round 4 (this window): the fixed skew query
-# re-verifies, the NEW metric queries give the approximate operators their
-# first oracle-backed driver rows, the 10 rows-only slots carry the
-# never-checked pagerank + the new materialized-index ANN + family
-# representatives, and the rest re-verifies proven greens. Everything
-# demoted out of the window stays covered by the identical local gate in
-# ``tests/test_oracle_parity.py``.
+# r03 reshape + remaining unchecked; r04 the 17 new metric queries +
+# family representatives (zero failures). Round 5 (this window): the FOUR
+# new materialized-index queries get their first driver rows (sharded LSH +
+# IVF index, each with an oracle-backed equivalence metric), every query
+# whose implementation changed this round re-verifies (indexed-LSH dial,
+# minhash single-key banding, multimodal NULL-safe predicate), the r04
+# VERDICT's rotation-hygiene list rides the rows-only slots, and the rest
+# re-verifies proven greens. Everything demoted out of the window stays
+# covered by the identical local gate in ``tests/test_oracle_parity.py``;
+# tests/test_registry_window.py asserts every registry name has had a
+# driver row across r01-r05.
 DRIVER_WINDOW = 50
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # r03's single red row, fixed (decimal -> rounded double) — re-verify
-    "skew_salted_join_brand_revenue",
-    # NEW round-4 metric queries (operators/metrics.py): oracle-backed
-    # validation of the formerly rows-only approximate operators —
-    # ground-truth counts value-checked by DuckDB, recall/error verdicts
-    # emitted as driver-hashed booleans
+    # NEW this round: materialized-index equivalence metrics (oracle-backed)
+    "ann_lsh_sharded_matches_inline",
+    "ann_ivf_indexed_matches_inline",
+    # changed this round — re-verify at the new dial / implementation
+    "ann_lsh_indexed_matches_inline",
+    "minhash_lsh_recall",
+    "multimodal_decode_consistency",
+    # NEW: real container bytes (committed fixtures) through the decode
+    # cascade, oracle = the files' known ground-truth facts
+    "multimodal_real_media_decode",
+    "simhash_jaccard_recall",
+    # rows-only slots (<= 10, tests/test_registry_window.py): the two new
+    # index queries + the r04 VERDICT #6 rotation-hygiene list
+    "ann_lsh_topk_sharded",
+    "ann_ivf_topk_indexed",
+    "approx_percentiles_sketch",
+    "hll_distinct_parts_by_flag",
+    "dedup_simhash",
+    "dedup_clusters_minhash",
+    "hard_negatives_lsh",
+    "knn_join_ivf",
+    "ann_ivf_topk",
+    "ann_pq_topk",
+    # metric-family greens held in the window (oracle-backed twins of the
+    # approximate operators above)
     "ann_lsh_recall",
     "ann_ivf_recall",
     "ann_pq_recall",
     "knn_join_lsh_recall",
     "knn_join_ivf_recall",
     "hard_negatives_lsh_overlap",
-    "minhash_lsh_recall",
-    "simhash_jaccard_recall",
     "hll_error_by_flag",
     "approx_percentile_error_by_flag",
     "doc_fingerprint_shingles",
@@ -94,35 +114,19 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "chunk_embed_consistency",
     "dedup_components_ngram",
     "pagerank_mass_conservation",
-    "multimodal_decode_consistency",
-    "ann_lsh_indexed_matches_inline",
-    # rows-only slots (<= 10, tests/test_registry_window.py): the one
-    # never-driver-checked query, the new materialized-index ANN, and the
-    # family representatives whose metric twins are above
-    "pagerank_dedup_graph",
-    "ann_lsh_topk_indexed",
-    "ann_lsh_topk",
-    "knn_join_lsh",
-    "dedup_minhash_lsh",
-    "doc_fingerprint",
-    "semantic_dedup_embeddings",
-    "multimodal_decode_dims",
-    "multimodal_byte_features",
-    "pipeline_chunk_embed",
     # regression watches (bench medians under observation this round)
     "pipeline_curate_documents",
     "events_tumbling_window",
     "q21_suppliers_kept_orders_waiting",
-    # proven greens re-verified: sources touched this round or family
-    # representatives keeping the window full
-    "doc_chunk_windows",
+    # proven greens re-verified: family representatives keeping the window
+    # full
+    "skew_salted_join_brand_revenue",
     "dedup_ngram_jaccard",
-    "dedup_levenshtein_prefix_block",
+    "dedup_exact_text",
+    "dedup_embedding_cosine",
     "topk_cosine_bruteforce",
     "knn_join_exact",
     "hard_negatives_exact",
-    "dedup_exact_text",
-    "dedup_embedding_cosine",
     "semantic_search_with_text",
     "decontam_ngram_overlap",
     "events_asof_next_purchase",
@@ -133,7 +137,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q3_top_unshipped_orders",
     "q5_revenue_by_nation",
     "q9_product_type_profit",
-    "bm25_keyword_search",
 )
 
 

@@ -42,6 +42,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.cbo.enabled", "true")
         .config("spark.sql.cbo.joinReorder.enabled", "true")
+        # push large IN lists to parquet as-is instead of collapsing them
+        # to a min/max range: on tc-clustered index tables the per-row-group
+        # dictionary/stats check prunes row groups a range filter cannot
+        # (the sharded ANN probe issues ~100-value IN lists)
+        .config("spark.sql.parquet.pushdown.inFilterThreshold", "1000")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )

@@ -40,6 +40,7 @@ columns (the reference's own cap, docs/02-lab-optimizations.md:591).
 
 from __future__ import annotations
 
+import bisect
 import json
 import math
 import os
@@ -634,6 +635,14 @@ class GraftTable:
         mrpf = (props or {}).get("graft.maxRecordsPerFile")
         if mrpf:
             writer = writer.option("maxRecordsPerFile", int(mrpf))
+        # parquet row-group size (bytes): small row groups + clustered data
+        # give tight per-row-group min/max, so pushed IN/range predicates
+        # prune at row-group granularity INSIDE files (the sharded LSH
+        # index relies on this to keep file counts modest while probe IO
+        # stays O(probed buckets))
+        blk = (props or {}).get("graft.parquet.blockSize")
+        if blk:
+            writer = writer.option("parquet.block.size", int(blk))
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(os.path.join(self.path, rel_dir))
@@ -1660,6 +1669,28 @@ def _file_may_match(
     iterable: the file survives if ANY listed value could match."""
     for col, op, value in preds:
         if op == "in":
+            # Fast path for stats-only probes (e.g. an LSH bucket list of
+            # 100+ values against thousands of index files): read the
+            # file's min/max ONCE and bisect the sorted value list —
+            # O(log n) per file instead of n full recursive checks.
+            if not (col in partition_columns and f.partition_values.get(col) is not None):
+                mn = f.stats.get("minValues", {}).get(col)
+                mx = f.stats.get("maxValues", {}).get(col)
+                if mn is None or mx is None:
+                    continue  # no stats — must scan
+                try:
+                    vals = list(value)
+                    svals = (
+                        vals
+                        if all(vals[i] <= vals[i + 1] for i in range(len(vals) - 1))
+                        else sorted(vals)
+                    )
+                    i = bisect.bisect_left(svals, mn)
+                    if i >= len(svals) or svals[i] > mx:
+                        return False
+                    continue
+                except TypeError:
+                    pass  # incomparable types — generic per-value path
             if not any(
                 _file_may_match(f, [(col, "=", v)], partition_columns)
                 for v in value

@@ -571,10 +571,18 @@ def _orphan_candidates(
         referenced.update(c.remove)
 
     # After vacuum_log purges commit JSONs below the checkpoint floor, the
-    # only record of pre-floor adds that are still live is the checkpoint
-    # itself — union every checkpoint's file list so those files are never
-    # misclassified as never-referenced orphans.
+    # only record of pre-floor adds that are still live is a checkpoint —
+    # union those checkpoints' file lists so such files are never
+    # misclassified as never-referenced orphans. Only checkpoints AT OR
+    # BELOW the oldest surviving commit can reference files missing from
+    # the surviving commits (a file live at a later checkpoint and added
+    # before the floor was necessarily live at — and captured by — the
+    # floor checkpoint), so newer checkpoints are skipped: keeps this
+    # O(pre-floor checkpoints), not O(all checkpoints), per vacuum.
+    floor = min((c.version for c in commits), default=None)
     for cp in table._checkpoint_versions():
+        if floor is not None and cp > floor:
+            continue
         snap = table._load_checkpoint(cp)
         for f in snap.files:
             referenced.add(f.path)

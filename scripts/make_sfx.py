@@ -37,15 +37,40 @@ SHIFTED: dict[str, tuple[str, ...]] = {
 }
 
 
+def _source_manifest(src_dir: str, factor: int) -> str:
+    """Identity of a scaled corpus: the factor plus a fingerprint (sizes +
+    mtimes) of every source parquet. A rerun with a different factor or a
+    regenerated source must NOT reuse the stale output."""
+    parts = [f"factor={factor}"]
+    for table in sorted(SHIFTED):
+        target = os.path.join(os.path.abspath(src_dir), f"{table}.parquet")
+        if os.path.isdir(target):
+            for dirpath, _dn, filenames in os.walk(target):
+                for fn in sorted(filenames):
+                    st = os.stat(os.path.join(dirpath, fn))
+                    parts.append(f"{table}/{fn}:{st.st_size}:{st.st_mtime_ns}")
+        elif os.path.exists(target):
+            st = os.stat(target)
+            parts.append(f"{table}:{st.st_size}:{st.st_mtime_ns}")
+    return "\n".join(parts)
+
+
 def make_sfx(spark: SparkSession, src_dir: str, out_dir: str, factor: int = 10) -> str:
-    """Write the scaled corpus; returns ``out_dir``. Skips tables that
-    already exist (content-keyed caller directory)."""
+    """Write the scaled corpus; returns ``out_dir``. A manifest records
+    the source fingerprint + factor; per-table writes are skipped only
+    while the manifest matches — a changed source or factor regenerates
+    everything."""
     from delta_lake_optimizations_spark.catalog import load_table
 
     os.makedirs(out_dir, exist_ok=True)
+    manifest = _source_manifest(src_dir, factor)
+    manifest_path = os.path.join(out_dir, "_MANIFEST")
+    stale = not (
+        os.path.exists(manifest_path) and open(manifest_path).read() == manifest
+    )
     for table, shift_cols in SHIFTED.items():
         dst = os.path.join(out_dir, f"{table}.parquet")
-        if os.path.exists(os.path.join(dst, "_SUCCESS")):
+        if not stale and os.path.exists(os.path.join(dst, "_SUCCESS")):
             continue
         df = load_table(spark, src_dir, table)
         if shift_cols:
@@ -60,6 +85,8 @@ def make_sfx(spark: SparkSession, src_dir: str, out_dir: str, factor: int = 10) 
                 )
             df = reps.drop("__rep")
         df.write.mode("overwrite").parquet(dst)
+    with open(manifest_path, "w") as f:
+        f.write(manifest)
     return out_dir
 
 

@@ -306,3 +306,74 @@ def test_pagerank_matches_python_power_iteration(spark):
     assert abs(sum(got.values()) - 1.0) < 1e-6
     for v in rank:
         assert abs(got[v] - rank[v]) < 1e-6, (v, got[v], rank[v])
+
+
+def test_ivf_index_partition_pruning(spark, tmp_path):
+    """Materialized IVF index: the probe must read only the nprobe cells'
+    files (hive-partition pruning via skip_where), and the result must
+    equal the inline search with the same centroids."""
+    import os
+
+    from delta_lake_optimizations_spark.catalog import load_table
+    from delta_lake_optimizations_spark.operators.ivf import (
+        ann_topk_from_ivf_index,
+        build_ivf_index,
+        ivf_build,
+        ivf_index_centroids,
+        ivf_probe_files_scanned,
+        ivf_search,
+    )
+    from delta_lake_optimizations_spark.operators.similarity import query_vector
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    t = build_ivf_index(spark, emb, os.path.join(tmp_path, "ivf"), nlist=8, seed=7)
+
+    # centroids round-trip through properties
+    cents = ivf_index_centroids(t)
+    assert len(cents) == 8
+
+    total = len(t.snapshot().files)
+    assert total >= 8, "one file per cell minimum"
+    qv = query_vector(spark, SF_DIR, 0)
+    probed = ivf_probe_files_scanned(t, qv, nprobe=2)
+    # 2 of 8 cells -> at most 2/8 of the files (cells are single-writes)
+    assert probed <= max(2, total * 2 // 8), f"probe read {probed}/{total}"
+
+    assigned, centroids = ivf_build(emb, nlist=8, seed=7)
+    inline = [
+        (r[0], r[1]) for r in ivf_search(assigned, centroids, qv, k=10, nprobe=4).collect()
+    ]
+    indexed = [
+        (r[0], r[1]) for r in ann_topk_from_ivf_index(t, qv, k=10, nprobe=4).collect()
+    ]
+    assert inline == indexed
+
+
+def test_gram_rows_match_token_ngrams(spark):
+    """The codegen-friendly gram generator (posexplode + window lead) must
+    produce exactly the ``token_ngrams`` gram SET per document (it keeps
+    duplicates, which MinHash minima ignore) — including the short-gram
+    edge case for docs with fewer than n tokens."""
+    from pyspark.sql import functions as F
+
+    from delta_lake_optimizations_spark.operators.dedup import (
+        _gram_rows,
+        token_ngrams,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    extra = spark.createDataFrame(
+        [(90001, "one two"), (90002, "single"), (90003, "  x  y z  w  ")],
+        "doc_id long, text string",
+    )
+    both = docs.unionByName(extra)
+    old = {
+        tuple(r)
+        for r in both.select(
+            F.col("doc_id").alias("_id"),
+            F.explode(token_ngrams(F.col("text"), 3)).alias("_gram"),
+        ).collect()
+    }
+    new = {tuple(r) for r in _gram_rows(both, "doc_id", "text", 3).collect()}
+    assert old == new

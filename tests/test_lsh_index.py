@@ -108,3 +108,64 @@ def test_vectorized_codes_bit_identical_to_expression_fold(spark):
         got = [fast[vid][f"lsh_code_{t}"] for t in range(N_TABLES)]
         want = [ref[vid][f"lsh_code_{t}"] for t in range(N_TABLES)]
         assert got == want, f"vec {vid}: vectorized codes diverge"
+
+
+def test_sharded_index_equals_inline_h1(spark, tmp_path):
+    """Sharded probe (one tc-IN pruned load) must return exactly the
+    inline multi-probe result at the same (tables, planes, Hamming<=1)
+    dial — the probe buckets enumerate precisely the codes within
+    distance 1 for each of the sharded table count."""
+    from delta_lake_optimizations_spark.operators.lsh_index import (
+        N_TABLES_SHARDED,
+        build_lsh_sharded_index,
+        ann_topk_from_sharded,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    dim = embedding_dim(SF_DIR)
+    t = build_lsh_sharded_index(spark, emb, os.path.join(tmp_path, "sidx"), dim)
+    for vid in (0, 7):
+        qv = query_vector(spark, SF_DIR, vid)
+        inline = [
+            (r[0], r[1])
+            for r in ann_topk_multiprobe(
+                emb, qv, k=10, n_tables=N_TABLES_SHARDED, probe_hamming=1
+            ).collect()
+        ]
+        sharded = [
+            (r[0], r[1]) for r in ann_topk_from_sharded(t, qv, k=10).collect()
+        ]
+        assert inline == sharded, f"vec {vid}: sharded diverges from inline h=1"
+
+
+def test_sharded_probe_prunes_files(spark, tmp_path):
+    """The IO claim: a point-bucket probe (h=0) reads only the shard(s)
+    whose tc range contains the bucket — a small fraction of the index
+    files — and the full h=1 multiprobe reads strictly fewer files than a
+    full scan, with the ratio improving as shard count grows."""
+    from delta_lake_optimizations_spark.operators.lsh_index import (
+        N_PLANES,
+        build_lsh_sharded_index,
+        query_codes,
+        sharded_probe_files_scanned,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    dim = embedding_dim(SF_DIR)
+    t = build_lsh_sharded_index(
+        spark, emb, os.path.join(tmp_path, "sidx"), dim, n_shards=128
+    )
+    total = len(t.snapshot().files)
+    assert total >= 64, f"expected many shards, got {total}"
+    qv = query_vector(spark, SF_DIR, 0)
+
+    # h=0 single-bucket point probe: one tc -> the one shard covering it
+    tc0 = query_codes(qv)[0]  # table 0 -> tc == code
+    point = t.files_scanned(skip_where=[("tc", "=", tc0)])
+    assert point <= max(2, total // 32), f"point probe read {point}/{total} files"
+
+    # full h=1 multiprobe: 8 tables x 13 buckets can touch at most 104
+    # shards; must be a strict subset of the index
+    probed = sharded_probe_files_scanned(t, qv)
+    assert probed <= min(8 * 13, total), f"probe read {probed}/{total}"
+    assert probed < total, "probe must prune vs full scan"

@@ -88,3 +88,41 @@ def test_decode_assets_real_media_bytes(spark):
         assert out[i]["decoder"] in ("pil", "header"), out[i]
         assert out[i]["n_pixels"] == out[i]["width"] * out[i]["height"]
     assert out[5]["decoder"] == "fallback"
+
+
+def test_real_media_fixtures_use_real_decoder(spark):
+    """VERDICT r04 #8: the committed REAL container bytes (valid
+    PNG/JPEG/GIF/BMP) must come out of decode_assets with
+    ``decoder != 'fallback'`` and their true dimensions; the WAV must
+    probe with real audio facts."""
+    from delta_lake_optimizations_spark.operators.multimodal import (
+        _fixture_assets,
+        decode_assets,
+    )
+    from delta_lake_optimizations_spark.operators.mediaprobe import probe_assets
+    from pyspark.sql import functions as F
+
+    assets = _fixture_assets(spark)
+    decoded = {
+        r["asset"]: r
+        for r in assets.select("doc_id", "asset")
+        .join(decode_assets(assets.select("doc_id", "mime", "n_bytes", "payload")), "doc_id")
+        .collect()
+    }
+    images = {"tiny.png": (3, 2), "tiny.gif": (5, 4), "tiny.bmp": (6, 3), "tiny.jpg": (9, 7)}
+    for name, (w, h) in images.items():
+        r = decoded[name]
+        assert r["decoder"] != "fallback", f"{name} fell back"
+        assert (r["width"], r["height"]) == (w, h), f"{name}: {r}"
+    n_real = sum(1 for r in decoded.values() if r["decoder"] != "fallback")
+    assert n_real >= 4
+
+    wav = (
+        assets.filter(F.col("asset") == "tone.wav")
+        .select("doc_id", "payload")
+        .transform(lambda df: probe_assets(df, id_col="doc_id"))
+        .first()
+    )
+    assert wav["detected"] == "audio/wav"
+    assert wav["sample_rate"] == 8000 and wav["channels"] == 1
+    assert wav["duration_ms"] == 250

@@ -57,3 +57,21 @@ def test_driver_window_has_no_complex_columns(spark):
         if bad:
             offenders[name] = bad
     assert not offenders, f"complex-typed columns in driver window: {offenders}"
+
+
+def test_every_registry_name_has_had_a_driver_row():
+    """VERDICT r04 #6: across rounds 1-4 (recorded CORRECTNESS files) plus
+    the current round's window, every registered query must have had at
+    least one driver correctness row. A new query must enter the window
+    the round it is added."""
+    import json
+    import os
+
+    seen = set(_DRIVER_PRIORITY)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for r in (1, 2, 3, 4):
+        p = os.path.join(repo, f"CORRECTNESS_r0{r}.json")
+        if os.path.exists(p):
+            seen |= set(json.load(open(p)).keys())
+    missing = [n for n in registry() if n not in seen]
+    assert not missing, f"never driver-checked: {missing}"
