@@ -309,3 +309,45 @@ def ann_ivf_topk_indexed(spark, sf_dir: str) -> DataFrame:
     t = _cached_ivf_index(spark, sf_dir, nlist=8)
     qv = query_vector(spark, sf_dir, 0)
     return ann_topk_from_ivf_index(t, qv, k=10, nprobe=4)
+
+
+def assign_to_centroids(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid assignment against FIXED centroids (no refit) —
+    one Arrow-batched numpy argmin pass; used by the index append path so
+    increments join the same Voronoi cells as the original build."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.array(centroids, dtype=np.float64)  # (nlist, dim)
+    Cn = (C * C).sum(axis=1)  # |c|^2, reused per batch
+
+    def nearest(emb):
+        X = np.vstack([np.asarray(v, dtype=np.float64) for v in emb])
+        # argmin over |x-c|^2 = |x|^2 - 2 x.c + |c|^2; |x|^2 constant per row
+        d = Cn[None, :] - 2.0 * (X @ C.T)
+        return pd.Series(np.argmin(d, axis=1).astype("int32"))
+
+    nearest.__annotations__ = {"emb": pd.Series, "return": pd.Series}
+    udf = pandas_udf("int")(nearest)
+    return df.withColumn("list_id", udf(F.col(vec_col)))
+
+
+def append_to_ivf_index(table, df: DataFrame, id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> None:
+    """Absorb new vectors into an existing IVF index WITHOUT refitting:
+    assign against the STORED centroids (table properties) and append —
+    rows land in their cells' hive partitions, so probes keep reading
+    nprobe cells only. Centroid drift under heavy append is the standard
+    IVF trade; rebuild with ``build_ivf_index`` when recall decays."""
+    centroids = ivf_index_centroids(table)
+    assigned = assign_to_centroids(df, centroids, vec_col=vec_col)
+    table.write(
+        assigned.select("list_id", id_col, vec_col),
+        mode="append",
+        partition_by=["list_id"],
+    )

@@ -516,3 +516,28 @@ def ann_lsh_topk_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _cached_sharded_index(spark, sf_dir)
     qv = query_vector(spark, sf_dir, 0)
     return ann_topk_from_sharded(t, qv, k=10)
+
+
+def append_to_lsh_sharded_index(table, df: DataFrame) -> None:
+    """Absorb new vectors into an existing sharded index WITHOUT a
+    rebuild: compute the new rows' postings (narrow pass over just the
+    increment) and commit-log append them. Config (tables/planes) comes
+    from the table properties, so appended codes are consistent with the
+    stored ones by construction.
+
+    Freshly appended files cover wide tc ranges (the increment isn't
+    re-sharded), so probes read them until the next
+    ``optimize(table, zorder_by=["tc"])`` restores tight per-file ranges
+    — the classic LSM-ish trade: cheap ingest, periodic re-cluster,
+    correctness never depends on the maintenance having run (the probe's
+    IN filter still applies row-level)."""
+    props = table.snapshot().properties
+    n_tables = int(props["graft.lsh.nTables"])
+    n_planes = int(props["graft.lsh.nPlanes"])
+    dim = None
+    for f in df.schema.fields:
+        if f.name == "embedding":
+            # dim must come from data; one driver-side peek of the increment
+            dim = len(df.select("embedding").first()[0])
+    frame = lsh_exploded_index_frame(df, dim, n_tables, n_planes)
+    table.write(frame, mode="append")

@@ -377,3 +377,44 @@ def test_gram_rows_match_token_ngrams(spark):
     }
     new = {tuple(r) for r in _gram_rows(both, "doc_id", "text", 3).collect()}
     assert old == new
+
+
+def test_ivf_index_append_uses_stored_centroids(spark, tmp_path):
+    """Incremental IVF ingest: appended vectors are assigned against the
+    STORED centroids (no refit — centroids must not move) and land in
+    their cells' partitions; a probe for an appended vector finds it."""
+    import os
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from delta_lake_optimizations_spark.catalog import load_table
+    from delta_lake_optimizations_spark.operators.ivf import (
+        ann_topk_from_ivf_index,
+        append_to_ivf_index,
+        build_ivf_index,
+        ivf_index_centroids,
+    )
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    first = emb.filter(F.col("vec_id") % 2 == 0)
+    second = emb.filter(F.col("vec_id") % 2 == 1)
+    t = build_ivf_index(spark, first, os.path.join(tmp_path, "ivf"), nlist=8, seed=7)
+    cents_before = ivf_index_centroids(t)
+    append_to_ivf_index(t, second)
+    assert ivf_index_centroids(t) == cents_before, "append must not refit"
+
+    # every appended row sits in its true nearest cell
+    C = np.array(cents_before)
+    rows = t.load().filter(F.col("vec_id") % 2 == 1).collect()
+    assert rows
+    for r in rows:
+        x = np.array(list(r["embedding"]), dtype=np.float64)
+        want = int(np.argmin(((C - x) ** 2).sum(axis=1)))
+        assert r["list_id"] == want, (r["vec_id"], r["list_id"], want)
+
+    # a probe for an appended vector's own embedding must return it first
+    probe = [float(v) for v in rows[0]["embedding"]]
+    top = ann_topk_from_ivf_index(t, probe, k=3, nprobe=2).first()
+    assert top["vec_id"] == rows[0]["vec_id"]
