@@ -185,7 +185,12 @@ def _gram_rows(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
 
     toks = df.select(
         F.col(id_col).alias("_id"),
-        F.posexplode(tokenize(F.col(text_col))).alias("_pos", "_t0"),
+        # NULL text behaves like '' (one empty gram), exactly as the
+        # token_ngrams path does — posexplode of a NULL array would
+        # instead DROP the document from dedup entirely
+        F.posexplode(tokenize(F.coalesce(F.col(text_col), F.lit("")))).alias(
+            "_pos", "_t0"
+        ),
     )
     w = Window.partitionBy("_id").orderBy("_pos")
     leads = toks.select(

@@ -364,7 +364,14 @@ def test_gram_rows_match_token_ngrams(spark):
 
     docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
     extra = spark.createDataFrame(
-        [(90001, "one two"), (90002, "single"), (90003, "  x  y z  w  ")],
+        [
+            (90001, "one two"),
+            (90002, "single"),
+            (90003, "  x  y z  w  "),
+            (90004, ""),
+            (90005, "   "),
+            (90006, None),
+        ],
         "doc_id long, text string",
     )
     both = docs.unionByName(extra)
