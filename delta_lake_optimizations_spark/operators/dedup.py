@@ -117,10 +117,17 @@ def ngram_jaccard_pairs(
     intersection count comes from the grouped join; union sizes from the
     per-doc distinct n-gram counts.
     """
-    grams = df.select(
-        F.col(id_col).alias("_id"),
-        *( [F.col(block_col).alias("_blk")] if block_col else [] ),
-        F.explode(token_ngrams(F.col(text_col), n)).alias("_gram"),
+    # gram rows come from the codegen-friendly generator (identical gram
+    # sets to token_ngrams — see _gram_rows; ~10x cheaper than the
+    # interpreted transform/slice explode), deduped here because exact
+    # Jaccard counts DISTINCT grams
+    src = df.select(
+        F.col(id_col),
+        *([F.col(block_col).alias("_blk")] if block_col else []),
+        F.col(text_col),
+    )
+    grams = _gram_rows(
+        src, id_col, text_col, n, keep=("_blk",) if block_col else ()
     ).distinct()
     sizes = grams.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
 
@@ -166,7 +173,9 @@ def ngram_jaccard_pairs(
 _MINHASH_PRIME = (1 << 31) - 1
 
 
-def _gram_rows(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+def _gram_rows(
+    df: DataFrame, id_col: str, text_col: str, n: int, keep: tuple[str, ...] = ()
+) -> DataFrame:
     """Word n-grams as ROWS (``_id, _gram``), built with posexplode +
     window ``lead`` instead of the ``transform``/``slice`` higher-order
     functions: the HOF form evaluates interpreted (CodegenFallback) per
@@ -185,6 +194,7 @@ def _gram_rows(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
 
     toks = df.select(
         F.col(id_col).alias("_id"),
+        *[F.col(c) for c in keep],
         # NULL text behaves like '' (one empty gram), exactly as the
         # token_ngrams path does — posexplode of a NULL array would
         # instead DROP the document from dedup entirely
@@ -195,6 +205,7 @@ def _gram_rows(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     w = Window.partitionBy("_id").orderBy("_pos")
     leads = toks.select(
         "_id",
+        *keep,
         "_pos",
         F.concat_ws(
             " ", "_t0", *[F.lead("_t0", j).over(w) for j in range(1, n)]
@@ -202,7 +213,7 @@ def _gram_rows(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
         F.lead("_t0", n - 1).over(w).alias("_full"),
     )
     return leads.filter(F.col("_full").isNotNull() | (F.col("_pos") == 0)).select(
-        "_id", "_gram"
+        "_id", *keep, "_gram"
     )
 
 
