@@ -434,6 +434,14 @@ def main() -> None:
     t0 = time.perf_counter()
     cal.filter("l_returnflag = 'R'").count()
     calibration_sec = round(time.perf_counter() - t0, 4)
+    # second calibrator: a shuffling multi-core aggregate — the scan-only
+    # number under-reports slowdowns that hit shuffle/task-scheduling
+    # throughput (r05 lesson: queries drifted +20% while the scan
+    # calibrator said the machine was FASTER)
+    cal.groupBy("l_partkey").count().count()  # warm
+    t0 = time.perf_counter()
+    cal.groupBy("l_partkey").count().count()
+    calibration_shuffle_sec = round(time.perf_counter() - t0, 4)
 
     headline = {name: q for name, q in registry().items() if q.headline}
 
@@ -492,6 +500,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "calibration_scan_sec": calibration_sec,
+        "calibration_shuffle_sec": calibration_shuffle_sec,
         "queries": timings,
         "queries_detail": detail,
         "sf": _sf_from_dir(args.sf_dir),
@@ -511,6 +520,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "calibration_scan_sec": calibration_sec,
+        "calibration_shuffle_sec": calibration_shuffle_sec,
         "queries": timings,
         "sf": _sf_from_dir(args.sf_dir),
     }
