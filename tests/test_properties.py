@@ -339,3 +339,39 @@ def test_cross_process_blind_appends_all_land(spark, tmp_path_factory):
     snap_paths = {f.path for f in t.snapshot().files}
     for i in range(8):
         assert f"data/race-{i}.parquet" in snap_paths
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from("ab \t\n xyz.,!"), max_size=40
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    n=st.integers(min_value=2, max_value=4),
+)
+def test_gram_rows_equal_token_ngrams_property(spark, texts, n):
+    """Property pin for the codegen gram generator: for ARBITRARY texts
+    (unicode whitespace, punctuation, empties) the distinct gram set per
+    doc equals the token_ngrams reference."""
+    from pyspark.sql import functions as F
+
+    from delta_lake_optimizations_spark.operators.dedup import (
+        _gram_rows,
+        token_ngrams,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    ref = {
+        tuple(r)
+        for r in df.select(
+            F.col("doc_id").alias("_id"),
+            F.explode(token_ngrams(F.col("text"), n)).alias("_gram"),
+        ).collect()
+    }
+    got = {tuple(r) for r in _gram_rows(df, "doc_id", "text", n).collect()}
+    assert got == ref
