@@ -174,7 +174,12 @@ _MINHASH_PRIME = (1 << 31) - 1
 
 
 def _gram_rows(
-    df: DataFrame, id_col: str, text_col: str, n: int, keep: tuple[str, ...] = ()
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    keep: tuple[str, ...] = (),
+    short_gram: bool = True,
 ) -> DataFrame:
     """Word n-grams as ROWS (``_id, _gram``), built with posexplode +
     window ``lead`` instead of the ``transform``/``slice`` higher-order
@@ -212,9 +217,12 @@ def _gram_rows(
         ).alias("_gram"),
         F.lead("_t0", n - 1).over(w).alias("_full"),
     )
-    return leads.filter(F.col("_full").isNotNull() | (F.col("_pos") == 0)).select(
-        "_id", *keep, "_gram"
-    )
+    cond = F.col("_full").isNotNull()
+    if short_gram:
+        # docs with fewer than n tokens contribute their single short
+        # gram (token_ngrams semantics); span-profile callers drop it
+        cond = cond | (F.col("_pos") == 0)
+    return leads.filter(cond).select("_id", *keep, "_gram")
 
 
 def minhash_signatures(
@@ -555,16 +563,9 @@ def repeated_span_profile(
     no cross-engine parity is needed). Two shuffles total: one hash
     aggregate for repeat counts, one join+aggregate back per doc.
     """
-    toks = tokenize(F.col(text_col))
-    n_sh = F.size(toks) - (k - 1)
-    shingles = F.when(
-        n_sh > 0,
-        F.transform(
-            F.sequence(F.lit(0), n_sh - 1),
-            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, k))),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    sh = df.select(F.col(id_col), F.explode(shingles).alias("h"))
+    sh = _gram_rows(df, id_col, text_col, k, short_gram=False).select(
+        F.col("_id").alias(id_col), F.md5("_gram").alias("h")
+    )
     rep = (
         sh.groupBy("h")
         .agg(F.count(F.lit(1)).alias("_c"))
