@@ -36,6 +36,32 @@ def word_ngrams(text_col: Column, n: int) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def _word_gram_rows(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """``word_ngrams`` as ROWS via posexplode + window lead — identical
+    gram strings (same single-space tokenizer, full n-grams only, none
+    for short docs) without the interpreted transform/slice cost per gram
+    (the dedup._gram_rows lesson: ~10x on the corpus-wide explode)."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("_pos", "_t0"),
+    )
+    w = Window.partitionBy("_id").orderBy("_pos")
+    leads = toks.select(
+        "_id",
+        F.concat_ws(
+            " ", "_t0", *[F.lead("_t0", j).over(w) for j in range(1, n)]
+        ).alias("gram"),
+        F.lead("_t0", n - 1).over(w).alias("_full"),
+    )
+    return leads.filter(F.col("_full").isNotNull()).select(
+        F.col("_id").alias(id_col), "gram"
+    )
+
+
 def ngram_overlap(
     corpus: DataFrame,
     benchmark: DataFrame,
@@ -44,10 +70,12 @@ def ngram_overlap(
     n: int = 8,
 ) -> DataFrame:
     """Per-corpus-document count of DISTINCT word n-grams shared with the
-    benchmark set. Only contaminated documents appear in the output."""
-    c_grams = corpus.select(
-        F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("gram")
-    ).distinct()
+    benchmark set. Only contaminated documents appear in the output.
+
+    The corpus side (the big one at 100 TB) enumerates grams via
+    ``_word_gram_rows``; the benchmark side stays on the array form —
+    it's the broadcast-small side."""
+    c_grams = _word_gram_rows(corpus, id_col, text_col, n).distinct()
     b_grams = (
         benchmark.select(F.explode(word_ngrams(F.col(text_col), n)).alias("gram"))
         .distinct()
