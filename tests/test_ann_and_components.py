@@ -425,3 +425,39 @@ def test_ivf_index_append_uses_stored_centroids(spark, tmp_path):
     probe = [float(v) for v in rows[0]["embedding"]]
     top = ann_topk_from_ivf_index(t, probe, k=3, nprobe=2).first()
     assert top["vec_id"] == rows[0]["vec_id"]
+
+
+def test_ivf_index_compaction_after_appends(spark, tmp_path):
+    """Repeated appends fragment each cell's partition; OPTIMIZE (which
+    preserves hive partitioning) compacts the cells so the probe returns
+    to reading ~nprobe files."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from delta_lake_optimizations_spark.catalog import load_table
+    from delta_lake_optimizations_spark.operators.ivf import (
+        append_to_ivf_index,
+        build_ivf_index,
+        ivf_probe_files_scanned,
+    )
+    from delta_lake_optimizations_spark.operators.similarity import query_vector
+    from delta_lake_optimizations_spark.table import optimize
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    t = build_ivf_index(
+        spark, emb.filter(F.col("vec_id") % 3 == 0), os.path.join(tmp_path, "ivf"),
+        nlist=4, seed=7,
+    )
+    append_to_ivf_index(t, emb.filter(F.col("vec_id") % 3 == 1))
+    append_to_ivf_index(t, emb.filter(F.col("vec_id") % 3 == 2))
+    qv = query_vector(spark, SF_DIR, 0)
+    fragmented = ivf_probe_files_scanned(t, qv, nprobe=2)
+    assert fragmented >= 4, fragmented  # 2 cells x >=2 files each
+
+    optimize(t)
+    compacted = ivf_probe_files_scanned(t, qv, nprobe=2)
+    assert compacted <= 4 and compacted < fragmented, (fragmented, compacted)
+    n_rows = t.load().count()
+    assert n_rows == emb.count()
