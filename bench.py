@@ -396,6 +396,18 @@ def _bench_sf1_rehearsal(spark, sf_dir: str, sf01_timings: dict[str, float]) -> 
         "dedup_exact_text",
         "dedup_ngram_jaccard",
         "dedup_components_ngram",
+        # breadth: one representative per family (scalar / window / agg /
+        # set-free events / sketch / text-retrieval / vector), so the sf1
+        # value gate covers every engine subsystem, not just the headline
+        "scalar_string_funcs",
+        "scalar_date_funcs",
+        "window_range_moving_sum",
+        "group_percentiles",
+        "hll_error_by_flag",
+        "approx_percentile_error_by_flag",
+        "events_asof_next_purchase",
+        "bm25_keyword_search",
+        "vector_norms",
     ]
     out["correctness"] = run_sf1_correctness(spark, out_dir, check_names)
     out["correctness_all_green"] = all(
