@@ -518,7 +518,9 @@ def ann_lsh_topk_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_from_sharded(t, qv, k=10)
 
 
-def append_to_lsh_sharded_index(table, df: DataFrame) -> None:
+def append_to_lsh_sharded_index(
+    table, df: DataFrame, extra_parameters: dict | None = None
+) -> None:
     """Absorb new vectors into an existing sharded index WITHOUT a
     rebuild: compute the new rows' postings (narrow pass over just the
     increment) and commit-log append them. Config (tables/planes) comes
@@ -540,4 +542,4 @@ def append_to_lsh_sharded_index(table, df: DataFrame) -> None:
             # dim must come from data; one driver-side peek of the increment
             dim = len(df.select("embedding").first()[0])
     frame = lsh_exploded_index_frame(df, dim, n_tables, n_planes)
-    table.write(frame, mode="append")
+    table.write(frame, mode="append", extra_parameters=extra_parameters)

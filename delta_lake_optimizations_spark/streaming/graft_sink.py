@@ -172,3 +172,76 @@ def write_stream_to_graft_with_matview(
         .trigger(availableNow=True)
         .start()
     )
+
+
+class GraftStreamLshIndexWriter:
+    """foreachBatch handler maintaining a SHARDED LSH ANN index from a
+    vector stream: first batch materializes the index
+    (``build_lsh_sharded_index``), later batches append postings computed
+    against the SAME stored config (``append_to_lsh_sharded_index``), so
+    the index stays probe-equivalent to a from-scratch build over
+    everything ingested. Batch ids ride the index table's commit log for
+    idempotent replay, same contract as ``GraftStreamWriter``. Run
+    ``optimize(index_table)`` periodically to re-cluster appended shards
+    (the tc cluster-by key is declared on the table, so plain OPTIMIZE
+    re-sorts correctly)."""
+
+    def __init__(self, index_table: GraftTable, n_shards: int = 32):
+        self.table = index_table
+        self.n_shards = n_shards
+
+    def _committed_batches(self) -> set[int]:
+        out = set()
+        for c in self.table.commits():
+            b = c.operation_parameters.get("streamingBatchId")
+            if b is not None:
+                out.add(int(b))
+        return out
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from delta_lake_optimizations_spark.operators.lsh_index import (
+            append_to_lsh_sharded_index,
+            build_lsh_sharded_index,
+        )
+
+        if batch_df.isEmpty():
+            return
+        if not self.table.exists():
+            dim = len(batch_df.select("embedding").first()[0])
+            build_lsh_sharded_index(
+                batch_df.sparkSession,
+                batch_df,
+                self.table.path,
+                dim,
+                n_shards=self.n_shards,
+            )
+            # stamp the creating batch id so a replay of batch 0 is a no-op
+            self.table._write_commit(
+                "STREAMING INDEX INIT", {"streamingBatchId": int(batch_id)}, [], []
+            )
+            return
+        if batch_id in self._committed_batches():
+            return  # replayed batch after restart — already committed
+        append_to_lsh_sharded_index(
+            self.table, batch_df, extra_parameters={"streamingBatchId": int(batch_id)}
+        )
+
+
+def write_stream_to_lsh_index(
+    stream_df: DataFrame,
+    index_table: GraftTable,
+    checkpoint_dir: str,
+    n_shards: int = 32,
+    query_name: str = "graft_lsh_index_sink",
+) -> StreamingQuery:
+    """Start an availableNow streaming build/append of the sharded ANN
+    index from a ``(vec_id, embedding)`` stream."""
+    return (
+        stream_df.writeStream.foreachBatch(
+            GraftStreamLshIndexWriter(index_table, n_shards=n_shards)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )

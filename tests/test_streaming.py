@@ -134,3 +134,66 @@ def test_stream_stream_attribution_join_matches_batch(spark, events_dir):
         for r in spark.table("attrib_join").collect()
     }
     assert got == want
+
+
+def test_streaming_lsh_index_matches_inline_and_replays_idempotently(spark, tmp_path):
+    """A vector stream builds/maintains the sharded ANN index: after all
+    batches, the probe must equal the inline multi-probe over everything
+    ingested; re-running the stream over the same source (fresh
+    checkpoint, same batch content) must not duplicate postings."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from delta_lake_optimizations_spark.catalog import load_table
+    from delta_lake_optimizations_spark.operators.lsh_index import (
+        N_TABLES_SHARDED,
+        ann_topk_from_sharded,
+    )
+    from delta_lake_optimizations_spark.operators.similarity import (
+        ann_topk_multiprobe,
+        query_vector,
+    )
+    from delta_lake_optimizations_spark.streaming.graft_sink import (
+        write_stream_to_lsh_index,
+    )
+    from delta_lake_optimizations_spark.table import GraftTable
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    src_dir = os.path.join(tmp_path, "src")
+    # two files -> file source delivers them (maxFilesPerTrigger=1) as
+    # separate micro-batches: batch 0 builds, batch 1 appends
+    emb.filter(F.col("vec_id") % 2 == 0).coalesce(1).write.parquet(
+        os.path.join(src_dir, "a")
+    )
+    emb.filter(F.col("vec_id") % 2 == 1).coalesce(1).write.parquet(
+        os.path.join(src_dir, "b")
+    )
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir + "/*")
+    )
+    t = GraftTable(spark, os.path.join(tmp_path, "idx"))
+    q = write_stream_to_lsh_index(stream, t, os.path.join(tmp_path, "ck"))
+    q.awaitTermination(180)
+
+    n_rows = t.load().count()
+    assert n_rows == emb.count() * N_TABLES_SHARDED
+
+    qv = query_vector(spark, SF_DIR, 0)
+    inline = [
+        (r[0], r[1])
+        for r in ann_topk_multiprobe(
+            emb, qv, k=10, n_tables=N_TABLES_SHARDED, probe_hamming=1
+        ).collect()
+    ]
+    got = [(r[0], r[1]) for r in ann_topk_from_sharded(t, qv, k=10).collect()]
+    assert got == inline
+
+    # replay: run the whole stream again with a FRESH checkpoint — same
+    # batch ids, same content; the committed-batch guard must no-op both
+    q2 = write_stream_to_lsh_index(stream, t, os.path.join(tmp_path, "ck2"))
+    q2.awaitTermination(180)
+    assert t.load().count() == n_rows, "replayed batches duplicated postings"
