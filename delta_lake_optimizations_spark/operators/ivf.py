@@ -338,7 +338,8 @@ def assign_to_centroids(
 
 
 def append_to_ivf_index(table, df: DataFrame, id_col: str = "vec_id",
-                        vec_col: str = "embedding") -> None:
+                        vec_col: str = "embedding",
+                        extra_parameters: dict | None = None) -> None:
     """Absorb new vectors into an existing IVF index WITHOUT refitting:
     assign against the STORED centroids (table properties) and append —
     rows land in their cells' hive partitions, so probes keep reading
@@ -350,4 +351,5 @@ def append_to_ivf_index(table, df: DataFrame, id_col: str = "vec_id",
         assigned.select("list_id", id_col, vec_col),
         mode="append",
         partition_by=["list_id"],
+        extra_parameters=extra_parameters,
     )

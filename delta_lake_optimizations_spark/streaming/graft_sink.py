@@ -245,3 +245,71 @@ def write_stream_to_lsh_index(
         .trigger(availableNow=True)
         .start()
     )
+
+
+class GraftStreamIvfIndexWriter:
+    """foreachBatch twin of ``GraftStreamLshIndexWriter`` for the IVF
+    index: the first batch fits centroids and materializes the
+    list_id-partitioned table; later batches assign against the STORED
+    centroids (no refit — cells stay stable for probes) and append into
+    their partitions. Centroid drift under heavy streaming ingest is the
+    standard IVF trade: rebuild when recall decays."""
+
+    def __init__(self, index_table: GraftTable, nlist: int = 8, seed: int = 7):
+        self.table = index_table
+        self.nlist = nlist
+        self.seed = seed
+
+    def _committed_batches(self) -> set[int]:
+        out = set()
+        for c in self.table.commits():
+            b = c.operation_parameters.get("streamingBatchId")
+            if b is not None:
+                out.add(int(b))
+        return out
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from delta_lake_optimizations_spark.operators.ivf import (
+            append_to_ivf_index,
+            build_ivf_index,
+        )
+
+        if batch_df.isEmpty():
+            return
+        if not self.table.exists():
+            build_ivf_index(
+                batch_df.sparkSession,
+                batch_df,
+                self.table.path,
+                nlist=self.nlist,
+                seed=self.seed,
+            )
+            self.table._write_commit(
+                "STREAMING INDEX INIT", {"streamingBatchId": int(batch_id)}, [], []
+            )
+            return
+        if batch_id in self._committed_batches():
+            return
+        append_to_ivf_index(
+            self.table, batch_df, extra_parameters={"streamingBatchId": int(batch_id)}
+        )
+
+
+def write_stream_to_ivf_index(
+    stream_df: DataFrame,
+    index_table: GraftTable,
+    checkpoint_dir: str,
+    nlist: int = 8,
+    query_name: str = "graft_ivf_index_sink",
+) -> StreamingQuery:
+    """Start an availableNow streaming build/append of the IVF index from
+    a ``(vec_id, embedding)`` stream."""
+    return (
+        stream_df.writeStream.foreachBatch(
+            GraftStreamIvfIndexWriter(index_table, nlist=nlist)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )

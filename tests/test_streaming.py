@@ -197,3 +197,56 @@ def test_streaming_lsh_index_matches_inline_and_replays_idempotently(spark, tmp_
     q2 = write_stream_to_lsh_index(stream, t, os.path.join(tmp_path, "ck2"))
     q2.awaitTermination(180)
     assert t.load().count() == n_rows, "replayed batches duplicated postings"
+
+
+def test_streaming_ivf_index_appends_against_stored_centroids(spark, tmp_path):
+    """The IVF stream sink: batch 0 fits + materializes, batch 1 assigns
+    against the STORED centroids (they must not move); every ingested
+    vector is findable by probing its own embedding; replay is a no-op."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from delta_lake_optimizations_spark.catalog import load_table
+    from delta_lake_optimizations_spark.operators.ivf import (
+        ann_topk_from_ivf_index,
+        ivf_index_centroids,
+    )
+    from delta_lake_optimizations_spark.streaming.graft_sink import (
+        write_stream_to_ivf_index,
+    )
+    from delta_lake_optimizations_spark.table import GraftTable
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    src_dir = os.path.join(tmp_path, "src")
+    emb.filter(F.col("vec_id") % 2 == 0).coalesce(1).write.parquet(
+        os.path.join(src_dir, "a")
+    )
+    emb.filter(F.col("vec_id") % 2 == 1).coalesce(1).write.parquet(
+        os.path.join(src_dir, "b")
+    )
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir + "/*")
+    )
+    t = GraftTable(spark, os.path.join(tmp_path, "ivf"))
+    q = write_stream_to_ivf_index(stream, t, os.path.join(tmp_path, "ck"), nlist=4)
+    q.awaitTermination(180)
+
+    assert t.load().count() == emb.count()
+    cents = ivf_index_centroids(t)
+    assert len(cents) == 4
+
+    # an appended (odd-id) vector must find itself as nearest
+    probe_row = emb.filter(F.col("vec_id") % 2 == 1).first()
+    top = ann_topk_from_ivf_index(
+        t, [float(x) for x in probe_row["embedding"]], k=1, nprobe=2
+    ).first()
+    assert top["vec_id"] == probe_row["vec_id"]
+
+    q2 = write_stream_to_ivf_index(stream, t, os.path.join(tmp_path, "ck2"), nlist=4)
+    q2.awaitTermination(180)
+    assert t.load().count() == emb.count(), "replay duplicated rows"
+    assert ivf_index_centroids(t) == cents, "replay refit centroids"
