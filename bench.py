@@ -254,6 +254,31 @@ def _bench_ann_index(spark, n_vectors: int = 100_000, dim: int = 64) -> dict:
         out["covering_candidate_fraction"] = round(n_cand / (len(qvecs) * n_vectors), 4)
         out["recall_at_10_uniform"] = round(statistics.mean(recalls), 3)
 
+        # margin-ranked multi-probe (Multi-Probe LSH, VLDB'07) at the SAME
+        # per-table probe count as the Hamming<=1 ball above (13 codes):
+        # equal candidate budget, buckets chosen by the query's hyperplane
+        # margins — the recall delta is pure bucket-choice quality.
+        from delta_lake_optimizations_spark.operators.lsh_index import (
+            ann_topk_from_index_ranked,
+            ranked_probe_lists,
+        )
+
+        n_cand_r, recalls_r = 0, []
+        for qv in qvecs:
+            exact_ids = {r[0] for r in topk_cosine(corpus, qv, k=10).collect()}
+            got = {
+                r[0]
+                for r in ann_topk_from_index_ranked(indexed, qv, k=10, budget=13).collect()
+            }
+            recalls_r.append(len(exact_ids & got) / max(1, len(exact_ids)))
+            cond = None
+            for ti, probes in enumerate(ranked_probe_lists(qv, 13, 16)):
+                hit = F.col(f"lsh_code_{ti}").isin(*probes)
+                cond = hit if cond is None else (cond | hit)
+            n_cand_r += indexed.filter(cond).count()
+        out["ranked_candidate_fraction"] = round(n_cand_r / (len(qvecs) * n_vectors), 4)
+        out["recall_at_10_uniform_ranked"] = round(statistics.mean(recalls_r), 3)
+
         # ---- sharded block (clustered corpus — the headline numbers) ----
         n_sh_vec = 800_000
         n_clusters = 4000
@@ -558,7 +583,8 @@ def main() -> None:
                 "index_build_sec", "bruteforce_query_med_sec",
                 "indexed_query_med_sec", "candidate_fraction",
                 "speedup_vs_bruteforce", "recall_at_10_clustered",
-                "recall_at_10_uniform", "sharded_probe_file_fraction",
+                "recall_at_10_uniform", "recall_at_10_uniform_ranked",
+                "ranked_candidate_fraction", "sharded_probe_file_fraction",
                 "ivf_speedup_vs_bruteforce", "ivf_probe_file_fraction",
                 "ivf_recall_at_10_clustered",
                 "covering_query_med_sec", "covering_bruteforce_med_sec",

@@ -518,6 +518,160 @@ def ann_lsh_topk_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_from_sharded(t, qv, k=10)
 
 
+# ---------------------------------------------------------------------------
+# Margin-ranked multi-probe (the public Multi-Probe LSH design:
+# Lv/Josephson/Wang/Charikar/Li, VLDB 2007)
+# ---------------------------------------------------------------------------
+#
+# A blind Hamming<=h ball treats every bit flip as equally likely to
+# recover a lost neighbor — but the query KNOWS how close it sits to each
+# cutting hyperplane: a near-zero dot product means that bit is a coin
+# flip for true neighbors, a large-|dot| bit almost never differs. Ranking
+# candidate codes by the sum of |margin| over flipped planes and probing
+# the best-B spends the same candidate budget on the most probable
+# buckets: e.g. flipping the TWO lowest-margin planes often outranks
+# flipping one high-margin plane, which a Hamming ball cannot express.
+# Probe enumeration is driver-side integer/heap work on a query constant
+# (no Spark job); the probe itself is the same single ``tc IN (buckets)``
+# load, so the scale story (file skipping, O(candidates) IO) is unchanged.
+
+
+def query_margins(
+    query_vec: list[float],
+    n_tables: int = N_TABLES_SHARDED,
+    n_planes: int = N_PLANES,
+) -> list[tuple[int, list[float]]]:
+    """Per-table ``(code, margins)``: the query's packed sign code plus
+    ``|dot(query, plane)|`` for every plane — how firmly the query sits on
+    its side of each cutting hyperplane. Driver-side arithmetic on a query
+    constant; no Spark job."""
+    out: list[tuple[int, list[float]]] = []
+    for t in range(n_tables):
+        code, margins = 0, []
+        for i in range(n_planes):
+            hp = _hyperplane(len(query_vec), t * n_planes + i)
+            d = sum(float(a) * float(p) for a, p in zip(query_vec, hp))
+            if d >= 0:
+                code |= 1 << i
+            margins.append(abs(d))
+        out.append((code, margins))
+    return out
+
+
+def ranked_probe_lists(
+    query_vec: list[float],
+    budget: int,
+    n_tables: int = N_TABLES_SHARDED,
+    n_planes: int = N_PLANES,
+) -> list[list[int]]:
+    """Per-table probe codes, best-first: the exact code, then flip sets
+    in nondecreasing sum of flipped-plane margins, truncated at ``budget``
+    codes per table. Flip sets are enumerated lazily with the classic
+    min-heap successor scheme over margin-sorted planes (pop a set, push
+    its 'extend by next plane' and 'shift last to next plane' successors),
+    which yields every subset exactly once in score order — so the first
+    B codes ARE the B most plausible buckets, not a Hamming ball."""
+    import heapq
+
+    out: list[list[int]] = []
+    for code, margins in query_margins(query_vec, n_tables, n_planes):
+        order = sorted(range(n_planes), key=lambda i: (margins[i], i))
+        m = [margins[i] for i in order]
+        probes = [code]
+        heap: list[tuple[float, tuple[int, ...]]] = [(m[0], (0,))]
+        while heap and len(probes) < budget:
+            score, subset = heapq.heappop(heap)
+            flip = 0
+            for si in subset:
+                flip |= 1 << order[si]
+            probes.append(code ^ flip)
+            last = subset[-1]
+            if last + 1 < n_planes:
+                heapq.heappush(heap, (score + m[last + 1], subset + (last + 1,)))
+                heapq.heappush(
+                    heap, (score - m[last] + m[last + 1], subset[:-1] + (last + 1,))
+                )
+        out.append(probes)
+    return out
+
+
+def probe_buckets_ranked(
+    query_vec: list[float],
+    budget: int,
+    n_tables: int = N_TABLES_SHARDED,
+    n_planes: int = N_PLANES,
+) -> list[int]:
+    """Flat sorted ``tc`` bucket list for a margin-ranked sharded probe."""
+    lists = ranked_probe_lists(query_vec, budget, n_tables, n_planes)
+    return sorted({(t << n_planes) | c for t, probes in enumerate(lists) for c in probes})
+
+
+#: ranked-probe budget matched to the Hamming<=1 ball (1 exact + n_planes
+#: single flips = 13 codes/table at 12 planes): same candidate budget,
+#: better-chosen buckets.
+RANKED_BUDGET = N_PLANES + 1
+
+
+def ann_topk_from_sharded_ranked(
+    table,
+    query_vec: list[float],
+    k: int = 10,
+    budget: int = RANKED_BUDGET,
+    n_tables: int = N_TABLES_SHARDED,
+    n_planes: int = N_PLANES,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k from the sharded index with margin-ranked probes: identical
+    plan shape to ``ann_topk_from_sharded`` (one ``tc IN (buckets)`` load
+    riding file skipping, dedupe, exact re-rank) — only the bucket list is
+    chosen by margin rank instead of a blind Hamming ball."""
+    buckets = probe_buckets_ranked(query_vec, budget, n_tables, n_planes)
+    cand = table.load(skip_where=[("tc", "in", buckets)]).select(id_col, vec_col)
+    top = topk_cosine(cand, query_vec, k=k * n_tables, id_col=id_col, vec_col=vec_col)
+    return (
+        top.dropDuplicates([id_col])
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def ann_topk_from_index_ranked(
+    indexed: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    budget: int = RANKED_BUDGET,
+    n_tables: int = N_TABLES,
+    n_planes: int = N_PLANES,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Margin-ranked probe against the COVERING index layout: per-table
+    ``lsh_code_t IN (ranked codes)`` OR-ed across tables, then the exact
+    re-rank. Used by the bench to compare recall against the blind
+    Hamming ball at the SAME per-table probe count."""
+    lists = ranked_probe_lists(query_vec, budget, n_tables, n_planes)
+    cond = None
+    for t, probes in enumerate(lists):
+        hit = F.col(f"lsh_code_{t}").isin(*probes)
+        cond = hit if cond is None else (cond | hit)
+    candidates = indexed.filter(cond).select(id_col, vec_col)
+    return topk_cosine(candidates, query_vec, k=k, id_col=id_col, vec_col=vec_col)
+
+
+@query("ann_lsh_topk_sharded_ranked", tags=("similarity", "approx", "index"))
+def ann_lsh_topk_sharded_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 for vec_id=0 from the sharded LSH index with
+    MARGIN-RANKED multi-probe at the Hamming<=1-equivalent budget (13
+    codes/table): same probe cost, buckets chosen by the query's
+    hyperplane margins (Multi-Probe LSH, VLDB'07). (Rows-only driver
+    check; ``ann_lsh_ranked_recall`` in operators/metrics.py is the
+    oracle-backed metric twin.)"""
+    t = _cached_sharded_index(spark, sf_dir)
+    qv = query_vector(spark, sf_dir, 0)
+    return ann_topk_from_sharded_ranked(t, qv, k=10)
+
+
 def append_to_lsh_sharded_index(
     table, df: DataFrame, extra_parameters: dict | None = None
 ) -> None:
