@@ -658,6 +658,20 @@ class GraftCatalog:
         self.table(name).set_properties({CLUSTER_BY_PROP: value})
         return self._row(("table", "clusterBy"), (name, value))
 
+    def _h_generate(self, m: re.Match) -> DataFrame:
+        """Delta-parity ``GENERATE symlink_format_manifest FOR TABLE t``
+        (table/maintenance.py::generate_manifest)."""
+        from delta_lake_optimizations_spark.table import generate_manifest
+
+        mode = m.group("mode").strip("'").lower()
+        if mode != "symlink_format_manifest":
+            raise ValueError(f"GENERATE: unsupported mode {mode!r}")
+        r = generate_manifest(self.table(m.group("table")))
+        return self._row(
+            ("manifestRoot", "numManifests", "numFiles"),
+            (r["manifest_root"], r["n_manifests"], r["n_files"]),
+        )
+
     def _h_bloom_create(self, m: re.Match) -> DataFrame:
         """Databricks-parity ``CREATE BLOOMFILTER INDEX`` — builds the
         table's Bloom sidecars (table/bloom.py) for the listed columns."""
@@ -882,6 +896,14 @@ class GraftCatalog:
                 re.I,
             ),
             _h_analyze,
+        ),
+        (
+            re.compile(
+                rf"GENERATE\s+(?P<mode>'?[A-Za-z_]+'?)\s+FOR\s+TABLE\s+"
+                rf"(?P<table>{_IDENT})$",
+                re.I,
+            ),
+            _h_generate,
         ),
         (
             re.compile(

@@ -263,6 +263,40 @@ def dedup_url_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def filter_blocked_domains(
+    docs: DataFrame, blocklist: DataFrame, domain_col: str = "domain"
+) -> DataFrame:
+    """Drop rows whose registered domain is blocklisted — a broadcast
+    LEFT ANTI join, not an ``isin`` literal: real blocklists run to
+    hundreds of thousands of domains (far past literal-expression
+    limits) yet still fit comfortably in a broadcast, so the corpus side
+    streams map-only at any scale."""
+    bl = F.broadcast(blocklist.select(F.col(blocklist.columns[0]).alias(domain_col)))
+    return docs.join(bl, on=domain_col, how="left_anti")
+
+
+@query(
+    "url_blocklist_filter",
+    tags=("webcure", "filter"),
+    oracle=_URL_CTE
+    + """
+    SELECT doc_id, domain
+    FROM enriched
+    WHERE domain NOT IN ('src1.co.uk', 'src4.com.cn', 'src7.de')
+    """,
+)
+def url_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist filtering on the registered domain (the site-level ban
+    rule every web pipeline applies before quality scoring): broadcast
+    anti-join against a domain blocklist."""
+    blocklist = spark.createDataFrame(
+        [("src1.co.uk",), ("src4.com.cn",), ("src7.de",)], "domain string"
+    )
+    return filter_blocked_domains(
+        _doc_urls(spark, sf_dir).select("doc_id", "domain"), blocklist
+    )
+
+
 @query(
     "url_domain_profile",
     tags=("webcure", "agg"),

@@ -27,6 +27,7 @@ from delta_lake_optimizations_spark.table.graft_table import (
 from delta_lake_optimizations_spark.table.maintenance import (
     delete,
     fsck_repair,
+    generate_manifest,
     optimize,
     reorg_purge,
     restore,
@@ -56,6 +57,7 @@ __all__ = [
     "merge",
     "optimize",
     "refresh_matview",
+    "generate_manifest",
     "reorg_purge",
     "restore",
     "update",

@@ -744,3 +744,54 @@ def vacuum_log(table: GraftTable, keep_versions: int = 100) -> dict[str, Any]:
         "removed_checkpoints": removed_cp,
         "floor": floor,
     }
+
+
+def generate_manifest(table: GraftTable) -> dict[str, Any]:
+    """``GENERATE symlink_format_manifest`` parity (the public Delta
+    interop feature): write text manifests listing the ABSOLUTE paths of
+    the current snapshot's active data files, so engines that only
+    understand file listings (Presto/Trino/Athena's symlink input
+    format) can query the table without reading our commit log.
+
+    Layout mirrors Delta: ``_symlink_format_manifest/manifest`` for an
+    unpartitioned table, ``_symlink_format_manifest/<k>=<v>/.../manifest``
+    per partition otherwise. Stale entries from previous generations are
+    removed (a partition that lost all its files must not keep serving an
+    old manifest). Driver-side metadata work only — no Spark job.
+
+    Refused when any active file carries a deletion vector: a symlink
+    reader has no DV machinery and would resurrect deleted rows (same
+    restriction as Delta; run ``reorg_purge`` first).
+    """
+    import shutil
+
+    snap = table.snapshot()
+    if any(f.dv_count for f in snap.files):
+        raise ValueError(
+            "generate_manifest: table has deletion vectors; external "
+            "symlink readers would see deleted rows — run reorg_purge "
+            "first (Delta imposes the same restriction)"
+        )
+    root = os.path.join(table.path, "_symlink_format_manifest")
+    shutil.rmtree(root, ignore_errors=True)
+    groups: dict[str, list[str]] = {}
+    for f in snap.files:
+        rel = ""
+        if snap.partition_columns:
+            rel = os.path.join(
+                *(f"{c}={f.partition_values.get(c, '')}" for c in snap.partition_columns)
+            )
+        groups.setdefault(rel, []).append(os.path.join(table.path, f.path))
+    for rel, paths in groups.items():
+        d = os.path.join(root, rel) if rel else root
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(d, ".manifest.tmp")
+        with open(tmp, "w") as fh:
+            for p in sorted(paths):
+                fh.write(f"file:{p}\n")
+        os.replace(tmp, os.path.join(d, "manifest"))
+    return {
+        "manifest_root": root,
+        "n_manifests": len(groups),
+        "n_files": len(snap.files),
+    }

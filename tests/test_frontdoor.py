@@ -573,3 +573,57 @@ def test_truncate_table_sql(spark, tmp_path):
     assert cat.table("tr_t").load(version=v).count() == 50, "time travel intact"
     cat.sql("INSERT INTO tr_t VALUES (7)")
     assert cat.sql("SELECT COUNT(*) AS n FROM tr_t").first()["n"] == 1
+
+
+def test_generate_symlink_manifest(spark, tmp_path):
+    """GENERATE symlink_format_manifest parity: manifests list exactly
+    the active snapshot's absolute file paths (per partition dir for a
+    partitioned table), regeneration drops stale entries, and tables
+    with deletion vectors are refused."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from delta_lake_optimizations_spark.frontdoor import GraftCatalog
+    from delta_lake_optimizations_spark.table import GraftTable, optimize
+
+    df = spark.range(200).select(
+        "id", (F.col("id") % 2 == 0).cast("string").alias("even")
+    )
+    t = GraftTable(spark, str(tmp_path / "t"))
+    t.write(df, partition_by=["even"])
+    cat = GraftCatalog(spark)
+    cat.register("mt", str(tmp_path / "t"))
+
+    out = cat.sql("GENERATE symlink_format_manifest FOR TABLE mt").collect()[0]
+    root = out["manifestRoot"]
+    assert out["numManifests"] == 2  # even=true / even=false
+    listed = set()
+    for d in ("even=true", "even=false"):
+        with open(os.path.join(root, d, "manifest")) as fh:
+            lines = [ln.strip() for ln in fh if ln.strip()]
+        assert all(ln.startswith("file:") for ln in lines)
+        listed.update(ln[len("file:"):] for ln in lines)
+    snap_paths = {os.path.join(t.path, f.path) for f in t.snapshot().files}
+    assert listed == snap_paths
+    assert all(os.path.exists(p) for p in listed)
+
+    # regeneration after OPTIMIZE reflects the NEW file set only
+    optimize(t, target_files=1)
+    cat.sql("GENERATE symlink_format_manifest FOR TABLE mt")
+    relisted = set()
+    for d in ("even=true", "even=false"):
+        with open(os.path.join(root, d, "manifest")) as fh:
+            relisted.update(ln.strip()[len("file:"):] for ln in fh if ln.strip())
+    assert relisted == {os.path.join(t.path, f.path) for f in t.snapshot().files}
+    assert relisted != snap_paths
+
+    # DV-carrying tables are refused (external readers can't apply DVs)
+    from delta_lake_optimizations_spark.table import delete
+
+    delete(t, "id = 7", deletion_vectors=True)
+    assert any(f.dv_count for f in t.snapshot().files)
+    import pytest
+
+    with pytest.raises(ValueError, match="deletion vectors"):
+        cat.sql("GENERATE symlink_format_manifest FOR TABLE mt")
