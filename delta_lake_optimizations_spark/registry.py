@@ -65,50 +65,45 @@ _QUERY_MODULES = (
 # The driver's correctness gate checks exactly the FIRST 50 registry entries
 # (registration order) each round. Window history: r01 relational/TPC-H/
 # window/setops; r02 scalar/events/vector/dedup/similarity/text/sampling;
-# r03 reshape + remaining unchecked; r04 the 17 new metric queries +
-# family representatives (zero failures). Round 5 (this window): the FOUR
-# new materialized-index queries get their first driver rows (sharded LSH +
-# IVF index, each with an oracle-backed equivalence metric), every query
-# whose implementation changed this round re-verifies (indexed-LSH dial,
-# minhash single-key banding, multimodal NULL-safe predicate), the r04
-# VERDICT's rotation-hygiene list rides the rows-only slots, and the rest
-# re-verifies proven greens. Everything demoted out of the window stays
-# covered by the identical local gate in ``tests/test_oracle_parity.py``;
+# r03 reshape + remaining unchecked; r04 the 17 new metric queries; r05
+# the four materialized-index queries + the r04 rotation-hygiene list
+# (zero failures every round). Round 6 (this window): the SEVEN new
+# queries get their first driver rows (margin-ranked multi-probe LSH +
+# its recall metric; the URL-curation family; incremental fingerprint-
+# store dedup), every touched module's equivalence metric re-verifies
+# (lsh_index), and the rest re-verifies proven greens including three
+# rotated family representatives whose implementations the r05 gram-path
+# rework touched. Everything demoted out of the window stays covered by
+# the identical local gate in ``tests/test_oracle_parity.py``;
 # tests/test_registry_window.py asserts every registry name has had a
-# driver row across r01-r05.
+# driver row across r01-r06.
 DRIVER_WINDOW = 50
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # NEW this round: materialized-index equivalence metrics (oracle-backed)
+    # NEW this round (oracle-backed)
+    "ann_lsh_ranked_recall",
+    "url_normalize_docs",
+    "dedup_url_normalized",
+    "url_domain_profile",
+    "url_blocklist_filter",
+    "incremental_dedup_two_batches",
+    # NEW rows-only (sole rows-only slot this window; metric twin above)
+    "ann_lsh_topk_sharded_ranked",
+    # touched module re-verification: the index equivalence metrics
     "ann_lsh_sharded_matches_inline",
     "ann_ivf_indexed_matches_inline",
-    # changed this round — re-verify at the new dial / implementation
     "ann_lsh_indexed_matches_inline",
-    "minhash_lsh_recall",
-    "multimodal_decode_consistency",
-    # NEW: real container bytes (committed fixtures) through the decode
-    # cascade, oracle = the files' known ground-truth facts
-    "multimodal_real_media_decode",
-    "simhash_jaccard_recall",
-    # rows-only slots (<= 10, tests/test_registry_window.py): the two new
-    # index queries + the r04 VERDICT #6 rotation-hygiene list
-    "ann_lsh_topk_sharded",
-    "ann_ivf_topk_indexed",
-    "approx_percentiles_sketch",
-    "hll_distinct_parts_by_flag",
-    "dedup_simhash",
-    "dedup_clusters_minhash",
-    "hard_negatives_lsh",
-    "knn_join_ivf",
-    "ann_ivf_topk",
-    "ann_pq_topk",
     # metric-family greens held in the window (oracle-backed twins of the
-    # approximate operators above)
+    # approximate operators)
     "ann_lsh_recall",
     "ann_ivf_recall",
     "ann_pq_recall",
+    "minhash_lsh_recall",
+    "simhash_jaccard_recall",
     "knn_join_lsh_recall",
     "knn_join_ivf_recall",
     "hard_negatives_lsh_overlap",
+    "multimodal_real_media_decode",
+    "multimodal_decode_consistency",
     "hll_error_by_flag",
     "approx_percentile_error_by_flag",
     "doc_fingerprint_shingles",
@@ -120,6 +115,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "pipeline_curate_documents",
     "events_tumbling_window",
     "q21_suppliers_kept_orders_waiting",
+    # r05 gram-path rework re-verification (shared token_ngrams fast path)
+    "dedup_repeated_spans",
+    "bm25_keyword_search",
+    "quality_classifier_scores",
     # proven greens re-verified: family representatives keeping the window
     # full
     "skew_salted_join_brand_revenue",
