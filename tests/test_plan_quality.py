@@ -86,9 +86,11 @@ def test_q21_take_ordered_and_bounded_exchanges(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan, "top-25 must not global-sort"
     s = plan_summary(df)
-    # decorrelated form: one rollup + one window, not correlated per-row
-    # subqueries — at most: orders join, rollup key, order key, s_name agg
-    assert s["exchanges"] <= 5, s
+    # decorrelated form with the pinned l_orderkey repartition: ONE fact
+    # exchange (reused by rollup + window) plus the tiny s_name agg — a
+    # third exchange would mean the rollup/window stopped sharing the
+    # fact partitioning (the r6 regression this guard pins)
+    assert s["exchanges"] <= 3, s
 
 
 def test_new_window_shapes_single_shuffle(spark):
