@@ -433,6 +433,15 @@ def _bench_sf1_rehearsal(spark, sf_dir: str, sf01_timings: dict[str, float]) -> 
         "events_asof_next_purchase",
         "bm25_keyword_search",
         "vector_norms",
+        # r6 additions: URL curation + incremental fingerprint-store dedup
+        # (both value-checkable at any scale), and the ranked-probe recall
+        # metric so the Multi-Probe floor is validated on the 10x corpus
+        "url_normalize_docs",
+        "dedup_url_normalized",
+        "url_domain_profile",
+        "url_blocklist_filter",
+        "incremental_dedup_two_batches",
+        "ann_lsh_ranked_recall",
     ]
     out["correctness"] = run_sf1_correctness(spark, out_dir, check_names)
     out["correctness_all_green"] = all(

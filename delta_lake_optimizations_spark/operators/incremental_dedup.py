@@ -138,21 +138,40 @@ class FingerprintStore:
     "incremental_dedup_two_batches",
     tags=("dedup", "incremental"),
     oracle="""
-        SELECT doc_id, 'b0' AS batch FROM documents WHERE doc_id % 2 = 0
-        UNION ALL
-        SELECT doc_id, 'b1' AS batch FROM documents WHERE doc_id % 2 = 1
+        SELECT doc_id, batch
+        FROM (
+            SELECT doc_id, batch,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY md5(CAST(text AS VARCHAR))
+                       ORDER BY pri, doc_id
+                   ) AS rn
+            FROM (
+                SELECT doc_id, text, 0 AS pri, 'b0' AS batch
+                FROM documents WHERE doc_id % 2 = 0
+                UNION ALL
+                SELECT doc_id, text, 1 AS pri, 'b1' AS batch
+                FROM documents WHERE doc_id % 2 = 1
+                UNION ALL
+                SELECT doc_id + 1000000, text, 1 AS pri, 'b1' AS batch
+                FROM documents WHERE doc_id % 2 = 0
+            )
+        )
+        WHERE rn = 1
     """,
 )
 def incremental_dedup_two_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end incremental ingest through a fresh FingerprintStore:
     batch b0 = the even-doc_id docs; batch b1 = the odd docs PLUS a
     re-keyed copy of every even doc (same text, doc_id + 1_000_000) —
-    genuine cross-batch content duplicates. The corpus has no duplicate
-    texts (pinned by ``dedup_exact_text``), so the provable answer is:
-    all even docs from b0, exactly the odd docs from b1, every re-keyed
-    copy dropped by the store anti-join — which is what the oracle
-    states. A store that forgets history re-admits the copies
-    (rows_match fails); one that over-drops loses odd docs."""
+    genuine cross-batch content duplicates. The provable answer is the
+    rows whose content hash is FIRST seen in (batch, doc_id) order, and
+    the oracle states exactly that as one window ordered by (batch
+    priority, doc_id) grouping on its own md5 — only hash EQUALITY
+    matters, so the oracle's hash need not match Spark's sha2, and the
+    form stays correct on corpora that already contain duplicate texts
+    (the replica-shifted sf1 corpus does). A store that forgets history
+    re-admits the copies (rows_match fails); one that over-drops loses
+    rows."""
     docs = load_table(spark, sf_dir, "documents")
     store = FingerprintStore(spark, tempfile.mkdtemp(prefix="graft_fpstore_"))
     even = docs.filter(F.col("doc_id") % 2 == 0)

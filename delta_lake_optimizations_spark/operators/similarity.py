@@ -47,9 +47,21 @@ def embedding_dim(sf_dir: str, table: str = "embeddings", col: str = "embedding"
     alternatives are a Spark first() job or a documented constant; a
     footer read costs one small IO and keeps the registered ANN queries'
     main plan the first job they launch)."""
+    import os
+
     import pyarrow.parquet as pq
 
-    pf = pq.ParquetFile(f"{sf_dir}/{table}.parquet")
+    target = f"{sf_dir}/{table}.parquet"
+    if os.path.isdir(target):
+        # scaled corpora (scripts/make_sfx.py) are parquet DIRECTORIES;
+        # any part file answers the schema question
+        parts = sorted(
+            os.path.join(target, f)
+            for f in os.listdir(target)
+            if f.endswith(".parquet")
+        )
+        target = parts[0]
+    pf = pq.ParquetFile(target)
     batch = next(pf.iter_batches(batch_size=1, columns=[col]))
     return len(batch.column(0)[0])
 
