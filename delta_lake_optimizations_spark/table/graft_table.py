@@ -1644,6 +1644,18 @@ def _merge_schemas(base: T.StructType, incoming: T.StructType) -> T.StructType:
     return T.StructType(list(base.fields) + new_fields)
 
 
+def _prefix_succ(p: str) -> str | None:
+    """Smallest string strictly greater than EVERY string with prefix
+    ``p`` (increment the last non-maximal code point, dropping the tail);
+    None when no finite successor exists. Used to turn a LIKE-prefix
+    probe into a [p, succ(p)) range over file min/max stats."""
+    for i in range(len(p) - 1, -1, -1):
+        c = ord(p[i])
+        if c < 0x10FFFF:
+            return p[:i] + chr(c + 1)
+    return None
+
+
 def _op_expr(col: str, op: str, value: Any):
     c = F.col(col)
     if op == "in":
@@ -1652,6 +1664,8 @@ def _op_expr(col: str, op: str, value: Any):
         return c.isNull()
     if op == "notnull":
         return c.isNotNull()
+    if op == "like_prefix":
+        return c.startswith(value)
     return {
         "=": c == value,
         "<": c < value,
@@ -1695,6 +1709,28 @@ def _file_may_match(
                 _file_may_match(f, [(col, "=", v)], partition_columns)
                 for v in value
             ):
+                return False
+            continue
+        if op == "like_prefix":
+            # LIKE 'p%' as the range [p, succ(p)): a file whose max sorts
+            # before p, or whose min sorts at/after the prefix successor,
+            # provably holds no matching string. Works on truncated
+            # parquet footer stats too — min stays a lower bound and max
+            # an upper bound, so the check only gets more conservative.
+            if col in partition_columns and f.partition_values.get(col) is not None:
+                if not str(f.partition_values[col]).startswith(value):
+                    return False
+                continue
+            mn = f.stats.get("minValues", {}).get(col)
+            mx = f.stats.get("maxValues", {}).get(col)
+            if mn is None or mx is None:
+                continue  # no stats — must scan
+            if not isinstance(mn, str) or not isinstance(mx, str):
+                continue
+            if mx < value:
+                return False
+            succ = _prefix_succ(value)
+            if succ is not None and mn >= succ:
                 return False
             continue
         if op in ("isnull", "notnull"):

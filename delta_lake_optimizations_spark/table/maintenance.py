@@ -183,6 +183,16 @@ def _zorder_layout(df: DataFrame, cols: list[str], n_files: int) -> DataFrame:
     key; ``repartitionByRange`` on the key gives each output file a compact
     Z-curve segment, so per-file min/max stay tight on every z-column.
     """
+    if len(cols) == 1:
+        # Single-column clustering needs no curve at all: a pure range
+        # layout is strictly better than bucketed interleaving (no
+        # quantile-resolution loss), and — unlike the hash-bucket path
+        # below — it works for STRINGS, keeping per-file min/max tight so
+        # equality, range, and LIKE-prefix probes all prune files.
+        return df.repartitionByRange(int(n_files), F.col(cols[0])).sortWithinPartitions(
+            cols[0]
+        )
+
     bits = 6  # 64 quantile buckets per column — keeps the CASE chain codegen-friendly
     nq = 1 << bits
     work = df
