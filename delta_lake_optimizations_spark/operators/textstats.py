@@ -364,3 +364,53 @@ def zipf_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         freqs.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= 20)
     )
+
+
+@query(
+    "corpus_datacard",
+    tags=("text", "agg"),
+    oracle="""
+        SELECT
+            COALESCE(lang, '<all>') AS lang,
+            COALESCE(source, '<all>') AS source,
+            COUNT(*) AS n_docs,
+            CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+                AS n_tokens,
+            CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+            ROUND(AVG(len(string_split_regex(trim(text), '\\s+'))), 4)
+                AS avg_doc_tokens,
+            ROUND(COUNT(*) * 1.0 / (SELECT COUNT(*) FROM documents), 6)
+                AS doc_share
+        FROM documents
+        GROUP BY ROLLUP (lang, source)
+    """,
+)
+def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset-card aggregate every corpus release publishes: doc /
+    token / char totals and shares at three grains — per (lang, source),
+    per lang, and grand total — in ONE pass via ROLLUP (a single hash
+    aggregate computing all grouping sets; three separate GROUP BYs would
+    triple the scan). NULL grouping keys are labeled '<all>' so the
+    output is a plain readable table (and hash-stable vs the oracle)."""
+    documents = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.trim("text"), r"\s+"))
+    total = documents.count()  # metadata-sized scalar for the share column
+    return (
+        documents.rollup("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(n_tok).alias("n_tokens"),
+            F.sum(F.length("text")).alias("n_chars"),
+            F.round(F.avg(n_tok), 4).alias("avg_doc_tokens"),
+            F.round(F.count("*") / F.lit(float(total)), 6).alias("doc_share"),
+        )
+        .select(
+            F.coalesce("lang", F.lit("<all>")).alias("lang"),
+            F.coalesce("source", F.lit("<all>")).alias("source"),
+            "n_docs",
+            "n_tokens",
+            "n_chars",
+            "avg_doc_tokens",
+            "doc_share",
+        )
+    )
