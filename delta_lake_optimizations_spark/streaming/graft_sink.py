@@ -313,3 +313,61 @@ def write_stream_to_ivf_index(
         .trigger(availableNow=True)
         .start()
     )
+
+
+class GraftStreamDedupIngestWriter:
+    """foreachBatch handler running each micro-batch through a
+    FingerprintStore (operators/incremental_dedup.py) and appending only
+    the SURVIVORS — documents whose content no earlier batch admitted —
+    to a clean corpus table. The streaming face of ingest-time dedup: a
+    landing-zone crawl streams in, the clean table only ever grows by
+    novel content.
+
+    Exactly-once across BOTH tables: the store's ingest is batch-id
+    guarded internally (a replayed batch commits nothing and returns the
+    original survivors recomputed from the store), and the clean-table
+    append carries the same guard — so a crash between the two commits
+    replays into a store no-op plus the missing clean append, never a
+    duplicate."""
+
+    def __init__(self, store, clean_table: GraftTable):
+        self.store = store
+        self.clean = clean_table
+
+    def _committed(self) -> set[int]:
+        out = set()
+        for c in self.clean.commits():
+            b = c.operation_parameters.get("streamingBatchId")
+            if b is not None:
+                out.add(int(b))
+        return out
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        survivors = self.store.ingest(batch_df, f"stream-{batch_id}")
+        if self.clean.exists() and batch_id in self._committed():
+            return
+        mode = "append" if self.clean.exists() else "overwrite"
+        self.clean.write(
+            survivors, mode=mode, extra_parameters={"streamingBatchId": int(batch_id)}
+        )
+
+
+def write_stream_dedup_ingest(
+    stream_df: DataFrame,
+    store,
+    clean_table: GraftTable,
+    checkpoint_dir: str,
+    query_name: str = "graft_dedup_ingest_sink",
+) -> StreamingQuery:
+    """Start an availableNow streaming dedup-ingest: micro-batches pass
+    through ``store`` (content-hash dedup against all history) and the
+    survivors append to ``clean_table``."""
+    return (
+        stream_df.writeStream.foreachBatch(
+            GraftStreamDedupIngestWriter(store, clean_table)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )

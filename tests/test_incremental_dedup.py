@@ -79,3 +79,47 @@ def test_contains_probe_prunes_files(spark, tmp_path):
     absent = "0" * 64
     assert store.table.files_scanned(skip_where=[("fp", "in", [absent])]) == 0
     assert store.contains([absent]).count() == 0
+
+
+def test_streaming_dedup_ingest_sink(spark, tmp_path):
+    """The streaming face of the fingerprint store: micro-batches of
+    overlapping docs flow through the dedup-ingest sink; the clean table
+    ends up with exactly the novel-content survivors, and a full replay
+    over a fresh checkpoint (same batches) changes nothing."""
+    import os
+
+    from delta_lake_optimizations_spark.streaming.graft_sink import (
+        write_stream_dedup_ingest,
+    )
+    from delta_lake_optimizations_spark.table import GraftTable
+
+    src = os.path.join(tmp_path, "src")
+    # two files -> two micro-batches (maxFilesPerTrigger=1); batch b
+    # overlaps batch a in content
+    _batch(spark, [(1, "alpha"), (2, "beta"), (3, "alpha")]).coalesce(1).write.parquet(
+        os.path.join(src, "a")
+    )
+    _batch(spark, [(4, "beta"), (5, "gamma")]).coalesce(1).write.parquet(
+        os.path.join(src, "b")
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    store = FingerprintStore(spark, os.path.join(tmp_path, "fp"))
+    clean = GraftTable(spark, os.path.join(tmp_path, "clean"))
+    q = write_stream_dedup_ingest(stream, store, clean, os.path.join(tmp_path, "ck"))
+    q.awaitTermination(180)
+
+    texts = sorted(r["text"] for r in clean.load().collect())
+    assert texts == ["alpha", "beta", "gamma"]
+    assert store.fingerprints().count() == 3
+
+    # replay everything with a fresh checkpoint: both tables unchanged
+    n_clean_commits = len(clean.commits())
+    q2 = write_stream_dedup_ingest(stream, store, clean, os.path.join(tmp_path, "ck2"))
+    q2.awaitTermination(180)
+    assert sorted(r["text"] for r in clean.load().collect()) == texts
+    assert store.fingerprints().count() == 3
+    assert len(clean.commits()) == n_clean_commits
