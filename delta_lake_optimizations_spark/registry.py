@@ -124,7 +124,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "skew_salted_join_brand_revenue",
     "dedup_ngram_jaccard",
     "dedup_exact_text",
-    "dedup_embedding_cosine",
+    # NEW this round (oracle-backed): one-pass ROLLUP dataset card
+    "corpus_datacard",
     "topk_cosine_bruteforce",
     "knn_join_exact",
     "hard_negatives_exact",
