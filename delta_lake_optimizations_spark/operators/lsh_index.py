@@ -55,7 +55,7 @@ from delta_lake_optimizations_spark.operators.similarity import (
     query_vector,
     topk_cosine,
 )
-from delta_lake_optimizations_spark.queries.vectors import dot
+from delta_lake_optimizations_spark.queries.vectors import cosine, dot
 from delta_lake_optimizations_spark.registry import query
 
 N_TABLES = 16
@@ -697,3 +697,110 @@ def append_to_lsh_sharded_index(
             dim = len(df.select("embedding").first()[0])
     frame = lsh_exploded_index_frame(df, dim, n_tables, n_planes)
     table.write(frame, mode="append", extra_parameters=extra_parameters)
+
+
+# ---------------------------------------------------------------------------
+# Batch k-NN JOIN answered from the sharded index
+# ---------------------------------------------------------------------------
+
+
+def knn_join_from_sharded(
+    table,
+    queries: DataFrame,
+    dim: int,
+    k: int = 3,
+    n_tables: int = N_TABLES_SHARDED,
+    n_planes: int = N_PLANES,
+    probe_hamming: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Top-k neighbours from the sharded index for EVERY row of a query
+    batch — the amortized retrieval shape (the single-query probe can't
+    amortize scan setup over thousands of lookups; a join can).
+
+    Plan: (1) query codes via the Arrow numpy pass, exploded to probe
+    postings ``(src_id, tc)`` with the Hamming<=``probe_hamming`` XOR
+    masks — all in-plan; (2) the DISTINCT probed buckets are collected
+    driver-side (bounded by ``n_tables * 2^n_planes`` ints, NOT by query
+    count) and drive one file-skipped index load, so a selective query
+    batch reads only the shards its buckets live in; (3) the probe keys
+    (two ints per posting) broadcast-join the pruned index on ``tc`` —
+    the index side never shuffles; (4) ONE fact shuffle on ``src_id``
+    that the pair dedupe (subset-key clustering) and the per-query
+    top-k window both reuse; query vectors rejoin by broadcast for the
+    exact cosine re-rank.
+
+    Candidate pairs are IDENTICAL to the inline self-join
+    (``similarity.knn_join_lsh_multitable``) at the same
+    (n_tables, n_planes, probe_hamming): both admit (s, c) iff some
+    table's stored code for c equals a probed code of s — pinned by the
+    ``knn_join_sharded_matches_inline`` metric.
+
+    Scale note: the query batch broadcasts twice (probe keys, then
+    vectors) — right for retrieval batches up to ~1M queries; a
+    corpus-scale self-join should use the shuffle-based inline form
+    instead."""
+    from itertools import combinations
+
+    from pyspark.sql import Window
+
+    codes = _codes_pandas_udf(dim, n_tables, n_planes)
+    masks = [0]
+    for r in range(1, probe_hamming + 1):
+        for combo in combinations(range(n_planes), r):
+            m = 0
+            for i in combo:
+                m |= 1 << i
+            masks.append(m)
+    probes = (
+        queries.select(
+            F.col(id_col).alias("src_id"), codes(F.col(vec_col)).alias("_codes")
+        )
+        .select("src_id", F.posexplode("_codes").alias("_tbl", "_code"))
+        .withColumn("_mask", F.explode(F.array(*[F.lit(m).cast("long") for m in masks])))
+        .select(
+            "src_id",
+            F.shiftleft(F.col("_tbl").cast("long"), n_planes)
+            .bitwiseOR(F.col("_code").bitwiseXOR(F.col("_mask")))
+            .alias("tc"),
+        )
+    )
+    tcs = sorted(r[0] for r in probes.select("tc").distinct().collect())
+    cand = table.load(skip_where=[("tc", "in", tcs)]).select(
+        "tc", F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("_nv")
+    )
+    pairs = cand.join(F.broadcast(probes), "tc")
+    if exclude_self:
+        pairs = pairs.filter(F.col("src_id") != F.col("nbr_id"))
+    qvecs = queries.select(
+        F.col(id_col).alias("_sid2"), F.col(vec_col).alias("_qv")
+    )
+    w = Window.partitionBy("src_id").orderBy(F.col("cos_sim").desc(), F.col("nbr_id"))
+    return (
+        pairs.select("src_id", "nbr_id", "_nv")
+        .repartition(F.col("src_id"))
+        .dropDuplicates(["src_id", "nbr_id"])
+        .join(F.broadcast(qvecs), F.col("src_id") == F.col("_sid2"))
+        .select(
+            "src_id",
+            "nbr_id",
+            F.round(cosine(F.col("_qv"), F.col("_nv")), 6).alias("cos_sim"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+@query("knn_join_sharded_indexed", tags=("similarity", "approx", "knn", "index"))
+def knn_join_sharded_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate 3-NN JOIN for the whole embeddings corpus answered
+    from the materialized sharded index (8x12, Hamming<=1). (Rows-only
+    driver check; ``knn_join_sharded_matches_inline`` in
+    operators/metrics.py is the oracle-backed equality twin.)"""
+    t = _cached_sharded_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = embedding_dim(sf_dir)
+    return knn_join_from_sharded(t, emb, dim, k=3)

@@ -513,6 +513,61 @@ def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "knn_join_sharded_matches_inline",
+    tags=("similarity", "approx", "knn", "index", "metric"),
+    oracle="""
+        SELECT CAST(3 AS BIGINT) AS k, CAST(0 AS BIGINT) AS n_mismatch
+    """,
+)
+def knn_join_sharded_matches_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batch k-NN join answered from the materialized sharded index
+    must return EXACTLY the inline multi-table self-join's result at the
+    same (8 tables x 12 planes, Hamming<=1) dial: stored codes are
+    bit-identical to inline codes, so both admit pair (s, c) iff some
+    table's code for c equals a probed code of s, and the exact re-rank
+    + tie-break are shared. A stale index, a probe-enumeration bug, or a
+    dedupe/top-k divergence makes n_mismatch > 0."""
+    from delta_lake_optimizations_spark.operators.lsh_index import (
+        N_PLANES,
+        N_TABLES_SHARDED,
+        _cached_sharded_index,
+        knn_join_from_sharded,
+    )
+    from delta_lake_optimizations_spark.operators.similarity import (
+        embedding_dim,
+        knn_join_lsh_multitable,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = embedding_dim(sf_dir)
+    inline = knn_join_lsh_multitable(
+        emb, dim, k=3, n_tables=N_TABLES_SHARDED, n_planes=N_PLANES, probe_hamming=1
+    )
+    indexed = knn_join_from_sharded(
+        _cached_sharded_index(spark, sf_dir), emb, dim, k=3
+    ).select(
+        F.col("src_id").alias("_s2"),
+        F.col("nbr_id").alias("_n2"),
+        F.col("cos_sim").alias("_c2"),
+    )
+    both = inline.join(
+        indexed,
+        (F.col("src_id") == F.col("_s2"))
+        & (F.col("nbr_id") == F.col("_n2"))
+        & (F.col("cos_sim") == F.col("_c2")),
+        "full",
+    )
+    return both.agg(
+        F.lit(3).cast("long").alias("k"),
+        F.sum(
+            F.when(F.col("src_id").isNull() | F.col("_s2").isNull(), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_mismatch"),
+    )
+
+
+@query(
     "ann_lsh_ranked_recall", tags=("similarity", "approx", "metric"), oracle=_ANN_ORACLE
 )
 def ann_lsh_ranked_recall(spark: SparkSession, sf_dir: str) -> DataFrame:

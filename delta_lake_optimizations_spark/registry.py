@@ -86,8 +86,12 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "url_domain_profile",
     "url_blocklist_filter",
     "incremental_dedup_two_batches",
-    # NEW rows-only (sole rows-only slot this window; metric twin above)
+    # NEW rows-only (two rows-only slots this window; metric twins above
+    # and below)
     "ann_lsh_topk_sharded_ranked",
+    "knn_join_sharded_indexed",
+    # NEW: indexed batch k-NN join equality twin (oracle-backed)
+    "knn_join_sharded_matches_inline",
     # touched module re-verification: the index equivalence metrics
     "ann_lsh_sharded_matches_inline",
     "ann_ivf_indexed_matches_inline",
@@ -129,9 +133,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "topk_cosine_bruteforce",
     "knn_join_exact",
     "hard_negatives_exact",
-    "semantic_search_with_text",
     "decontam_ngram_overlap",
-    "events_asof_next_purchase",
     "column_stats_summary",
     "group_percentiles",
     "window_topk_per_group",
