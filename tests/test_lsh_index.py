@@ -311,3 +311,44 @@ def test_sharded_ranked_probe_returns_topk_from_probed_buckets(spark, tmp_path):
         for r in t.load(skip_where=[("tc", "in", buckets)]).select("vec_id").collect()
     }
     assert set(ids) <= cand
+
+
+def test_knn_join_from_sharded_plan_and_equality(spark, tmp_path):
+    """Batch k-NN join from the index: equals the inline multi-table
+    self-join at the same dial, index side broadcast-joined (never
+    sort-merge shuffled), and the pair dedupe + per-query window share
+    ONE fact exchange (the explicit src_id repartition)."""
+    import re
+
+    from delta_lake_optimizations_spark.operators.lsh_index import (
+        N_PLANES,
+        N_TABLES_SHARDED,
+        build_lsh_sharded_index,
+        knn_join_from_sharded,
+    )
+    from delta_lake_optimizations_spark.operators.similarity import (
+        knn_join_lsh_multitable,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    dim = embedding_dim(SF_DIR)
+    t = build_lsh_sharded_index(
+        spark, emb, os.path.join(tmp_path, "sidx"), dim, n_shards=32
+    )
+    got = knn_join_from_sharded(t, emb, dim, k=3)
+    want = knn_join_lsh_multitable(
+        emb, dim, k=3, n_tables=N_TABLES_SHARDED, n_planes=N_PLANES, probe_hamming=1
+    )
+    g = sorted(map(tuple, got.collect()))
+    w = sorted(map(tuple, want.collect()))
+    assert g == w and len(g) > 0
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    # AQE's toString appends "== Initial Plan ==" — assert on the final
+    # plan section only
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "SortMergeJoin" not in plan, "index side must not shuffle for the join"
+    # exactly ONE src_id exchange (the explicit repartition); the pair
+    # dedupe and the top-k window must reuse it, not add their own
+    n_ex = len(re.findall(r"\bExchange hashpartitioning\(src_id", plan))
+    assert n_ex == 1, plan
