@@ -454,6 +454,15 @@ class GraftCatalog:
         self._refresh(m.group("table"))
         return self._row(("table", "version"), (m.group("table"), commit.version))
 
+    def _h_set_default(self, m: re.Match) -> DataFrame:
+        tbl = self.table(m.group("table"))
+        if m.group("expr") is not None:
+            commit = tbl.set_column_default(m.group("col"), m.group("expr").strip())
+        else:
+            commit = tbl.drop_column_default(m.group("col"))
+        self._refresh(m.group("table"))
+        return self._row(("table", "version"), (m.group("table"), commit.version))
+
     def _h_rename_column(self, m: re.Match) -> DataFrame:
         commit = self.table(m.group("table")).rename_column(
             m.group("old"), m.group("new")
@@ -861,6 +870,14 @@ class GraftCatalog:
                 re.I,
             ),
             _h_add_column,
+        ),
+        (
+            re.compile(
+                rf"ALTER\s+TABLE\s+(?P<table>{_IDENT})\s+ALTER\s+COLUMN\s+"
+                rf"(?P<col>\w+)\s+(?:SET\s+DEFAULT\s+(?P<expr>.+)|DROP\s+DEFAULT)$",
+                re.I | re.S,
+            ),
+            _h_set_default,
         ),
         (
             re.compile(

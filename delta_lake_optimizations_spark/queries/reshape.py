@@ -112,6 +112,49 @@ def map_event_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "variant_props_rollup",
+    tags=("reshape", "json", "variant"),
+    oracle="""
+        SELECT event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                    AS BIGINT) AS k_sum,
+               ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS k_avg,
+               MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
+        FROM events
+        GROUP BY event_type
+    """,
+)
+def variant_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props via the VARIANT type (Spark 4): ``parse_json``
+    decodes each JSON document ONCE into the binary variant encoding, and
+    every ``variant_get`` path extraction is a typed codegen expression on
+    that encoding — no per-access string re-parse, no inference scan, and
+    no fixed schema requirement (keys may vary row to row).
+
+    The 100 TB contract: store the variant column in the table instead of
+    the raw JSON string and the parse cost is paid once at ingest; path
+    extractions then read only the requested fields (shredded-at-scan
+    semantics), which is the scan-bound behavior map/struct columns get
+    from parquet, extended to schemaless payloads. ``try_variant_get``
+    (exercised in tests) is the malformed-tolerant variant for dirty
+    corpora.
+    """
+    events = load_table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "bigint")
+    return (
+        events.withColumn("_k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_k").alias("k_sum"),
+            F.round(F.avg("_k"), 4).alias("k_avg"),
+            F.max("_k").alias("k_max"),
+        )
+    )
+
+
+@query(
     "pivot_status_qty",
     tags=("reshape",),
     oracle="""

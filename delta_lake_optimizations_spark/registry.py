@@ -111,7 +111,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "hll_error_by_flag",
     "approx_percentile_error_by_flag",
     "doc_fingerprint_shingles",
-    "doc_fingerprint_consistency",
+    # NEW this round (oracle-backed): VARIANT path extraction rollup
+    # (doc_fingerprint_consistency rotates out for it — its twin above
+    # stays; local oracle gate still covers the demoted name)
+    "variant_props_rollup",
     "chunk_embed_consistency",
     "dedup_components_ngram",
     "pagerank_mass_conservation",

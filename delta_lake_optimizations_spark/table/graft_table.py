@@ -86,6 +86,11 @@ _GENERATED_PREFIX = "graft.generated."
 #: mark (the next value to allocate), updated by every allocating commit.
 _IDENTITY_PREFIX = "graft.identity."
 _IDENTITY_NEXT_PREFIX = "graft.identity.next."
+#: Column DEFAULT values (Delta's ``allowColumnDefaults`` parity):
+#: ``graft.default.<col> = <sql expr>`` — an append that OMITS the column
+#: materializes the default at write time; an explicitly supplied NULL
+#: stays NULL (SQL DEFAULT covers omitted columns, never value rewrites).
+_DEFAULT_PREFIX = "graft.default."
 #: Column mapping (Delta's columnMapping.mode=name parity): JSON dict
 #: ``{logical_name: physical_name}`` holding only RENAMED columns. The
 #: physical name — the name at column creation — is what parquet files and
@@ -819,6 +824,27 @@ class GraftTable:
                         f"{gcol!r} = {gen_expr}"
                     )
 
+        # Column DEFAULT values (Delta allowColumnDefaults parity): fill
+        # columns the appending frame omitted from their declared default
+        # expression, cast to the declared type — one narrow projection,
+        # evaluated inside the write scan (no shuffle, no driver data).
+        # Runs BEFORE the append schema check so such appends validate
+        # cleanly, and only for columns in the base schema (a default on a
+        # column that no longer exists is inert metadata).
+        if mode == "append" and base is not None and base.schema is not None:
+            base_types = {f.name: f.dataType for f in base.schema.fields}
+            filled = False
+            for key, dexpr in sorted(merged_props.items()):
+                if not key.startswith(_DEFAULT_PREFIX):
+                    continue
+                dcol = key[len(_DEFAULT_PREFIX):]
+                if dcol in df.columns or dcol not in base_types:
+                    continue
+                df = df.withColumn(dcol, F.expr(dexpr).cast(base_types[dcol]))
+                filled = True
+            if filled and {f.name for f in base.schema.fields} == set(df.columns):
+                df = df.select(*[f.name for f in base.schema.fields])
+
         # Identity columns (Delta GENERATED AS IDENTITY parity): a missing
         # identity column is ALLOCATED distributedly from the transactional
         # high-water mark; a supplied one is rejected under ALWAYS and — under
@@ -1423,7 +1449,68 @@ class GraftTable:
                 return k
             if k.startswith(_IDENTITY_PREFIX) and k.split(".")[-1] == col:
                 return k
+            if k.startswith(_DEFAULT_PREFIX) and k[len(_DEFAULT_PREFIX):] == col:
+                return k
         return None
+
+    def set_column_default(self, col: str, sql_expr: str) -> Commit:
+        """ALTER TABLE ... ALTER COLUMN ... SET DEFAULT (Delta
+        ``allowColumnDefaults`` parity) — metadata-only commit recording
+        ``graft.default.<col>``. Future appends that omit the column get
+        the default computed at write time; rows already on disk are
+        untouched (they null-fill at read, exactly Delta's semantics:
+        defaults are never retroactive). The expression must be
+        constant-foldable — it is validated here against a zero-column
+        row, so it can neither reference columns nor fail later at an
+        arbitrary writer's commit. Generated/identity columns have their
+        own fill rules and are refused.
+        """
+        snap = self.snapshot()
+        schema = snap.schema
+        if schema is None or col not in [f.name for f in schema.fields]:
+            raise ValueError(f"no such column: {col!r}")
+        props = dict(snap.properties)
+        for pfx in (_GENERATED_PREFIX, _IDENTITY_PREFIX):
+            if (pfx + col) in props:
+                raise ValueError(
+                    f"column {col!r} is generated/identity — it already has "
+                    "a write-time fill rule; a DEFAULT cannot also apply"
+                )
+        dtype = next(f.dataType for f in schema.fields if f.name == col)
+        try:  # constant-foldability gate: must evaluate with no input columns
+            self.spark.range(1).drop("id").select(F.expr(sql_expr).cast(dtype)).collect()
+        except Exception as exc:  # noqa: BLE001 — surface as a clear ValueError
+            raise ValueError(
+                f"DEFAULT for {col!r} must be a constant-foldable expression "
+                f"castable to {dtype.simpleString()}: {sql_expr!r} ({exc})"
+            ) from None
+        props[_DEFAULT_PREFIX + col] = sql_expr
+        metadata = {
+            "schemaJson": json.dumps(schema.jsonValue()),
+            "partitionColumns": snap.partition_columns,
+            "properties": props,
+        }
+        return self._write_commit(
+            "SET DEFAULT", {"column": col, "expression": sql_expr}, [], [], metadata,
+            base_version=snap.version,
+        )
+
+    def drop_column_default(self, col: str) -> Commit:
+        """ALTER TABLE ... ALTER COLUMN ... DROP DEFAULT — metadata-only;
+        future appends that omit the column go back to null-filling."""
+        snap = self.snapshot()
+        props = dict(snap.properties)
+        if props.pop(_DEFAULT_PREFIX + col, None) is None:
+            raise ValueError(f"column {col!r} has no DEFAULT")
+        metadata = {
+            "schemaJson": json.dumps(snap.schema.jsonValue()),
+            "partitionColumns": snap.partition_columns,
+            "properties": props,
+        }
+        return self._write_commit(
+            "DROP DEFAULT", {"column": col}, [], [], metadata,
+            base_version=snap.version,
+        )
 
     def add_column(self, name: str, dtype: str | T.DataType) -> Commit:
         """ALTER TABLE ADD COLUMN — metadata-only: the field joins the

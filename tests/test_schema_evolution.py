@@ -90,3 +90,90 @@ def test_time_travel_sees_pre_evolution_schema(spark, tbl):
     )
     assert [f.name for f in tbl.load(version=v0).schema.fields] == ["id", "v"]
     assert [f.name for f in tbl.load().schema.fields] == ["id", "v", "tag"]
+
+
+# ---------------------------------------------------------------------------
+# Column DEFAULT values (Delta allowColumnDefaults parity)
+
+
+def test_default_fills_omitted_column_on_append(spark, tbl):
+    tbl.set_column_default("v", "42.5")
+    tbl.write(spark.range(10, 13).select("id"), mode="append")
+    out = tbl.load()
+    assert out.count() == 13
+    assert out.filter("v = 42.5").count() == 3
+    # never retroactive: historical rows keep their written values
+    assert out.filter("id < 10 AND v = 2 * id").count() == 10
+
+
+def test_default_not_applied_to_explicit_null(spark, tbl):
+    tbl.set_column_default("v", "42.5")
+    explicit = spark.range(20, 22).select("id", F.lit(None).cast("double").alias("v"))
+    tbl.write(explicit, mode="append")
+    assert tbl.load().filter("id >= 20 AND v IS NULL").count() == 2
+
+
+def test_default_expression_and_cast(spark, tbl):
+    # constant-foldable expression, cast to the declared column type
+    tbl.set_column_default("v", "CAST(40 AS INT) + 2")
+    tbl.write(spark.range(30, 31).select("id"), mode="append")
+    assert tbl.load().filter("id = 30 AND v = 42.0").count() == 1
+    assert dict(tbl.load().dtypes)["v"] == "double"
+
+
+def test_drop_default_restores_nullfill(spark, tbl):
+    tbl.set_column_default("v", "1.0")
+    tbl.drop_column_default("v")
+    # with the default gone, an omitting append is a plain schema-evolution
+    # append again: null-fill needs merge_schema, strict mode rejects it
+    tbl.write(spark.range(40, 42).select("id"), mode="append", merge_schema=True)
+    assert tbl.load().filter("id >= 40 AND v IS NULL").count() == 2
+    with pytest.raises(ValueError, match="has no DEFAULT"):
+        tbl.drop_column_default("v")
+
+
+def test_default_rejects_column_references_and_bad_casts(spark, tbl):
+    with pytest.raises(ValueError, match="constant-foldable"):
+        tbl.set_column_default("v", "id + 1")  # references a column
+    with pytest.raises(ValueError, match="no such column"):
+        tbl.set_column_default("nope", "1")
+
+
+def test_default_refused_on_generated_column(spark, tmp_path):
+    t = GraftTable(spark, str(tmp_path / "gen"))
+    t.write(
+        spark.range(0, 5).select("id", (F.col("id") % 3).alias("bucket")),
+        mode="overwrite",
+        properties={"graft.generated.bucket": "id % 3"},
+    )
+    with pytest.raises(ValueError, match="generated/identity"):
+        t.set_column_default("bucket", "0")
+
+
+def test_rename_refused_while_default_set(spark, tbl):
+    tbl.set_column_default("v", "1.0")
+    with pytest.raises(ValueError, match="referenced by property"):
+        tbl.rename_column("v", "w")
+    tbl.drop_column_default("v")
+    tbl.rename_column("v", "w")  # allowed once the default is gone
+    assert "w" in tbl.load().columns
+
+
+def test_add_column_then_default_via_sql(spark, tmp_path):
+    """End-to-end through the SQL front door: ADD COLUMN, SET DEFAULT,
+    append omitting the column, DROP DEFAULT."""
+    from delta_lake_optimizations_spark.frontdoor import GraftCatalog
+
+    cat = GraftCatalog(spark)
+    df = spark.range(0, 4).select("id")
+    cat.create("ev", df, str(tmp_path / "ev"))
+    cat.sql("ALTER TABLE ev ADD COLUMN note STRING")
+    cat.sql("ALTER TABLE ev ALTER COLUMN note SET DEFAULT 'n/a'")
+    t = cat.table("ev")
+    t.write(spark.range(4, 6).select("id"), mode="append")
+    out = t.load()
+    assert out.filter("note = 'n/a'").count() == 2
+    assert out.filter("note IS NULL").count() == 4  # pre-default history
+    cat.sql("ALTER TABLE ev ALTER COLUMN note DROP DEFAULT")
+    t.write(spark.range(6, 7).select("id"), mode="append", merge_schema=True)
+    assert cat.table("ev").load().filter("id = 6 AND note IS NULL").count() == 1

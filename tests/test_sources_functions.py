@@ -47,3 +47,24 @@ def test_function_builders(spark):
         .first()["c"]
     )
     assert abs(sim - 1.0) < 1e-9
+
+
+def test_variant_try_get_tolerates_malformed_json(spark):
+    """``try_parse_json``/``try_variant_get`` contract for dirty corpora
+    (promised in ``queries/reshape.py::variant_props_rollup``): malformed
+    documents and missing/mistyped paths degrade to NULL, never to a
+    failed job — the property that lets a 100 TB ingest keep running when
+    one shard holds a few broken payloads."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        ('{"k": 7}',),          # clean
+        ('{"k": "notanint"}',), # present but non-numeric
+        ('{"j": 1}',),          # path absent
+        ('{broken',),           # malformed JSON
+        (None,),                # null payload
+    ]
+    df = spark.createDataFrame(rows, ["props"]).select(
+        F.try_variant_get(F.try_parse_json(F.col("props")), "$.k", "bigint").alias("k")
+    )
+    assert [r["k"] for r in df.collect()] == [7, None, None, None, None]
