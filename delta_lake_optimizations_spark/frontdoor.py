@@ -463,6 +463,46 @@ class GraftCatalog:
         self._refresh(m.group("table"))
         return self._row(("table", "version"), (m.group("table"), commit.version))
 
+    def _h_copy_into(self, m: re.Match) -> DataFrame:
+        from delta_lake_optimizations_spark.table.copy_into import copy_into
+
+        def _pairs(blob: str | None) -> dict[str, str]:
+            if not blob:
+                return {}
+            return {
+                k: v
+                for k, v in re.findall(r"'([^']*)'\s*=\s*'([^']*)'", blob)
+            }
+
+        fmt_opts = _pairs(m.group("fmtopts"))
+        copy_opts = _pairs(m.group("copyopts"))
+        res = copy_into(
+            self.table(m.group("table")),
+            m.group("src"),
+            file_format=m.group("fmt").lower(),
+            options=fmt_opts or None,
+            pattern=m.group("pattern"),
+            force=copy_opts.get("force", "").lower() == "true",
+        )
+        self._refresh(m.group("table"))
+        return self._row(
+            ("table", "version", "num_files", "num_rows", "skipped_files"),
+            (
+                m.group("table"),
+                res["version"],
+                res["num_files"],
+                res["num_rows"],
+                res["skipped_files"],
+            ),
+        )
+
+    def _h_widen_column(self, m: re.Match) -> DataFrame:
+        commit = self.table(m.group("table")).widen_column_type(
+            m.group("col"), m.group("dtype").strip()
+        )
+        self._refresh(m.group("table"))
+        return self._row(("table", "version"), (m.group("table"), commit.version))
+
     def _h_rename_column(self, m: re.Match) -> DataFrame:
         commit = self.table(m.group("table")).rename_column(
             m.group("old"), m.group("new")
@@ -878,6 +918,25 @@ class GraftCatalog:
                 re.I | re.S,
             ),
             _h_set_default,
+        ),
+        (
+            re.compile(
+                rf"ALTER\s+TABLE\s+(?P<table>{_IDENT})\s+ALTER\s+COLUMN\s+"
+                rf"(?P<col>\w+)\s+TYPE\s+(?P<dtype>.+)$",
+                re.I | re.S,
+            ),
+            _h_widen_column,
+        ),
+        (
+            re.compile(
+                rf"COPY\s+INTO\s+(?P<table>{_IDENT})\s+FROM\s+'(?P<src>[^']+)'\s+"
+                rf"FILEFORMAT\s*=\s*(?P<fmt>\w+)"
+                rf"(?:\s+PATTERN\s*=\s*'(?P<pattern>[^']+)')?"
+                rf"(?:\s+FORMAT_OPTIONS\s*\((?P<fmtopts>[^)]*)\))?"
+                rf"(?:\s+COPY_OPTIONS\s*\((?P<copyopts>[^)]*)\))?$",
+                re.I | re.S,
+            ),
+            _h_copy_into,
         ),
         (
             re.compile(

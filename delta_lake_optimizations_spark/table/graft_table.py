@@ -310,7 +310,13 @@ def collect_file_stats(
             if not st.has_min_max:
                 no_stats.add(name)
                 continue
-            mn, mx = _json_safe(st.min), _json_safe(st.max)
+            try:
+                mn, mx = _json_safe(st.min), _json_safe(st.max)
+            except Exception:  # noqa: BLE001 — pyarrow can't decode min/max
+                # for some physical types (e.g. DECIMAL in this build): the
+                # column is simply not skippable, never a write failure
+                no_stats.add(name)
+                continue
             if mn is None or mx is None:
                 no_stats.add(name)
                 continue
@@ -898,7 +904,23 @@ class GraftTable:
         try:
             evolved_schema: T.StructType | None = None
             if merge_schema and base is not None and base.schema is not None:
-                evolved_schema = _merge_schemas(base.schema, df.schema)
+                evolved_schema = _merge_schemas(
+                    base.schema,
+                    df.schema,
+                    widen=str(
+                        merged_props.get("delta.enableTypeWidening", "")
+                    ).lower()
+                    == "true",
+                )
+                # Align the batch to the evolved types: a column the batch
+                # carries NARROWER than the table upcasts here (safe, no
+                # schema change); widened columns already match the batch.
+                evolved_types = {f.name: f.dataType for f in evolved_schema.fields}
+                for f in df.schema.fields:
+                    if f.name in evolved_types and f.dataType != evolved_types[f.name]:
+                        df = df.withColumn(
+                            f.name, F.col(f.name).cast(evolved_types[f.name])
+                        )
             if mode == "append" and base is not None:
                 if partition_by is None:
                     partition_by = base.partition_columns
@@ -1512,6 +1534,67 @@ class GraftTable:
             base_version=snap.version,
         )
 
+    def widen_column_type(self, col: str, new_type: str | T.DataType) -> Commit:
+        """ALTER TABLE ... ALTER COLUMN ... TYPE (Delta type widening,
+        ``delta.enableTypeWidening`` gated) — metadata-only commit that
+        promotes the column in the committed schema. No file is rewritten:
+        historical parquet stays narrow on disk and the scan itself
+        upcasts, which is why only the scan-native promotions in
+        ``_is_widening`` (int upcasts, float->double, date->timestamp_ntz,
+        lossless decimal growth) are admissible. Time travel reads old
+        versions under the old (narrow) schema. Partition columns are
+        refused: their values live as strings in directory names and the
+        skipping comparators key on the declared type.
+        """
+        snap = self.snapshot()
+        schema = snap.schema
+        if schema is None or col not in [f.name for f in schema.fields]:
+            raise ValueError(f"no such column: {col!r}")
+        if str(snap.properties.get("delta.enableTypeWidening", "")).lower() != "true":
+            raise ValueError(
+                "type widening requires TBLPROPERTIES "
+                "('delta.enableTypeWidening'='true')"
+            )
+        if col in snap.partition_columns:
+            raise ValueError(f"cannot widen partition column {col!r}")
+        if isinstance(new_type, str):
+            new_type = self.spark.range(1).select(
+                F.lit(None).cast(new_type).alias("x")
+            ).schema[0].dataType
+        old_type = next(f.dataType for f in schema.fields if f.name == col)
+        if new_type == old_type:
+            raise ValueError(f"column {col!r} is already {old_type.simpleString()}")
+        if not _is_widening(old_type, new_type):
+            raise ValueError(
+                f"not a widening promotion: {old_type.simpleString()} -> "
+                f"{new_type.simpleString()} (scan-native matrix: byte<short<"
+                "int<long, int/float->double, date->timestamp_ntz, lossless "
+                "decimal growth)"
+            )
+        new_schema = T.StructType(
+            [
+                T.StructField(
+                    f.name,
+                    new_type if f.name == col else f.dataType,
+                    f.nullable,
+                    f.metadata,
+                )
+                for f in schema.fields
+            ]
+        )
+        metadata = {
+            "schemaJson": json.dumps(new_schema.jsonValue()),
+            "partitionColumns": snap.partition_columns,
+            "properties": dict(snap.properties),
+        }
+        return self._write_commit(
+            "ALTER COLUMN TYPE",
+            {"column": col, "from": old_type.simpleString(),
+             "to": new_type.simpleString()},
+            [], [], metadata,
+            base_version=snap.version,
+        )
+
     def add_column(self, name: str, dtype: str | T.DataType) -> Commit:
         """ALTER TABLE ADD COLUMN — metadata-only: the field joins the
         logical schema (nullable); historical files simply null-fill it at
@@ -1710,25 +1793,74 @@ def expand_removes(
     return list(removed_paths) + sorted(candidate_dvs - still_referenced)
 
 
-def _merge_schemas(base: T.StructType, incoming: T.StructType) -> T.StructType:
+def _is_widening(src: T.DataType, dst: T.DataType) -> bool:
+    """Delta type-widening matrix, restricted to promotions Spark 4's
+    parquet readers perform natively when handed the wider read schema
+    (verified in ``tests/test_schema_evolution.py``): integer upcasts,
+    ``float -> double``, ``int -> double``, ``date -> timestamp_ntz``,
+    and decimal precision/scale growth that loses no digits. Historical
+    files stay narrow on disk; ONLY promotions the scan itself widens
+    are admissible, otherwise old files would fail or corrupt at read."""
+    ints = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    if isinstance(src, ints) and isinstance(dst, ints):
+        return ints.index(type(src)) < ints.index(type(dst))
+    if isinstance(src, (T.ByteType, T.ShortType, T.IntegerType, T.FloatType)):
+        if isinstance(dst, T.DoubleType):
+            return True
+    if isinstance(src, T.DateType) and isinstance(dst, T.TimestampNTZType):
+        return True
+    if isinstance(src, T.DecimalType) and isinstance(dst, T.DecimalType):
+        return (
+            dst.scale >= src.scale
+            and dst.precision - dst.scale >= src.precision - src.scale
+            and (dst.precision, dst.scale) != (src.precision, src.scale)
+        )
+    return False
+
+
+def _merge_schemas(
+    base: T.StructType, incoming: T.StructType, widen: bool = False
+) -> T.StructType:
     """Delta ``mergeSchema`` union: base columns in base order, then new
     columns in incoming order (nullable — historical files lack them).
-    A same-named column with a different type is rejected; widening has no
-    safe read path for already-written files without a rewrite."""
+
+    Same-named columns: an identical type is kept; an incoming NARROWER
+    type keeps the base type (the write path upcasts the batch — the
+    table schema never narrows); an incoming WIDER type evolves the
+    column iff ``widen`` (the ``delta.enableTypeWidening`` gate) and the
+    promotion is in the scan-native matrix (``_is_widening``). Anything
+    else is rejected — it has no safe read path for already-written
+    files without a rewrite."""
     base_types = {f.name: f.dataType for f in base.fields}
+    widened: dict[str, T.DataType] = {}
     for f in incoming.fields:
-        if f.name in base_types and f.dataType != base_types[f.name]:
-            raise ValueError(
-                f"merge_schema cannot change column {f.name!r} from "
-                f"{base_types[f.name].simpleString()} to {f.dataType.simpleString()}; "
-                "use overwrite_schema=True"
+        if f.name not in base_types or f.dataType == base_types[f.name]:
+            continue
+        if _is_widening(f.dataType, base_types[f.name]):
+            continue  # narrower batch: upcast at write, schema unchanged
+        if widen and _is_widening(base_types[f.name], f.dataType):
+            widened[f.name] = f.dataType
+            continue
+        raise ValueError(
+            f"merge_schema cannot change column {f.name!r} from "
+            f"{base_types[f.name].simpleString()} to {f.dataType.simpleString()}"
+            + (
+                "; use overwrite_schema=True"
+                if widen
+                else " (set TBLPROPERTIES delta.enableTypeWidening=true for "
+                "widening promotions, or overwrite_schema=True)"
             )
+        )
+    kept = [
+        T.StructField(f.name, widened.get(f.name, f.dataType), f.nullable, f.metadata)
+        for f in base.fields
+    ]
     new_fields = [
         T.StructField(f.name, f.dataType, True, f.metadata)
         for f in incoming.fields
         if f.name not in base_types
     ]
-    return T.StructType(list(base.fields) + new_fields)
+    return T.StructType(kept + new_fields)
 
 
 def _prefix_succ(p: str) -> str | None:

@@ -177,3 +177,150 @@ def test_add_column_then_default_via_sql(spark, tmp_path):
     cat.sql("ALTER TABLE ev ALTER COLUMN note DROP DEFAULT")
     t.write(spark.range(6, 7).select("id"), mode="append", merge_schema=True)
     assert cat.table("ev").load().filter("id = 6 AND note IS NULL").count() == 1
+
+
+# ---------------------------------------------------------------------------
+# Type widening (Delta enableTypeWidening parity)
+
+
+@pytest.fixture()
+def wtbl(spark, tmp_path):
+    """int + float + decimal columns, widening enabled."""
+    t = GraftTable(spark, str(tmp_path / "w"))
+    t.write(
+        spark.range(0, 10).select(
+            F.col("id").cast("int").alias("i"),
+            (F.col("id") * 1.5).cast("float").alias("f"),
+            F.col("id").cast("decimal(5,2)").alias("d"),
+        ),
+        mode="overwrite",
+        properties={"delta.enableTypeWidening": "true"},
+    )
+    return t
+
+
+def test_widen_column_type_metadata_only(spark, wtbl):
+    files_before = {f.path for f in wtbl.snapshot().files}
+    wtbl.widen_column_type("i", "bigint")
+    wtbl.widen_column_type("f", "double")
+    wtbl.widen_column_type("d", "decimal(10,4)")
+    snap = wtbl.snapshot()
+    assert {f.path for f in snap.files} == files_before  # no rewrite
+    out = wtbl.load()
+    assert dict(out.dtypes) == {"i": "bigint", "f": "double", "d": "decimal(10,4)"}
+    # historical (narrow-on-disk) values read correctly under the wide schema
+    assert out.filter("i = 7").count() == 1
+    assert abs(out.filter("i = 4").first()["f"] - 6.0) < 1e-9
+
+
+def test_widen_then_append_wide_values(spark, wtbl):
+    wtbl.widen_column_type("i", "bigint")
+    wtbl.widen_column_type("f", "double")
+    big = 2**40
+    wtbl.write(
+        spark.range(1).select(
+            F.lit(big).cast("bigint").alias("i"),
+            F.lit(1.25).alias("f"),
+            F.lit(None).cast("decimal(5,2)").alias("d"),
+        ),
+        mode="append",
+    )
+    out = wtbl.load()
+    assert out.count() == 11
+    assert out.filter(f"i = {big}").count() == 1
+
+
+def test_widen_requires_property_gate(spark, tmp_path):
+    t = GraftTable(spark, str(tmp_path / "nogate"))
+    t.write(spark.range(3).select(F.col("id").cast("int").alias("i")), mode="overwrite")
+    with pytest.raises(ValueError, match="enableTypeWidening"):
+        t.widen_column_type("i", "bigint")
+
+
+def test_widen_rejects_narrowing_and_lossy(spark, wtbl):
+    with pytest.raises(ValueError, match="not a widening promotion"):
+        wtbl.widen_column_type("i", "string")  # not in the scan-native matrix
+    wtbl.widen_column_type("i", "bigint")
+    with pytest.raises(ValueError, match="not a widening promotion"):
+        wtbl.widen_column_type("i", "int")  # narrowing
+    with pytest.raises(ValueError, match="not a widening promotion"):
+        wtbl.widen_column_type("d", "decimal(6,4)")  # loses integer digits
+
+
+def test_widen_refused_on_partition_column(spark, tmp_path):
+    t = GraftTable(spark, str(tmp_path / "p"))
+    t.write(
+        spark.range(6).select(
+            F.col("id").cast("int").alias("i"), (F.col("id") % 2).alias("p")
+        ),
+        mode="overwrite",
+        partition_by=["p"],
+        properties={"delta.enableTypeWidening": "true"},
+    )
+    with pytest.raises(ValueError, match="partition column"):
+        t.widen_column_type("p", "bigint")
+
+
+def test_time_travel_sees_narrow_schema(spark, wtbl):
+    v0 = wtbl.snapshot().version
+    wtbl.widen_column_type("i", "bigint")
+    assert dict(wtbl.load(version=v0).dtypes)["i"] == "int"
+    assert dict(wtbl.load().dtypes)["i"] == "bigint"
+
+
+def test_merge_schema_auto_widens_under_gate(spark, wtbl):
+    """A merge_schema append whose batch carries a WIDER type promotes the
+    column (gate on), and historical files still read."""
+    wtbl.write(
+        spark.range(100, 103).select(
+            F.col("id").alias("i"),  # bigint batch into int column
+            F.lit(0.5).alias("f"),   # double batch into float column
+            F.col("id").cast("decimal(5,2)").alias("d"),
+        ),
+        mode="append",
+        merge_schema=True,
+    )
+    out = wtbl.load()
+    assert dict(out.dtypes)["i"] == "bigint"
+    assert dict(out.dtypes)["f"] == "double"
+    assert out.count() == 13
+    assert out.filter("i = 101").count() == 1
+    assert out.filter("i = 5").count() == 1  # historical row
+
+
+def test_merge_schema_upcasts_narrow_batch_without_gate(spark, tbl):
+    """A batch carrying a NARROWER type upcasts into the table type; the
+    table schema never narrows and no gate is needed."""
+    tbl.write(
+        spark.range(50, 52).select(
+            "id", F.lit(7).cast("int").alias("v")  # int batch into double col
+        ),
+        mode="append",
+        merge_schema=True,
+    )
+    out = tbl.load()
+    assert dict(out.dtypes)["v"] == "double"
+    assert out.filter("id >= 50 AND v = 7.0").count() == 2
+
+
+def test_merge_schema_widening_refused_without_gate(spark, tbl):
+    """tbl has no enableTypeWidening property: a wider batch is rejected
+    with a hint naming the gate."""
+    bad = spark.range(0, 2).select(F.col("id").cast("decimal(20,1)").alias("id"),
+                                   (F.col("id") * 2.0).alias("v"))
+    with pytest.raises(ValueError, match="enableTypeWidening"):
+        tbl.write(bad, mode="append", merge_schema=True)
+
+
+def test_widen_via_sql_front_door(spark, tmp_path):
+    from delta_lake_optimizations_spark.frontdoor import GraftCatalog
+
+    cat = GraftCatalog(spark)
+    df = spark.range(0, 4).select(F.col("id").cast("int").alias("i"))
+    cat.create("wt", df, str(tmp_path / "wt"))
+    cat.sql("ALTER TABLE wt SET TBLPROPERTIES ('delta.enableTypeWidening'='true')")
+    cat.sql("ALTER TABLE wt ALTER COLUMN i TYPE bigint")
+    assert dict(cat.table("wt").load().dtypes)["i"] == "bigint"
+    hist = cat.table("wt").history()
+    ops = [r["operation"] for r in hist.collect()]
+    assert "ALTER COLUMN TYPE" in ops
