@@ -79,6 +79,12 @@ CHECKPOINT_INTERVAL = 10  # write a full-snapshot checkpoint every N commits
                           # O(interval), not O(total commits)
 
 _CONSTRAINT_PREFIX = "constraint."
+#: DLT-style expectations: ``graft.expect.<action>.<name> = <sql expr>``
+#: with action in warn (keep rows, record violation count in the commit),
+#: drop (filter violating rows out of the batch, record count), fail
+#: (reject the write). Enforced per incoming batch at write time; unlike
+#: CHECK constraints, existing data is never validated retroactively.
+_EXPECT_PREFIX = "graft.expect."
 _GENERATED_PREFIX = "graft.generated."
 #: Identity columns (Delta's GENERATED { ALWAYS | BY DEFAULT } AS IDENTITY):
 #: ``graft.identity.<col> = "start=1,step=1,always=true"`` declares the
@@ -943,16 +949,58 @@ class GraftTable:
                         )
 
             # CHECK-constraint enforcement (schema-on-write ACID guarantee,
-            # Delta's ALTER TABLE ADD CONSTRAINT semantics): reject the whole
-            # write if any incoming row violates any registered constraint.
-            for key, expr_text in merged_props.items():
+            # Delta's ALTER TABLE ADD CONSTRAINT semantics) + DLT-style
+            # expectations (warn/drop/fail, ``add_expectation``). ALL rules
+            # are counted in ONE aggregate pass over the batch — rule count
+            # never multiplies the number of scans (at 100 TB a per-rule
+            # ``.count()`` would re-read the batch N times). NULL semantics
+            # differ by rule kind: a CHECK whose expression is NULL passes
+            # (SQL CHECK), an expectation whose expression is NULL fails
+            # (DLT — a quality gate that can't prove the row is good
+            # shouldn't pass it).
+            rules: list[tuple[str, str, str]] = []  # (kind, name, expr)
+            for key, expr_text in sorted(merged_props.items()):
                 if key.startswith(_CONSTRAINT_PREFIX):
-                    bad = df.filter(~F.expr(expr_text)).count()
-                    if bad:
-                        raise ConstraintViolationError(
-                            f"{bad} row(s) violate CHECK constraint "
-                            f"{key[len(_CONSTRAINT_PREFIX):]!r}: {expr_text}"
-                        )
+                    rules.append(
+                        ("constraint", key[len(_CONSTRAINT_PREFIX):], expr_text)
+                    )
+                elif key.startswith(_EXPECT_PREFIX):
+                    action, _, ename = key[len(_EXPECT_PREFIX):].partition(".")
+                    rules.append((action, ename, expr_text))
+            expectation_metrics: dict[str, dict[str, Any]] = {}
+            if rules:
+                aggs = []
+                for i, (kind, _name, expr_text) in enumerate(rules):
+                    passes = F.expr(expr_text)
+                    viol = (
+                        F.coalesce(~passes, F.lit(False))
+                        if kind == "constraint"
+                        else ~F.coalesce(passes, F.lit(False))
+                    )
+                    aggs.append(F.sum(viol.cast("long")).alias(f"_r{i}"))
+                counts = df.agg(*aggs).first()
+                for i, (kind, name, expr_text) in enumerate(rules):
+                    bad = int(counts[f"_r{i}"] or 0)
+                    if kind == "constraint":
+                        if bad:
+                            raise ConstraintViolationError(
+                                f"{bad} row(s) violate CHECK constraint "
+                                f"{name!r}: {expr_text}"
+                            )
+                    elif kind == "fail":
+                        if bad:
+                            raise ConstraintViolationError(
+                                f"{bad} row(s) violate expectation {name!r} "
+                                f"(expect_or_fail): {expr_text}"
+                            )
+                    else:
+                        expectation_metrics[name] = {
+                            "action": kind, "violations": bad,
+                        }
+                        if kind == "drop" and bad:
+                            df = df.filter(
+                                F.coalesce(F.expr(expr_text), F.lit(False))
+                            )
 
             rw_targets: list[AddFile] = []
             if replace_where is not None:
@@ -1082,6 +1130,11 @@ class GraftTable:
             params = {"mode": "Overwrite" if existed else "ErrorIfExists"}
         if extra_parameters:
             params.update(extra_parameters)
+        if expectation_metrics:
+            # DLT-parity observability: per-expectation violation counts
+            # land in the commit's operationParameters — DESCRIBE HISTORY
+            # is the quality dashboard, no side channel to query
+            params["expectations"] = expectation_metrics
         # Pass ``base`` for overwrite too: Delta preserves table properties
         # (constraints, autoCompact, stats flags) across a plain
         # mode=overwrite — only the data and schema are replaced.
@@ -1465,7 +1518,9 @@ class GraftTable:
 
         word = _re.compile(rf"\b{_re.escape(col)}\b")
         for k, v in props.items():
-            if k.startswith((_CONSTRAINT_PREFIX, _GENERATED_PREFIX)) and word.search(v):
+            if k.startswith(
+                (_CONSTRAINT_PREFIX, _GENERATED_PREFIX, _EXPECT_PREFIX)
+            ) and word.search(v):
                 return k
             if k.startswith(_GENERATED_PREFIX) and k[len(_GENERATED_PREFIX):] == col:
                 return k
@@ -1725,6 +1780,72 @@ class GraftTable:
                 f"{expression}"
             )
         return self.set_properties({_CONSTRAINT_PREFIX + name: expression})
+
+    def add_expectation(
+        self, name: str, expression: str, action: str = "warn"
+    ) -> Commit:
+        """DLT-style data-quality expectation (``@dlt.expect`` /
+        ``expect_or_drop`` / ``expect_or_fail`` parity). Actions:
+
+        - ``warn``: every write records the batch's violation count in
+          the commit's operationParameters; all rows land.
+        - ``drop``: violating rows are filtered out of the batch before
+          the write; the dropped count is recorded.
+        - ``fail``: any violation rejects the whole write (a CHECK
+          constraint, but with expectation NULL semantics).
+
+        Unlike CHECK constraints, existing data is NOT validated — an
+        expectation is an ingest-time quality gate, not a table
+        invariant. A NULL expression result counts as a violation (a
+        gate that can't prove the row is good doesn't pass it). One name
+        holds one rule: re-adding under a different action replaces it.
+        """
+        if action not in ("warn", "drop", "fail"):
+            raise ValueError(
+                f"action must be warn|drop|fail, got {action!r}"
+            )
+        snap = self.snapshot()
+        if snap.schema is not None:
+            # analysis-time validation against the current schema, so a
+            # typo'd column fails HERE, not at an arbitrary writer's commit
+            self.spark.createDataFrame([], snap.schema).filter(F.expr(expression))
+        props = dict(snap.properties)
+        for a in ("warn", "drop", "fail"):
+            props.pop(f"{_EXPECT_PREFIX}{a}.{name}", None)
+        props[f"{_EXPECT_PREFIX}{action}.{name}"] = expression
+        metadata = {
+            "schemaJson": snap.schema_json,
+            "partitionColumns": snap.partition_columns,
+            "properties": props,
+        }
+        return self._write_commit(
+            "ADD EXPECTATION",
+            {"name": name, "action": action, "expression": expression},
+            [], [], metadata,
+            base_version=snap.version,
+        )
+
+    def drop_expectation(self, name: str) -> Commit:
+        snap = self.snapshot()
+        props = dict(snap.properties)
+        hit = [
+            k for k in props
+            if k.startswith(_EXPECT_PREFIX)
+            and k[len(_EXPECT_PREFIX):].partition(".")[2] == name
+        ]
+        if not hit:
+            raise ValueError(f"no expectation named {name!r}")
+        for k in hit:
+            props.pop(k)
+        metadata = {
+            "schemaJson": snap.schema_json,
+            "partitionColumns": snap.partition_columns,
+            "properties": props,
+        }
+        return self._write_commit(
+            "DROP EXPECTATION", {"name": name}, [], [], metadata,
+            base_version=snap.version,
+        )
 
     def drop_constraint(self, name: str) -> Commit:
         snap = self.snapshot()
