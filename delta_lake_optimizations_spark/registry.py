@@ -58,6 +58,7 @@ _QUERY_MODULES = (
     "delta_lake_optimizations_spark.operators.lsh_index",
     "delta_lake_optimizations_spark.operators.webcure",
     "delta_lake_optimizations_spark.operators.incremental_dedup",
+    "delta_lake_optimizations_spark.operators.lm_quality",
     "delta_lake_optimizations_spark.operators.metrics",
 )
 
@@ -115,6 +116,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # (doc_fingerprint_consistency rotates out for it — its twin above
     # stays; local oracle gate still covers the demoted name)
     "variant_props_rollup",
+    # NEW this round (oracle-backed): CCNet bigram-LM perplexity scoring
+    # (hard_negatives_exact rotates out for it — its overlap metric twin
+    # hard_negatives_lsh_overlap stays; local oracle gate covers it)
+    "lm_perplexity_scores",
     "chunk_embed_consistency",
     "dedup_components_ngram",
     "pagerank_mass_conservation",
@@ -135,7 +140,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "corpus_datacard",
     "topk_cosine_bruteforce",
     "knn_join_exact",
-    "hard_negatives_exact",
     "decontam_ngram_overlap",
     "column_stats_summary",
     "group_percentiles",
