@@ -7,6 +7,14 @@ CCNet uses a KenLM 5-gram; the bigram form here is the same filter with
 the same plumbing, kept exactly SQL-expressible so the driver oracle
 value-checks it end to end.
 
+Relation to ``quality.bigram_lm_scores``: that operator scores the
+corpus under an LM trained on the corpus ITSELF (self-perplexity — a
+boilerplate/noise signal with no held-out reference, inner joins, add-k
+smoothing). This one is the CCNet filter proper: the LM is trained on a
+trusted REFERENCE slice, so scored documents contain bigrams the LM has
+never seen — which is why it needs the OOV bucket, add-one smoothing
+over left joins, and the keep-rule ``perplexity_filter``.
+
 Model (add-one smoothing with an OOV bucket, every choice mirrored in
 the oracle SQL):
 
