@@ -59,6 +59,7 @@ _QUERY_MODULES = (
     "delta_lake_optimizations_spark.operators.webcure",
     "delta_lake_optimizations_spark.operators.incremental_dedup",
     "delta_lake_optimizations_spark.operators.lm_quality",
+    "delta_lake_optimizations_spark.operators.paragraphs",
     "delta_lake_optimizations_spark.operators.metrics",
 )
 
@@ -135,11 +136,18 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # full
     "skew_salted_join_brand_revenue",
     "dedup_ngram_jaccard",
-    "dedup_exact_text",
     # NEW this round (oracle-backed): one-pass ROLLUP dataset card
     "corpus_datacard",
-    "topk_cosine_bruteforce",
-    "knn_join_exact",
+    # NEW this round (oracle-backed): the paragraph-dedup family — CCNet
+    # stage-1 segment dedup with the reassembled text value-checked, the
+    # boilerplate profile, and boilerplate stripping. Rotated out for
+    # them: knn_join_exact + topk_cosine_bruteforce (recall/equivalence
+    # twins knn_join_{lsh,ivf}_recall + *matches_inline stay in-window)
+    # and dedup_exact_text (exact-dedup family stays via
+    # incremental_dedup_two_batches); local oracle gate covers all three.
+    "paragraph_dedup_docs",
+    "boilerplate_segments_profile",
+    "strip_boilerplate_docs",
     "decontam_ngram_overlap",
     "column_stats_summary",
     "group_percentiles",
