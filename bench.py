@@ -442,6 +442,12 @@ def _bench_sf1_rehearsal(spark, sf_dir: str, sf01_timings: dict[str, float]) -> 
         "url_blocklist_filter",
         "incremental_dedup_two_batches",
         "ann_lsh_ranked_recall",
+        # r6 late additions: reference-LM perplexity + the paragraph-dedup
+        # family (segment windows + reassembled text are scale-sensitive —
+        # exactly what the 10x corpus should exercise)
+        "lm_perplexity_scores",
+        "paragraph_dedup_docs",
+        "strip_boilerplate_docs",
     ]
     out["correctness"] = run_sf1_correctness(spark, out_dir, check_names)
     out["correctness_all_green"] = all(
