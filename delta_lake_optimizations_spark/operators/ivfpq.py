@@ -1,0 +1,353 @@
+"""Materialized IVF-PQ index (SURVEY §2.9 X3 — VERDICT r06 #1): the
+canonical large-scale ANN layout from the FAISS / Jegou-et-al. lineage,
+built once and served from disk.
+
+The three ANN families each got a build-once GraftTable home in earlier
+rounds (sharded LSH in r05, IVF-Flat in r05/r06); PQ — the family whose
+entire point is that the ENCODED table is what you keep hot — was the
+last one still re-training per query call (``pq.py::ann_pq_topk``).
+This module closes that gap by composing the two proven pieces, with
+the one refinement that makes the composition actually work on
+clustered data: **residual encoding**. Codes quantize ``x - centroid``
+(the vector's offset inside its Voronoi cell), not ``x`` itself — the
+coarse quantizer already explains the between-cluster variance, so the
+M codebooks spend their 2^bits on the within-cell spread (FAISS's
+IndexIVFPQ default; raw-vector PQ measured recall@10 0.5 on the 800k
+clustered bench corpus, residual PQ 0.9+ at the same dials).
+
+- **layout**: one GraftTable partitioned by the IVF ``list_id`` (one
+  hive dir per Voronoi cell — the probe's ``list_id IN (...)`` prunes
+  whole directories), columns ``(list_id, vec_id, pq_code, embedding)``.
+  Parquet is columnar, so the ADC scan that selects only
+  ``(list_id, vec_id, pq_code)`` never decodes the embedding bytes: the
+  full-precision column is physically co-located but COLD until the
+  refine step fetches it for the short candidate list only.
+- **metadata**: IVF centroids AND the M per-subspace PQ codebooks ride
+  the table properties (JSON, values rounded to 8 dp at one choke point
+  so the stored index and any inline re-derivation score bit-identically
+  — the ``ann_ivfpq_matches_inline`` twin depends on this).
+- **probe** (``ann_topk_from_ivfpq_index``): rank centroids driver-side
+  (nlist is small by design), load ONLY the nprobe nearest cells' files,
+  score codes with per-cell literal ADC LUTs (residual encoding makes
+  the lookup table a function of ``query - centroid_cell``, so each
+  probed cell gets its own M x ksub table — nprobe small CASE branches,
+  all JVM codegen), take the top ``k * refine_factor`` by approximate
+  distance, then exact-cosine re-rank that short list against the cold
+  vector column. Per-query IO = nprobe/nlist of the code column +
+  the short list's vectors; no KMeans fit, no encode, no full scan at
+  query time.
+
+100 TB notes: at production dials (nlist=4096, m=16, ksub=256, dim=768)
+each vector is 16 code bytes + 8 id bytes hot vs 3 KB of float32 cold —
+the ADC scan reads ~0.8 % of the table bytes even before cell pruning,
+and cell pruning cuts that by nprobe/nlist again. Codebooks are
+16x256x48 floats (~1.5 MB JSON) — fine in the commit log; past that the
+bloom-sidecar pattern applies. Appends reuse ``ivf.assign_to_centroids``
++ residual ``pq_encode_col`` against the STORED metadata, so increments
+land in the right cells with consistent codes and probes stay pruned.
+"""
+
+from __future__ import annotations
+
+import hashlib as _hashlib
+import json as _json
+import math as _math
+import os as _os
+import tempfile as _tempfile
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from delta_lake_optimizations_spark.operators.ivf import (
+    CENTROIDS_PROP,
+    assign_to_centroids,
+    ivf_build,
+)
+from delta_lake_optimizations_spark.operators.pq import (
+    _adc_table,
+    adc_dist_col,
+    pq_encode_col,
+    pq_train,
+)
+from delta_lake_optimizations_spark.queries.vectors import cosine
+from delta_lake_optimizations_spark.registry import query
+
+PQ_BOOKS_PROP = "graft.ivfpq.codebooks"
+
+
+def _round_books(books: list[list[list[float]]]) -> list[list[list[float]]]:
+    """The single rounding choke point (8 dp, JSON round-trip exact):
+    both the stored index and the inline twin encode and score with
+    THESE values."""
+    return [[[round(x, 8) for x in c] for c in cb] for cb in books]
+
+
+def _round_centroids(cents: list[list[float]]) -> list[list[float]]:
+    return [[round(x, 8) for x in c] for c in cents]
+
+
+def _with_residuals(
+    assigned: DataFrame, centroids: list[list[float]], vec_col: str
+) -> DataFrame:
+    """Append ``_res = vector - centroid[list_id]`` — a broadcast join on
+    the (tiny) centroid table + one codegen ``zip_with``; no Python."""
+    spark = assigned.sparkSession
+    cent_df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)],
+        "list_id int, _cent array<double>",
+    )
+    return assigned.join(F.broadcast(cent_df), "list_id").withColumn(
+        "_res",
+        F.zip_with(
+            F.col(vec_col).cast("array<double>"),
+            F.col("_cent"),
+            lambda a, b: a - b,
+        ),
+    ).drop("_cent")
+
+
+def _train_and_encode(
+    assigned: DataFrame,
+    centroids: list[list[float]],
+    m: int,
+    ksub: int,
+    vec_col: str,
+    seed: int,
+    sample_fraction: float | None,
+) -> tuple[DataFrame, list[list[list[float]]]]:
+    """Residual-PQ codebooks + codes for an IVF-assigned frame. Returns
+    (encoded frame carrying ``pq_code``, rounded codebooks)."""
+    res = _with_residuals(assigned, centroids, vec_col)
+    books = _round_books(
+        pq_train(res, m=m, ksub=ksub, vec_col="_res", seed=seed,
+                 sample_fraction=sample_fraction)
+    )
+    encoded = pq_encode_col(res, books, vec_col="_res").drop("_res")
+    return encoded, books
+
+
+def build_ivfpq_index(
+    spark,
+    df: DataFrame,
+    path: str,
+    nlist: int = 8,
+    m: int = 4,
+    ksub: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 7,
+    sample_fraction: float | None = None,
+):
+    """Materialize the IVF-PQ index. Build cost = one KMeans fit +
+    assignment pass (IVF) + M small KMeans fits (PQ codebooks, on the
+    residuals) + one Arrow-batched encode pass — all distributed, paid
+    once per corpus. Returns the table handle."""
+    from delta_lake_optimizations_spark.table import GraftTable
+
+    assigned, raw_centroids = ivf_build(
+        df, nlist=nlist, vec_col=vec_col, id_col=id_col, seed=seed,
+        sample_fraction=sample_fraction,
+    )
+    centroids = _round_centroids(raw_centroids)
+    encoded, books = _train_and_encode(
+        assigned, centroids, m, ksub, vec_col, seed, sample_fraction
+    )
+    t = GraftTable(spark, path)
+    t.write(
+        encoded.select("list_id", id_col, "pq_code", vec_col),
+        mode="overwrite",
+        partition_by=["list_id"],
+        properties={
+            CENTROIDS_PROP: _json.dumps(centroids),
+            PQ_BOOKS_PROP: _json.dumps(books),
+            "graft.ivf.nlist": str(nlist),
+            "graft.pq.m": str(m),
+            "graft.pq.ksub": str(ksub),
+            # one writer task per cell -> one file per hive partition,
+            # so the probe reads exactly nprobe files
+            "graft.optimizeWrite": "true",
+        },
+    )
+    return t
+
+
+def ivfpq_metadata(table) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """(centroids, codebooks) back out of the table properties."""
+    props = table.snapshot().properties
+    return _json.loads(props[CENTROIDS_PROP]), _json.loads(props[PQ_BOOKS_PROP])
+
+
+def _probe_cells(centroids: list[list[float]], query_vec: list[float], nprobe: int) -> list[int]:
+    def sqdist(a: list[float], b: list[float]) -> float:
+        return _math.fsum((x - y) ** 2 for x, y in zip(a, b))
+
+    order = sorted(range(len(centroids)), key=lambda i: sqdist(centroids[i], query_vec))
+    return order[:nprobe]
+
+
+def _residual_adc_dist(
+    books: list[list[list[float]]],
+    centroids: list[list[float]],
+    probes: list[int],
+    query_vec: list[float],
+    code_col: str = "pq_code",
+):
+    """Per-cell ADC scoring expression for residual codes: cell c's LUT
+    is built from ``query - centroid_c`` (driver-side, tiny), embedded as
+    literals under a CASE on ``list_id`` — nprobe branches of pure
+    codegen, no Python at scoring time."""
+    dist = None
+    for c in probes:
+        q_res = [q - cc for q, cc in zip(query_vec, centroids[c])]
+        branch = adc_dist_col(_adc_table(books, q_res), code_col)
+        dist = (
+            F.when(F.col("list_id") == c, branch)
+            if dist is None
+            else dist.when(F.col("list_id") == c, branch)
+        )
+    return dist
+
+
+def _adc_refine_topk(
+    cand: DataFrame,
+    dist,
+    query_vec: list[float],
+    k: int,
+    refine_factor: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Shared scoring tail: ADC over the code column -> top
+    ``k * refine_factor`` -> exact cosine re-rank from ``vec_col``.
+    ``cand`` must carry (list_id, id, code, vector); column pruning keeps
+    the vector bytes untouched until the broadcast-joined refine."""
+    approx = (
+        cand.select(id_col, dist.alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
+        .limit(k * refine_factor)
+    )
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        cand.select(id_col, vec_col)
+        .join(F.broadcast(approx), id_col)
+        .select(
+            id_col,
+            F.round(cosine(F.col(vec_col), qlit), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def ann_topk_from_ivfpq_index(
+    table,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    refine_factor: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k from the materialized IVF-PQ index (see module docstring)."""
+    centroids, books = ivfpq_metadata(table)
+    probes = _probe_cells(centroids, query_vec, nprobe)
+    cand = table.load(skip_where=[("list_id", "in", probes)])
+    dist = _residual_adc_dist(books, centroids, probes, query_vec)
+    return _adc_refine_topk(cand, dist, query_vec, k, refine_factor, id_col, vec_col)
+
+
+def ivfpq_search_inline(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    nlist: int = 8,
+    m: int = 4,
+    ksub: int = 16,
+    nprobe: int = 4,
+    refine_factor: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 7,
+) -> DataFrame:
+    """The same IVF-PQ search with NOTHING materialized: fit, encode,
+    probe, score in one plan. Exists as the independent re-derivation the
+    ``ann_ivfpq_matches_inline`` twin compares against (seeded KMeans ->
+    same centroids -> same residuals -> same books/codes -> same ADC
+    values), and as the one-off-exploration form. The served path is the
+    index."""
+    assigned, raw_centroids = ivf_build(
+        df, nlist=nlist, vec_col=vec_col, id_col=id_col, seed=seed
+    )
+    centroids = _round_centroids(raw_centroids)
+    encoded, books = _train_and_encode(
+        assigned, centroids, m, ksub, vec_col, seed, None
+    )
+    probes = _probe_cells(centroids, query_vec, nprobe)
+    cand = encoded.filter(F.col("list_id").isin(probes))
+    dist = _residual_adc_dist(books, centroids, probes, query_vec)
+    return _adc_refine_topk(cand, dist, query_vec, k, refine_factor, id_col, vec_col)
+
+
+def ivfpq_probe_files_scanned(table, query_vec: list[float], nprobe: int = 4) -> int:
+    """Index files the probe reads (partition pruning, driver-side)."""
+    centroids, _ = ivfpq_metadata(table)
+    probes = _probe_cells(centroids, query_vec, nprobe)
+    return table.files_scanned(skip_where=[("list_id", "in", probes)])
+
+
+def append_to_ivfpq_index(
+    table,
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    extra_parameters: dict | None = None,
+) -> None:
+    """Absorb new vectors WITHOUT refitting: assign against the STORED
+    centroids, residual-encode against the STORED codebooks, append —
+    rows land in their cells' hive partitions with codes consistent with
+    the original build. Centroid/codebook drift under heavy append is the
+    standard trade; rebuild when recall decays."""
+    centroids, books = ivfpq_metadata(table)
+    assigned = assign_to_centroids(df, centroids, vec_col=vec_col)
+    res = _with_residuals(assigned, centroids, vec_col)
+    encoded = pq_encode_col(res, books, vec_col="_res").drop("_res")
+    table.write(
+        encoded.select("list_id", id_col, "pq_code", vec_col),
+        mode="append",
+        partition_by=["list_id"],
+        extra_parameters=extra_parameters,
+    )
+
+
+def _cached_ivfpq_index(spark, sf_dir: str, nlist: int = 8, m: int = 4, ksub: int = 16):
+    """Build-once-per-corpus IVF-PQ index (content-fingerprinted cache
+    key, same scheme as the LSH/IVF index caches)."""
+    from delta_lake_optimizations_spark.catalog import load_table
+    from delta_lake_optimizations_spark.operators.lsh_index import _corpus_fingerprint
+    from delta_lake_optimizations_spark.table import GraftTable
+
+    key = _hashlib.sha256(
+        f"{_os.path.abspath(sf_dir)}|ivfpq-res|{nlist}|{m}|{ksub}|"
+        f"{_corpus_fingerprint(sf_dir)}".encode()
+    ).hexdigest()[:16]
+    path = _os.path.join(_tempfile.gettempdir(), "spark_graft_ivfpq_index", key)
+    t = GraftTable(spark, path)
+    if not t.exists():
+        emb = load_table(spark, sf_dir, "embeddings")
+        t = build_ivfpq_index(spark, emb, path, nlist=nlist, m=m, ksub=ksub, seed=7)
+    return t
+
+
+@query("ann_ivfpq_topk_indexed", tags=("similarity", "approx", "index", "pq"))
+def ann_ivfpq_topk_indexed(spark, sf_dir: str) -> DataFrame:
+    """IVF-PQ approximate top-10 for vec_id=0 served from the MATERIALIZED
+    index: file-pruned nprobe cells -> per-cell literal-LUT ADC over the
+    stored residual codes -> exact refine from the cold vector column. No
+    KMeans fit, no encode, at query time. (Rows-only driver check;
+    ``ann_ivfpq_matches_inline`` is the oracle-backed equivalence
+    metric.)"""
+    from delta_lake_optimizations_spark.operators.similarity import query_vector
+
+    t = _cached_ivfpq_index(spark, sf_dir, nlist=8, m=4, ksub=16)
+    qv = query_vector(spark, sf_dir, 0)
+    return ann_topk_from_ivfpq_index(t, qv, k=10, nprobe=4, refine_factor=4)

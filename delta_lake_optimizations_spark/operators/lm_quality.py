@@ -189,3 +189,237 @@ def lm_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return perplexity_scores(documents, ref, "doc_id", "text").select(
         "doc_id", "n_bigrams", F.round("ppl", 4).alias("ppl")
     )
+
+# ---------------------------------------------------------------------------
+# Trigram LM with stupid backoff (VERDICT r06 #4). Brants et al. 2007,
+# "Large Language Models in Machine Translation": at web scale, skip
+# proper discount/normalization and score
+#
+#     S(w3 | w1 w2) = c3(w1 w2 w3) / c2(w1 w2)            if c3 > 0
+#                   = a * c2(w2 w3) / c1(w2)              elif c2(w2 w3) > 0
+#                   = a^2 * (c1(w3) + 1) / (N + V)        otherwise
+#
+# with a = 0.4 (the paper's constant). The last line folds the paper's
+# unigram level c1(w3)/N together with an add-one OOV floor (same V =
+# distinct tokens + 1 convention as the bigram module), so unseen words
+# degrade smoothly instead of hitting -ln 0. S is a score, not a
+# normalized probability ("stupid" is the paper's own word for exactly
+# this shortcut) — exp(avg -ln S) is therefore a perplexity-LIKE
+# quality signal, comparable across documents under the same LM, which
+# is all the CCNet-style filter needs.
+#
+# 100 TB design, same as the bigram LM: training is three hash
+# aggregates over the reference slice (trigram / bigram / unigram
+# counts); scoring joins the document trigram stream to the three count
+# tables on their gram keys (AQE broadcasts small LMs, shuffle-joins
+# big ones); ``min_count`` prunes the trigram table's long tail — the
+# dominant LM-size term — and a pruned trigram simply backs off, which
+# is the semantics pruning SHOULD have in this model (the paper ships
+# count cutoffs for the same reason). N and V ride one broadcast 1-row
+# cross join.
+# ---------------------------------------------------------------------------
+
+BACKOFF_ALPHA = 0.4
+
+
+def train_backoff_lm(
+    ref: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_count: int = 1,
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Count tables for the stupid-backoff trigram LM.
+
+    Returns ``(trigrams, bigrams, unigrams, scalars)``:
+    ``trigrams``: (_gram3, c3) pruned to >= min_count;
+    ``bigrams``: (_gram2, c2) UNpruned (it is both the trigram
+    denominator and the backoff numerator — pruning it would inflate
+    surviving trigram conditionals);
+    ``unigrams``: (_w, c1) UNpruned;
+    ``scalars``: 1 row (n, v) — total reference tokens and distinct + 1.
+    """
+    trigrams = (
+        _gram_rows(ref, id_col, text_col, n=3, short_gram=False)
+        .groupBy(F.col("_gram").alias("_gram3"))
+        .agg(F.count(F.lit(1)).alias("c3"))
+    )
+    if min_count > 1:
+        trigrams = trigrams.filter(F.col("c3") >= min_count)
+    bigrams = (
+        _gram_rows(ref, id_col, text_col, n=2, short_gram=False)
+        .groupBy(F.col("_gram").alias("_gram2"))
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    toks = ref.select(
+        F.explode(tokenize(F.coalesce(F.col(text_col), F.lit("")))).alias("_w")
+    )
+    unigrams = toks.groupBy("_w").agg(F.count(F.lit(1)).alias("c1"))
+    scalars = toks.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.countDistinct("_w") + F.lit(1)).alias("v"),
+    )
+    return trigrams, bigrams, unigrams, scalars
+
+
+def backoff_scores(
+    docs: DataFrame,
+    ref: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_count: int = 1,
+    alpha: float = BACKOFF_ALPHA,
+) -> DataFrame:
+    """Per-document stupid-backoff score: ``(id_col, n_trigrams, ppl)``
+    for every document with >= 1 trigram position (< 3 tokens -> no
+    evidence, dropped — same convention as the bigram scorer)."""
+    trigrams, bigrams, unigrams, scalars = train_backoff_lm(
+        ref, id_col, text_col, min_count
+    )
+    parts = F.split("_gram", " ")
+    doc_tri = _gram_rows(docs, id_col, text_col, n=3, short_gram=False).select(
+        "_id",
+        F.col("_gram").alias("_gram3"),
+        F.concat_ws(" ", parts.getItem(0), parts.getItem(1)).alias("_p2"),
+        F.concat_ws(" ", parts.getItem(1), parts.getItem(2)).alias("_s2"),
+        parts.getItem(1).alias("_w2"),
+        parts.getItem(2).alias("_w3"),
+    )
+    joined = (
+        doc_tri.join(trigrams, "_gram3", "left")
+        .join(
+            bigrams.select(F.col("_gram2").alias("_p2"), F.col("c2").alias("c2p")),
+            "_p2",
+            "left",
+        )
+        .join(
+            bigrams.select(F.col("_gram2").alias("_s2"), F.col("c2").alias("c2s")),
+            "_s2",
+            "left",
+        )
+        .join(
+            unigrams.select(F.col("_w").alias("_w2"), F.col("c1").alias("c1w2")),
+            "_w2",
+            "left",
+        )
+        .join(
+            unigrams.select(F.col("_w").alias("_w3"), F.col("c1").alias("c1w3")),
+            "_w3",
+            "left",
+        )
+        .crossJoin(F.broadcast(scalars))
+    )
+    score = (
+        F.when(F.col("c3").isNotNull(), F.col("c3") / F.col("c2p"))
+        .when(
+            F.col("c2s").isNotNull(),
+            F.lit(alpha) * F.col("c2s") / F.col("c1w2"),
+        )
+        .otherwise(
+            F.lit(alpha * alpha)
+            * (F.coalesce(F.col("c1w3"), F.lit(0)) + F.lit(1))
+            / (F.col("n") + F.col("v"))
+        )
+    )
+    return (
+        joined.select("_id", (-F.log(score)).alias("_nll"))
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.exp(F.avg("_nll")).alias("ppl"),
+        )
+        .select(F.col("_id").alias(id_col), "n_trigrams", "ppl")
+    )
+
+
+def backoff_filter(
+    docs: DataFrame,
+    ref: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_ppl: float,
+    min_count: int = 1,
+) -> DataFrame:
+    """Keep documents whose stupid-backoff score is <= ``max_ppl``
+    (too-short docs drop, as in ``perplexity_filter``)."""
+    scores = backoff_scores(docs, ref, id_col, text_col, min_count)
+    return docs.join(
+        scores.filter(F.col("ppl") <= max_ppl).select(id_col), id_col, "inner"
+    )
+
+
+@query(
+    "lm_backoff_scores",
+    tags=("quality", "lm"),
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, lang,
+                   string_split_regex(lower(trim(COALESCE(text, ''))), '\\s+') AS t
+            FROM documents
+        ),
+        ref_tri AS (
+            SELECT t[i.i] || ' ' || t[i.i + 1] || ' ' || t[i.i + 2] AS gram
+            FROM toks,
+                 LATERAL (SELECT UNNEST(range(1, len(t) - 1)) AS i) i
+            WHERE lang = 'en'
+        ),
+        ref_bi AS (
+            SELECT t[i.i] || ' ' || t[i.i + 1] AS gram
+            FROM toks,
+                 LATERAL (SELECT UNNEST(range(1, len(t))) AS i) i
+            WHERE lang = 'en'
+        ),
+        ref_uni AS (
+            SELECT UNNEST(t) AS w FROM toks WHERE lang = 'en'
+        ),
+        c3 AS (SELECT gram, COUNT(*) AS c3 FROM ref_tri GROUP BY 1),
+        c2 AS (SELECT gram, COUNT(*) AS c2 FROM ref_bi GROUP BY 1),
+        c1 AS (SELECT w, COUNT(*) AS c1 FROM ref_uni GROUP BY 1),
+        nv AS (
+            SELECT COUNT(*) AS n, COUNT(DISTINCT w) + 1 AS v FROM ref_uni
+        ),
+        doc_tri AS (
+            SELECT doc_id,
+                   t[i.i] || ' ' || t[i.i + 1] || ' ' || t[i.i + 2] AS g3,
+                   t[i.i] || ' ' || t[i.i + 1] AS p2,
+                   t[i.i + 1] || ' ' || t[i.i + 2] AS s2,
+                   t[i.i + 1] AS w2,
+                   t[i.i + 2] AS w3
+            FROM toks,
+                 LATERAL (SELECT UNNEST(range(1, len(t) - 1)) AS i) i
+        ),
+        nll AS (
+            SELECT doc_id,
+                   -LN(CASE
+                       WHEN c3.c3 IS NOT NULL THEN
+                           CAST(c3.c3 AS DOUBLE) / c2p.c2
+                       WHEN c2s.c2 IS NOT NULL THEN
+                           0.4 * CAST(c2s.c2 AS DOUBLE) / c1w2.c1
+                       ELSE
+                           0.16 * CAST(COALESCE(c1w3.c1, 0) + 1 AS DOUBLE)
+                               / (nv.n + nv.v)
+                   END) AS nll
+            FROM doc_tri
+            LEFT JOIN c3 ON doc_tri.g3 = c3.gram
+            LEFT JOIN c2 c2p ON doc_tri.p2 = c2p.gram
+            LEFT JOIN c2 c2s ON doc_tri.s2 = c2s.gram
+            LEFT JOIN c1 c1w2 ON doc_tri.w2 = c1w2.w
+            LEFT JOIN c1 c1w3 ON doc_tri.w3 = c1w3.w
+            CROSS JOIN nv
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+               ROUND(EXP(AVG(nll)), 4) AS ppl
+        FROM nll
+        GROUP BY doc_id
+    """,
+)
+def lm_backoff_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every document's stupid-backoff trigram score under an LM trained
+    on the English slice — the higher-order form of the CCNet filter,
+    fully value-checked against the oracle's independent SQL restatement
+    of the same backoff cascade."""
+    documents = load_table(spark, sf_dir, "documents")
+    ref = documents.filter(F.col("lang") == "en")
+    return backoff_scores(documents, ref, "doc_id", "text").select(
+        "doc_id", "n_trigrams", F.round("ppl", 4).alias("ppl")
+    )

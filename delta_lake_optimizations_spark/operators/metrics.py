@@ -949,3 +949,73 @@ def ann_ivf_indexed_matches_inline(spark: SparkSession, sf_dir: str) -> DataFram
         .cast("long")
         .alias("n_mismatch"),
     )
+
+@query(
+    "ann_ivfpq_matches_inline",
+    tags=("similarity", "approx", "index", "pq", "metric"),
+    oracle="""
+        SELECT CAST(10 AS BIGINT) AS k, CAST(0 AS BIGINT) AS n_mismatch
+    """,
+)
+def ann_ivfpq_matches_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialized IVF-PQ index (codes inside the list_id-partitioned
+    table, centroids + codebooks from properties) must return EXACTLY the
+    inline re-derivation's result: seeded KMeans -> same centroids and
+    codebooks (both rounded at the shared 8-dp choke point) -> same probe
+    cells -> same stored codes -> bit-identical ADC -> same refine and
+    tie-break. A stale index, a mis-serialized codebook, broken partition
+    pruning, or an encode divergence makes n_mismatch > 0."""
+    from delta_lake_optimizations_spark.operators.ivfpq import (
+        _cached_ivfpq_index,
+        ann_topk_from_ivfpq_index,
+        ivfpq_search_inline,
+    )
+    from delta_lake_optimizations_spark.operators.similarity import query_vector
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = query_vector(spark, sf_dir, 0)
+    inline = ivfpq_search_inline(
+        emb, qv, k=10, nlist=8, m=4, ksub=16, nprobe=4, refine_factor=4, seed=7
+    ).select("vec_id", "cos_sim")
+    indexed = ann_topk_from_ivfpq_index(
+        _cached_ivfpq_index(spark, sf_dir, nlist=8, m=4, ksub=16),
+        qv, k=10, nprobe=4, refine_factor=4,
+    ).select(F.col("vec_id").alias("_v2"), F.col("cos_sim").alias("_c2"))
+    both = inline.join(
+        indexed,
+        (F.col("vec_id") == F.col("_v2")) & (F.col("cos_sim") == F.col("_c2")),
+        "full",
+    )
+    return both.agg(
+        F.lit(10).cast("long").alias("k"),
+        F.sum(
+            F.when(F.col("vec_id").isNull() | F.col("_v2").isNull(), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_mismatch"),
+    )
+
+
+@query(
+    "ann_ivfpq_recall", tags=("similarity", "approx", "pq", "metric"),
+    oracle=_ANN_ORACLE,
+)
+def ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-verifiable recall for the materialized IVF-PQ probe (nlist=8,
+    nprobe=4, m=4, ksub=16, exact refine over 40 candidates): >= 0.3 of
+    the exact top-10 per probe vector. The floor matches ``ann_pq_recall``
+    — IVF-PQ adds cell pruning ON TOP of PQ's 16x-compression coarseness,
+    so uniform-corpus recall can only be <= plain PQ's; clustered-corpus
+    recall (the realistic geometry) is pinned >= 0.8 in
+    tests/test_ivfpq.py."""
+    from delta_lake_optimizations_spark.operators.ivfpq import (
+        _cached_ivfpq_index,
+        ann_topk_from_ivfpq_index,
+    )
+
+    idx = _cached_ivfpq_index(spark, sf_dir, nlist=8, m=4, ksub=16)
+
+    def approx(emb, qv):
+        return ann_topk_from_ivfpq_index(idx, qv, k=10, nprobe=4, refine_factor=4)
+
+    return _ann_recall_frame(spark, sf_dir, approx, 0.3)

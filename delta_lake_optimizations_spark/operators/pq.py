@@ -113,6 +113,42 @@ def pq_encode(
     )
 
 
+def pq_encode_col(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """Column-preserving variant of :func:`pq_encode`: appends ``code_col``
+    with a Series-to-Series ``pandas_udf`` instead of projecting the frame
+    down to (id, code), so carriers like the IVF ``list_id`` survive without
+    a join-back shuffle (the shape the materialized IVF-PQ build needs —
+    same pattern as ``ivf.assign_to_centroids``). Same vectorized argmin
+    math as ``pq_encode``; a pytest pins code-for-code equality."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    books = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
+    m = len(books)
+    dsub = books[0].shape[1]
+
+    def encode(emb):
+        vecs = np.vstack([np.asarray(v, dtype=np.float64) for v in emb])
+        codes = np.empty((len(vecs), m), dtype=np.int32)
+        for sub in range(m):
+            chunk = vecs[:, sub * dsub : (sub + 1) * dsub]
+            d2 = (
+                -2.0 * chunk @ books[sub].T
+                + (books[sub] ** 2).sum(axis=1)[None, :]
+            )
+            codes[:, sub] = d2.argmin(axis=1)
+        return pd.Series([list(map(int, c)) for c in codes])
+
+    encode.__annotations__ = {"emb": pd.Series, "return": pd.Series}
+    udf = pandas_udf("array<int>")(encode)
+    return df.withColumn(code_col, udf(F.col(vec_col)))
+
+
 def _adc_table(
     codebooks: list[list[list[float]]], query_vec: list[float]
 ) -> list[list[float]]:
@@ -127,6 +163,19 @@ def _adc_table(
         diff = np.asarray(codebooks[sub]) - qv[sub * dsub : (sub + 1) * dsub][None, :]
         lut.append([float(x) for x in (diff**2).sum(axis=1)])
     return lut
+
+
+def adc_dist_col(lut: list[list[float]], code_col: str = "pq_code"):
+    """The ADC scoring expression: per-subspace LUT rows embedded as JVM
+    literal arrays, indexed by the stored code and summed — pure codegen,
+    no Python at scoring time. Shared by ``pq_search`` and the
+    materialized IVF-PQ probe so the two paths are bit-identical."""
+    dist = None
+    for sub, row in enumerate(lut):
+        arr = F.array(*[F.lit(x) for x in row])
+        term = F.element_at(arr, F.col(code_col)[sub] + 1)
+        dist = term if dist is None else dist + term
+    return dist
 
 
 def pq_search(
@@ -145,11 +194,7 @@ def pq_search(
     exact-cosine re-ranked — the standard PQ recall recovery at the cost
     of fetching only the short list's vectors."""
     lut = _adc_table(codebooks, query_vec)
-    lut_cols = [F.array(*[F.lit(x) for x in row]) for row in lut]
-    dist = None
-    for sub, arr in enumerate(lut_cols):
-        term = F.element_at(arr, F.col(code_col)[sub] + 1)
-        dist = term if dist is None else dist + term
+    dist = adc_dist_col(lut, code_col)
     n = k * refine_factor if refine_with is not None else k
     approx = (
         encoded.select(id_col, dist.alias("adc_dist"))
@@ -174,7 +219,14 @@ def pq_search(
 def ann_pq_topk(spark, sf_dir: str) -> DataFrame:
     """PQ-compressed ADC top-10 for vec_id=0 with exact refine (rows-only
     driver check; pytest pins compression shape, determinism, and recall
-    on clustered vectors)."""
+    on clustered vectors).
+
+    This is the INLINE/didactic form — it trains and encodes per call,
+    which is the right shape for a one-off exploration but not for a
+    served index. The build-once scale path is the materialized IVF-PQ
+    index (``operators/ivfpq.py``: codes stored inside the
+    list_id-partitioned table, codebooks in properties, file-pruned
+    probe), registered as ``ann_ivfpq_topk_indexed``."""
     from delta_lake_optimizations_spark.catalog import load_table
     from delta_lake_optimizations_spark.operators.similarity import query_vector
 

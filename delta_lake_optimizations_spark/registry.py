@@ -41,6 +41,7 @@ _QUERY_MODULES = (
     "delta_lake_optimizations_spark.operators.similarity",
     "delta_lake_optimizations_spark.operators.ivf",
     "delta_lake_optimizations_spark.operators.pq",
+    "delta_lake_optimizations_spark.operators.ivfpq",
     "delta_lake_optimizations_spark.operators.asof",
     "delta_lake_optimizations_spark.operators.pipeline",
     "delta_lake_optimizations_spark.operators.rangejoin",

@@ -84,3 +84,94 @@ def test_perplexity_filter_keeps_low_side(spark, corpus):
     assert 1 in ids and 3 in ids
     assert 2 not in ids           # noise filtered
     assert 4 not in ids and 5 not in ids  # unscoreable dropped
+
+
+# --- trigram stupid backoff (Brants et al. 2007) ---
+
+
+def test_backoff_cascade_levels_hand_computed(spark):
+    """One doc per backoff level against a tiny reference whose counts are
+    hand-countable: exact trigram -> ratio of counts; unseen trigram with
+    seen suffix bigram -> 0.4 * c2/c1; unseen bigram with seen unigram ->
+    0.16 * (c1+1)/(N+V); full OOV -> 0.16 * 1/(N+V)."""
+    import math
+
+    from delta_lake_optimizations_spark.operators.lm_quality import backoff_scores
+
+    ref_text = "a b c a b d"
+    # counts: c3(a b c)=1, c3(b c a)=1, c3(c a b)=1, c3(a b d)=1
+    #         c2(a b)=2, c2(b c)=1, c2(c a)=1, c2(b d)=1
+    #         c1: a=2 b=2 c=1 d=1; N=6; V=4+1=5
+    rows = [
+        (0, ref_text, "ref"),
+        (1, "a b c", "eval"),   # trigram level: c3(a b c)/c2(a b) = 1/2
+        (2, "x b c", "eval"),   # bigram level: 0.4 * c2(b c)/c1(b) = 0.4*1/2
+        (3, "x y c", "eval"),   # unigram level: 0.16 * (1+1)/(6+5)
+        (4, "x y z", "eval"),   # OOV floor: 0.16 * (0+1)/(6+5)
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string, split string")
+    ref = corpus.filter("split = 'ref'")
+    got = {
+        r["doc_id"]: (r["n_trigrams"], r["ppl"])
+        for r in backoff_scores(corpus, ref, "doc_id", "text").collect()
+    }
+    # each eval doc has exactly one trigram position, so ppl = 1/S
+    assert got[1][0] == 1 and math.isclose(got[1][1], 2.0, rel_tol=1e-9)
+    assert math.isclose(got[2][1], 1.0 / (0.4 * 0.5), rel_tol=1e-9)
+    assert math.isclose(got[3][1], 1.0 / (0.16 * 2 / 11), rel_tol=1e-9)
+    assert math.isclose(got[4][1], 1.0 / (0.16 * 1 / 11), rel_tol=1e-9)
+    # cascade ordering: more context -> better score
+    assert got[1][1] < got[2][1] < got[3][1] < got[4][1]
+
+
+def test_backoff_min_count_prunes_to_backoff(spark):
+    """A trigram pruned by min_count scores exactly as if unseen (backs
+    off to the bigram level) — pruning changes cost, not semantics."""
+    import math
+
+    from delta_lake_optimizations_spark.operators.lm_quality import backoff_scores
+
+    rows = [
+        (0, "a b c a b d", "ref"),
+        (1, "a b c", "eval"),
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string, split string")
+    ref = corpus.filter("split = 'ref'")
+    pruned = (
+        backoff_scores(corpus, ref, "doc_id", "text", min_count=2)
+        .filter("doc_id = 1")
+        .first()["ppl"]
+    )
+    # all ref trigrams have count 1 -> all pruned -> doc 1 scores at the
+    # bigram level: 0.4 * c2(b c)/c1(b) = 0.4 * 1/2
+    assert math.isclose(pruned, 1.0 / (0.4 * 0.5), rel_tol=1e-9)
+
+
+def test_backoff_filter_keeps_fluent_side(spark):
+    from delta_lake_optimizations_spark.operators.lm_quality import (
+        backoff_filter,
+        backoff_scores,
+    )
+
+    rows = [
+        (0, "the cat sat on the mat and the dog sat on the rug", "ref"),
+        (1, "the cat sat on the mat", "eval"),
+        (2, "zqx bvk wjm pfft qqq zzz xxy vvv", "eval"),
+        (3, "a b", "eval"),   # 2 tokens: no trigram, unscoreable
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string, split string")
+    ref = corpus.filter("split = 'ref'")
+    scores = {
+        r["doc_id"]: r["ppl"]
+        for r in backoff_scores(corpus, ref, "doc_id", "text").collect()
+    }
+    assert scores[1] < scores[2]
+    assert 3 not in scores
+    cut = (scores[1] + scores[2]) / 2
+    ids = {
+        r["doc_id"]
+        for r in backoff_filter(corpus, ref, "doc_id", "text", max_ppl=cut)
+        .select("doc_id")
+        .collect()
+    }
+    assert ids == {0, 1}  # ref doc itself is fluent under its own LM
