@@ -1,0 +1,355 @@
+"""Byte-pair-encoding tokenizer + token-budget sequence packing
+(SURVEY §2.9 X7 upgrade — VERDICT r06 #3).
+
+``packing.pack_sequences`` budgets sequences by WHITESPACE token counts;
+real training pipelines pack BPE tokens. This module implements the
+public Sennrich et al. 2016 algorithm ("Neural Machine Translation of
+Rare Words with Subword Units") with the standard word-level
+pre-tokenization (GPT-2-style: merges never cross word boundaries),
+split Spark-first:
+
+- **train** (``train_bpe``): the only corpus-scale step is ONE
+  distributed word-frequency aggregate (explode + groupBy — a single
+  shuffle); the merge loop then runs driver-side over the word-count
+  DICTIONARY (size = distinct words, not corpus size — the same
+  "train from word counts" shortcut every production BPE trainer
+  uses), with deterministic tie-breaking (max pair count, then
+  lexicographic pair) so the same corpus always yields the same
+  merges. ``max_words`` caps the dictionary at the top-K words for
+  web-scale corpora — rare-word tails contribute almost nothing to
+  pair statistics.
+- **encode** (``encode_tokens`` / ``with_bpe_tokens``): Arrow-batched
+  ``pandas_udf`` applying the merge list per word with a per-batch
+  word->pieces memo (Zipf makes the memo hit rate enormous); no
+  row-at-a-time Python, no driver data.
+- **decode** (``decode_tokens``): words carry the classic ``</w>``
+  end-of-word marker on their final symbol, so decoding is
+  concatenate-then-split — ``decode(encode(t))`` reproduces ``t``
+  exactly for whitespace-normalized text (pinned by pytest AND by the
+  driver-checked ``bpe_roundtrip_consistency`` metric).
+- **packing**: ``pack_sequences`` re-used as-is on the BPE counts —
+  the window arithmetic was already scale-correct, only the budget
+  currency changes.
+
+Oracle strategy (the part merges can't express in SQL): token COUNTS
+are SQL-derivable once the per-word piece counts are persisted — the
+registered packing query eagerly writes its word -> n_tokens table to
+a parquet sidecar, and the DuckDB oracle re-derives every document's
+token count by splitting the text and joining that table, then
+re-states the packing windows independently. The encoder itself is
+pinned by the round-trip metric + unit tests on hand-computed merges.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from collections.abc import Iterator
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from delta_lake_optimizations_spark.catalog import load_table
+from delta_lake_optimizations_spark.registry import query
+
+EOW = "</w>"
+
+# fixed sidecar path shared by the registered packing query and its
+# DuckDB oracle (the query WRITES it eagerly before returning, the
+# oracle READS it — the driver runs each query before its oracle)
+VOCAB_SIDECAR = os.path.join(tempfile.gettempdir(), "spark_graft_bpe", "word_tokens.parquet")
+
+
+def pre_tokenize(col: Column) -> Column:
+    """Whitespace pre-tokenization (case-preserving — unlike the dedup
+    stack's ``tokenize``, a tokenizer must not destroy information).
+    Mirrored in the oracle as ``string_split_regex(trim(text), '\\s+')``."""
+    return F.split(F.trim(F.coalesce(col, F.lit(""))), r"\s+")
+
+
+@dataclass(frozen=True)
+class BpeModel:
+    """An ordered merge list IS the model (Sennrich's formulation)."""
+
+    merges: tuple[tuple[str, str], ...]
+
+    def merge_ranks(self) -> dict[tuple[str, str], int]:
+        return {pair: i for i, pair in enumerate(self.merges)}
+
+
+def _word_symbols(word: str) -> list[str]:
+    """Initial symbol sequence: characters, last one carrying ``</w>``."""
+    if not word:
+        return []
+    chars = list(word)
+    chars[-1] = chars[-1] + EOW
+    return chars
+
+
+def _count_pairs(
+    words: dict[tuple[str, ...], int],
+) -> dict[tuple[str, str], int]:
+    pairs: dict[tuple[str, str], int] = {}
+    for syms, cnt in words.items():
+        for a, b in zip(syms, syms[1:]):
+            pairs[(a, b)] = pairs.get((a, b), 0) + cnt
+    return pairs
+
+
+def _apply_merge(syms: tuple[str, ...], pair: tuple[str, str]) -> tuple[str, ...]:
+    out: list[str] = []
+    i = 0
+    while i < len(syms):
+        if i + 1 < len(syms) and (syms[i], syms[i + 1]) == pair:
+            out.append(syms[i] + syms[i + 1])
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return tuple(out)
+
+
+def word_counts(df: DataFrame, text_col: str) -> DataFrame:
+    """The one corpus-scale step: distributed word frequencies."""
+    return (
+        df.select(F.explode(pre_tokenize(F.col(text_col))).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def train_bpe(
+    df: DataFrame,
+    text_col: str,
+    n_merges: int = 200,
+    max_words: int | None = None,
+) -> BpeModel:
+    """Learn ``n_merges`` merges from the corpus (module docstring).
+    ``max_words`` keeps only the top-K words by (count desc, word) —
+    the web-scale dial; the merge loop is O(dict size) per merge."""
+    wc = word_counts(df, text_col)
+    if max_words is not None:
+        wc = wc.orderBy(F.col("cnt").desc(), F.col("word")).limit(max_words)
+    counts = {r["word"]: r["cnt"] for r in wc.collect()}
+    words: dict[tuple[str, ...], int] = {}
+    for w, c in counts.items():
+        syms = tuple(_word_symbols(w))
+        words[syms] = words.get(syms, 0) + c
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs = _count_pairs(words)
+        if not pairs:
+            break
+        # deterministic: highest count, then lexicographically first pair
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        words = {
+            _apply_merge(syms, best): cnt for syms, cnt in words.items()
+        }
+    return BpeModel(merges=tuple(merges))
+
+
+def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Greedy lowest-rank-first merging — the canonical BPE encoder,
+    guaranteed to reproduce training segmentation on training words."""
+    syms = _word_symbols(word)
+    while len(syms) > 1:
+        ranked = [
+            (ranks[p], i)
+            for i, p in enumerate(zip(syms, syms[1:]))
+            if p in ranks
+        ]
+        if not ranked:
+            break
+        _, i = min(ranked)
+        syms = list(_apply_merge(tuple(syms), (syms[i], syms[i + 1])))
+    return syms
+
+
+def encode_tokens(text: str, model: BpeModel) -> list[str]:
+    """Driver-side encode (tests, single documents)."""
+    ranks = model.merge_ranks()
+    out: list[str] = []
+    for w in text.strip().split():
+        out.extend(_encode_word(w, ranks))
+    return out
+
+
+def decode_tokens(tokens: list[str]) -> str:
+    """Concatenate and split on the end-of-word marker."""
+    return "".join(tokens).replace(EOW, " ").rstrip()
+
+
+def with_bpe_tokens(
+    df: DataFrame,
+    model: BpeModel,
+    text_col: str,
+    tokens_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Append the BPE token array via an Arrow-batched ``pandas_udf``
+    with a word->pieces memo shared across each batch."""
+    ranks = model.merge_ranks()
+
+    def encode_series(texts: pd.Series) -> pd.Series:
+        memo: dict[str, list[str]] = {}
+        out = []
+        for t in texts:
+            toks: list[str] = []
+            for w in (t or "").strip().split():
+                got = memo.get(w)
+                if got is None:
+                    got = memo[w] = _encode_word(w, ranks)
+                toks.extend(got)
+            out.append(toks)
+        return pd.Series(out)
+
+    encode_series.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    udf = F.pandas_udf("array<string>")(encode_series)
+    return df.withColumn(tokens_col, udf(F.col(text_col)))
+
+
+def word_token_counts(df: DataFrame, model: BpeModel, text_col: str) -> DataFrame:
+    """(word, n_tokens) for every distinct corpus word — the persisted
+    vocab table that makes BPE token counts SQL-derivable (the oracle
+    joins it instead of re-running merges)."""
+    ranks = model.merge_ranks()
+
+    def count_series(words: pd.Series) -> pd.Series:
+        memo: dict[str, int] = {}
+        out = []
+        for w in words:
+            got = memo.get(w)
+            if got is None:
+                got = memo[w] = len(_encode_word(w, ranks))
+            out.append(got)
+        return pd.Series(out, dtype="int64")
+
+    count_series.__annotations__ = {"words": pd.Series, "return": pd.Series}
+    udf = F.pandas_udf("long")(count_series)
+    return (
+        word_counts(df, text_col)
+        .select("word")
+        .withColumn("n_tokens", udf(F.col("word")))
+    )
+
+
+@query(
+    "bpe_pack_documents",
+    tags=("text", "packing", "bpe", "llm-pipeline"),
+    oracle=f"""
+        WITH vocab AS (
+            SELECT word, n_tokens
+            FROM read_parquet('{VOCAB_SIDECAR}/*.parquet')
+        ),
+        doc_words AS (
+            SELECT doc_id, source, UNNEST(
+                string_split_regex(trim(COALESCE(text, '')), '\\s+')
+            ) AS word
+            FROM documents
+        ),
+        doc_tokens AS (
+            SELECT d.doc_id,
+                   ANY_VALUE(d.source) AS source,
+                   CAST(SUM(v.n_tokens) AS BIGINT) AS n_bpe_tokens
+            FROM doc_words d
+            JOIN vocab v USING (word)
+            WHERE d.word <> ''
+            GROUP BY d.doc_id
+        )
+        SELECT
+            doc_id,
+            source,
+            n_bpe_tokens,
+            CAST(FLOOR(
+                COALESCE(SUM(n_bpe_tokens) OVER (
+                    PARTITION BY source ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                ), 0) / 256
+            ) AS BIGINT) AS pack_id,
+            CAST(COALESCE(SUM(n_bpe_tokens) OVER (
+                PARTITION BY source ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+            ), 0) AS BIGINT) % 256 AS pack_offset
+        FROM doc_tokens
+    """,
+)
+def bpe_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concatenate-and-split packing of each source shard into 256-BPE-
+    token context windows. The Spark side runs the REAL encoder (merge
+    list learned from this corpus, Arrow-batched); the oracle re-derives
+    every count from the persisted word -> n_tokens sidecar and re-states
+    the packing windows — so the per-word piece counts, the per-document
+    sums, and the running-window arithmetic are all value-checked."""
+    from delta_lake_optimizations_spark.operators.packing import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    model = train_bpe(docs, "text", n_merges=200)
+    # eager sidecar write so the oracle (which runs after this function)
+    # can join word -> n_tokens; overwritten per corpus
+    word_token_counts(docs, model, "text").write.mode("overwrite").parquet(
+        VOCAB_SIDECAR
+    )
+    toks = with_bpe_tokens(docs, model, "text").withColumn(
+        "n_bpe_tokens", F.size("bpe_tokens").cast("long")
+    )
+    packed = pack_sequences(
+        toks, token_col="n_bpe_tokens", order_col="doc_id",
+        partition_col="source", budget=256,
+    )
+    return packed.select("doc_id", "source", "n_bpe_tokens", "pack_id", "pack_offset")
+
+
+@query(
+    "bpe_roundtrip_consistency",
+    tags=("text", "bpe", "metric"),
+    oracle="""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) AS BIGINT) AS n_roundtrip_ok,
+               CAST(COUNT(*) AS BIGINT) AS n_count_consistent
+        FROM documents
+    """,
+)
+def bpe_roundtrip_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-verifiable encoder invariants, per corpus: decoding the
+    BPE tokens must reproduce the whitespace-normalized text for EVERY
+    document, and the token count must equal the sum of per-word counts
+    from the persisted vocab path (the two independent counting routes
+    the packing oracle relies on)."""
+    docs = load_table(spark, sf_dir, "documents")
+    model = train_bpe(docs, "text", n_merges=200)
+    toks = with_bpe_tokens(docs, model, "text")
+    wtc = word_token_counts(docs, model, "text")
+    per_word_sum = (
+        docs.select(
+            "doc_id", F.explode(pre_tokenize(F.col("text"))).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .join(wtc, "word")
+        .groupBy("doc_id")
+        .agg(F.sum("n_tokens").alias("_vocab_n"))
+    )
+    normalized = F.trim(F.regexp_replace(F.coalesce(F.col("text"), F.lit("")), r"\s+", " "))
+    checked = (
+        toks.withColumn(
+            "_decoded",
+            F.rtrim(
+                F.regexp_replace(F.concat_ws("", "bpe_tokens"), EOW, " ")
+            ),
+        )
+        .withColumn("_n", F.size("bpe_tokens").cast("long"))
+        .join(per_word_sum, "doc_id", "left")
+    )
+    return checked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("_decoded") == normalized, 1).otherwise(0))
+        .cast("long")
+        .alias("n_roundtrip_ok"),
+        F.sum(
+            F.when(F.col("_n") == F.coalesce(F.col("_vocab_n"), F.lit(0)), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_count_consistent"),
+    )

@@ -29,11 +29,19 @@ Spark-first shape, per batch:
 OPTIMIZE keeps per-file fp ranges tight — the anti-join's store-side
 scan prunes nothing (hashes are uniform by design) but point
 ``contains`` probes ride min/max + bloom skipping; the per-batch cost is
-one shuffle of the BATCH, never a rewrite of the store. Concurrent
-ingests of different batches are safe at the commit level (blind
-appends rebase), but two simultaneous batches can both admit the same
-new fingerprint — serialize ingests per store, as every log-structured
-dedup store requires.
+one shuffle of the BATCH, never a rewrite of the store.
+
+Concurrency: an ingest's append is SERIALIZABLE (``write(...,
+serializable=True)``) — its survivor set was anti-joined against the
+snapshot it read, so if ANY commit lands in between, the commit raises
+instead of blind-rebasing and the ingest re-derives against the new
+head (re-checking the replay ledger first, which also de-races two
+processes retrying the SAME batch id). Two simultaneous batches that
+both contain a brand-new fingerprint therefore admit it exactly once:
+the loser's retry sees the winner's fps and drops its copy. This is
+Delta's WriteSerializable-vs-Serializable distinction, applied to the
+one table where append CONTENT depends on the snapshot read
+(tests/test_incremental_dedup.py runs the real two-process race).
 """
 
 from __future__ import annotations
@@ -87,51 +95,85 @@ class FingerprintStore:
         the survivors' fingerprints; return the surviving rows of
         ``batch``. Replaying an already-ingested ``batch_id`` performs NO
         new commit and returns the original survivors (read back from
-        the store), so retries are exactly-once."""
+        the store), so retries are exactly-once.
+
+        The append is SERIALIZABLE: if any commit (another batch, the
+        same batch from a racing process, an OPTIMIZE) lands between the
+        snapshot this ingest read and its own commit, the write raises
+        and the whole derivation re-runs against the new head — so a
+        fingerprint first seen by two concurrent batches is admitted by
+        exactly one of them (module docstring, "Concurrency")."""
+        from delta_lake_optimizations_spark.table.graft_table import (
+            ConcurrentCommitError,
+        )
+
         batch_id = str(batch_id)
         fp = F.sha2(F.col(text_col).cast("string"), 256)
         fingerprinted = batch.withColumn("fp", fp)
 
-        if batch_id in self.ingested_batches():
-            prior = self.fingerprints().filter(F.col("batch") == batch_id)
-            return (
-                fingerprinted.join(
-                    prior.select("fp", F.col("id").alias(id_col)),
-                    on=["fp", id_col],
-                    how="left_semi",
+        attempts = 0
+        while True:
+            if batch_id in self.ingested_batches():
+                prior = self.fingerprints().filter(F.col("batch") == batch_id)
+                return (
+                    fingerprinted.join(
+                        prior.select("fp", F.col("id").alias(id_col)),
+                        on=["fp", id_col],
+                        how="left_semi",
+                    )
+                    .drop("fp")
                 )
-                .drop("fp")
-            )
 
-        w = Window.partitionBy("fp").orderBy(id_col)
-        intra = (
-            fingerprinted.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
-        )
-        if self.table.exists():
-            survivors = intra.join(
-                self.fingerprints().select("fp"), on="fp", how="left_anti"
+            w = Window.partitionBy("fp").orderBy(id_col)
+            intra = (
+                fingerprinted.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
             )
-        else:
-            survivors = intra
+            existed = self.table.exists()
+            if existed:
+                # pin the version this attempt derives from; the write
+                # below carries it as expected_version, so ANY commit that
+                # lands between this read and our own commit — before
+                # write() starts (up-front head check) or after (link(2)
+                # with rebasing disabled) — raises and we re-derive
+                ver = self.table.latest_version()
+                survivors = intra.join(
+                    self.table.load(version=ver).select("fp"),
+                    on="fp",
+                    how="left_anti",
+                )
+            else:
+                ver = None
+                survivors = intra
 
-        to_append = survivors.select(
-            "fp", F.col(id_col).cast("long").alias("id"), F.lit(batch_id).alias("batch")
-        )
-        self.table.write(
-            to_append,
-            mode="append" if self.table.exists() else "overwrite",
-            # fp is a uniform hash, so min/max ranges can never prune it;
-            # point `contains` probes prune through the BLOOM sidecar
-            # (auto-built at write), and cluster.by keeps OPTIMIZE
-            # re-clustering equality buckets together.
-            properties=None
-            if self.table.exists()
-            else {"graft.cluster.by": "fp", "graft.bloom.columns": "fp"},
-            extra_parameters={"dedupBatchId": batch_id},
-        )
-        return survivors.drop("fp")
+            to_append = survivors.select(
+                "fp",
+                F.col(id_col).cast("long").alias("id"),
+                F.lit(batch_id).alias("batch"),
+            )
+            try:
+                self.table.write(
+                    to_append,
+                    mode="append" if existed else "overwrite",
+                    # fp is a uniform hash, so min/max ranges can never
+                    # prune it; point `contains` probes prune through the
+                    # BLOOM sidecar (auto-built at write), and cluster.by
+                    # keeps OPTIMIZE re-clustering equality buckets
+                    # together.
+                    properties=None
+                    if existed
+                    else {"graft.cluster.by": "fp", "graft.bloom.columns": "fp"},
+                    extra_parameters={"dedupBatchId": batch_id},
+                    serializable=True,
+                    expected_version=ver,
+                )
+            except ConcurrentCommitError:
+                attempts += 1
+                if attempts > 20:
+                    raise
+                continue
+            return survivors.drop("fp")
 
 
 @query(

@@ -17,25 +17,32 @@ clustered bench corpus, residual PQ 0.9+ at the same dials).
 
 - **layout**: one GraftTable partitioned by the IVF ``list_id`` (one
   hive dir per Voronoi cell — the probe's ``list_id IN (...)`` prunes
-  whole directories), columns ``(list_id, vec_id, pq_code, embedding)``.
+  whole directories), columns ``(list_id, vec_id, pq_code, vnorm,
+  embedding)`` where ``vnorm`` is the vector's L2 norm (one double).
   Parquet is columnar, so the ADC scan that selects only
-  ``(list_id, vec_id, pq_code)`` never decodes the embedding bytes: the
-  full-precision column is physically co-located but COLD until the
-  refine step fetches it for the short candidate list only.
+  ``(list_id, vec_id, pq_code, vnorm)`` never decodes the embedding
+  bytes: the full-precision column is physically co-located but COLD
+  until the refine step fetches it for the short candidate list only.
 - **metadata**: IVF centroids AND the M per-subspace PQ codebooks ride
   the table properties (JSON, values rounded to 8 dp at one choke point
   so the stored index and any inline re-derivation score bit-identically
   — the ``ann_ivfpq_matches_inline`` twin depends on this).
 - **probe** (``ann_topk_from_ivfpq_index``): rank centroids driver-side
   (nlist is small by design), load ONLY the nprobe nearest cells' files,
-  score codes with per-cell literal ADC LUTs (residual encoding makes
-  the lookup table a function of ``query - centroid_cell``, so each
-  probed cell gets its own M x ksub table — nprobe small CASE branches,
-  all JVM codegen), take the top ``k * refine_factor`` by approximate
-  distance, then exact-cosine re-rank that short list against the cold
-  vector column. Per-query IO = nprobe/nlist of the code column +
-  the short list's vectors; no KMeans fit, no encode, no full scan at
-  query time.
+  and score by INNER-PRODUCT ADC aligned with the engine's cosine
+  ranking metric: ``x = centroid + residual`` exactly by construction,
+  so ``dot(q, x~) = dot(q, centroid_cell) + sum_sub LUT[sub][code]``
+  with ``LUT[sub][j] = dot(q_sub, codebook[sub][j])`` — ONE cell-
+  independent M x ksub literal table plus nprobe per-cell scalars (a
+  tiny CASE on list_id), all inside whole-stage codegen (an earlier
+  L2-ADC form needed a full LUT per cell, 8x the literals, fell out of
+  codegen AND ranked by the wrong metric — measured recall@10 0.5 vs
+  0.9+ for this form at the same dials). Dividing by the stored
+  ``vnorm`` makes the rank key approximated COSINE itself; the top
+  ``k * refine_factor`` are then exact-cosine re-ranked against the
+  cold vector column. Per-query IO = nprobe/nlist of the code+norm
+  columns + the short list's vectors; no KMeans fit, no encode, no full
+  scan at query time.
 
 100 TB notes: at production dials (nlist=4096, m=16, ksub=256, dim=768)
 each vector is 16 code bytes + 8 id bytes hot vs 3 KB of float32 cold —
@@ -64,12 +71,10 @@ from delta_lake_optimizations_spark.operators.ivf import (
     ivf_build,
 )
 from delta_lake_optimizations_spark.operators.pq import (
-    _adc_table,
-    adc_dist_col,
     pq_encode_col,
     pq_train,
 )
-from delta_lake_optimizations_spark.queries.vectors import cosine
+from delta_lake_optimizations_spark.queries.vectors import cosine, l2_norm_sq
 from delta_lake_optimizations_spark.registry import query
 
 PQ_BOOKS_PROP = "graft.ivfpq.codebooks"
@@ -115,14 +120,21 @@ def _train_and_encode(
     seed: int,
     sample_fraction: float | None,
 ) -> tuple[DataFrame, list[list[list[float]]]]:
-    """Residual-PQ codebooks + codes for an IVF-assigned frame. Returns
-    (encoded frame carrying ``pq_code``, rounded codebooks)."""
+    """Residual-PQ codebooks + codes + stored norm for an IVF-assigned
+    frame. Returns (encoded frame carrying ``pq_code`` and ``vnorm``,
+    rounded codebooks)."""
     res = _with_residuals(assigned, centroids, vec_col)
     books = _round_books(
         pq_train(res, m=m, ksub=ksub, vec_col="_res", seed=seed,
                  sample_fraction=sample_fraction)
     )
-    encoded = pq_encode_col(res, books, vec_col="_res").drop("_res")
+    encoded = (
+        pq_encode_col(res, books, vec_col="_res")
+        .drop("_res")
+        .withColumn(
+            "vnorm", F.sqrt(l2_norm_sq(F.col(vec_col).cast("array<double>")))
+        )
+    )
     return encoded, books
 
 
@@ -154,7 +166,7 @@ def build_ivfpq_index(
     )
     t = GraftTable(spark, path)
     t.write(
-        encoded.select("list_id", id_col, "pq_code", vec_col),
+        encoded.select("list_id", id_col, "pq_code", "vnorm", vec_col),
         mode="overwrite",
         partition_by=["list_id"],
         properties={
@@ -185,45 +197,63 @@ def _probe_cells(centroids: list[list[float]], query_vec: list[float], nprobe: i
     return order[:nprobe]
 
 
-def _residual_adc_dist(
+def _ip_adc_score(
     books: list[list[list[float]]],
     centroids: list[list[float]],
     probes: list[int],
     query_vec: list[float],
     code_col: str = "pq_code",
+    norm_col: str = "vnorm",
 ):
-    """Per-cell ADC scoring expression for residual codes: cell c's LUT
-    is built from ``query - centroid_c`` (driver-side, tiny), embedded as
-    literals under a CASE on ``list_id`` — nprobe branches of pure
-    codegen, no Python at scoring time."""
-    dist = None
-    for c in probes:
-        q_res = [q - cc for q, cc in zip(query_vec, centroids[c])]
-        branch = adc_dist_col(_adc_table(books, q_res), code_col)
-        dist = (
-            F.when(F.col("list_id") == c, branch)
-            if dist is None
-            else dist.when(F.col("list_id") == c, branch)
+    """Approximated-cosine scoring expression (module docstring): the
+    cell-independent inner-product LUT (M x ksub literals) + a per-cell
+    ``dot(q, centroid)`` scalar CASE, divided by the stored norm. All
+    driver-side math is tiny; the expression is pure codegen."""
+    m = len(books)
+    dsub = len(books[0][0])
+    lut_cols = []
+    for sub in range(m):
+        qs = query_vec[sub * dsub : (sub + 1) * dsub]
+        lut_cols.append(
+            F.array(
+                *[
+                    F.lit(_math.fsum(q * c for q, c in zip(qs, cent)))
+                    for cent in books[sub]
+                ]
+            )
         )
-    return dist
+    ip = None
+    for sub, arr in enumerate(lut_cols):
+        term = F.element_at(arr, F.col(code_col)[sub] + 1)
+        ip = term if ip is None else ip + term
+    qcent = None
+    for c in probes:
+        scalar = F.lit(_math.fsum(q * cc for q, cc in zip(query_vec, centroids[c])))
+        qcent = (
+            F.when(F.col("list_id") == c, scalar)
+            if qcent is None
+            else qcent.when(F.col("list_id") == c, scalar)
+        )
+    return (qcent + ip) / F.greatest(F.col(norm_col), F.lit(1e-30))
 
 
 def _adc_refine_topk(
     cand: DataFrame,
-    dist,
+    score,
     query_vec: list[float],
     k: int,
     refine_factor: int,
     id_col: str,
     vec_col: str,
 ) -> DataFrame:
-    """Shared scoring tail: ADC over the code column -> top
-    ``k * refine_factor`` -> exact cosine re-rank from ``vec_col``.
-    ``cand`` must carry (list_id, id, code, vector); column pruning keeps
-    the vector bytes untouched until the broadcast-joined refine."""
+    """Shared scoring tail: IP-ADC over the code + norm columns -> top
+    ``k * refine_factor`` by approximated cosine -> exact cosine re-rank
+    from ``vec_col``. ``cand`` must carry (list_id, id, code, norm,
+    vector); column pruning keeps the vector bytes untouched until the
+    broadcast-joined refine."""
     approx = (
-        cand.select(id_col, dist.alias("adc_dist"))
-        .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
+        cand.select(id_col, score.alias("adc_score"))
+        .orderBy(F.col("adc_score").desc(), F.col(id_col).asc())
         .limit(k * refine_factor)
     )
     qlit = F.array(*[F.lit(float(x)) for x in query_vec])
@@ -252,8 +282,8 @@ def ann_topk_from_ivfpq_index(
     centroids, books = ivfpq_metadata(table)
     probes = _probe_cells(centroids, query_vec, nprobe)
     cand = table.load(skip_where=[("list_id", "in", probes)])
-    dist = _residual_adc_dist(books, centroids, probes, query_vec)
-    return _adc_refine_topk(cand, dist, query_vec, k, refine_factor, id_col, vec_col)
+    score = _ip_adc_score(books, centroids, probes, query_vec)
+    return _adc_refine_topk(cand, score, query_vec, k, refine_factor, id_col, vec_col)
 
 
 def ivfpq_search_inline(
@@ -284,8 +314,8 @@ def ivfpq_search_inline(
     )
     probes = _probe_cells(centroids, query_vec, nprobe)
     cand = encoded.filter(F.col("list_id").isin(probes))
-    dist = _residual_adc_dist(books, centroids, probes, query_vec)
-    return _adc_refine_topk(cand, dist, query_vec, k, refine_factor, id_col, vec_col)
+    score = _ip_adc_score(books, centroids, probes, query_vec)
+    return _adc_refine_topk(cand, score, query_vec, k, refine_factor, id_col, vec_col)
 
 
 def ivfpq_probe_files_scanned(table, query_vec: list[float], nprobe: int = 4) -> int:
@@ -310,9 +340,15 @@ def append_to_ivfpq_index(
     centroids, books = ivfpq_metadata(table)
     assigned = assign_to_centroids(df, centroids, vec_col=vec_col)
     res = _with_residuals(assigned, centroids, vec_col)
-    encoded = pq_encode_col(res, books, vec_col="_res").drop("_res")
+    encoded = (
+        pq_encode_col(res, books, vec_col="_res")
+        .drop("_res")
+        .withColumn(
+            "vnorm", F.sqrt(l2_norm_sq(F.col(vec_col).cast("array<double>")))
+        )
+    )
     table.write(
-        encoded.select("list_id", id_col, "pq_code", vec_col),
+        encoded.select("list_id", id_col, "pq_code", "vnorm", vec_col),
         mode="append",
         partition_by=["list_id"],
         extra_parameters=extra_parameters,
@@ -327,7 +363,7 @@ def _cached_ivfpq_index(spark, sf_dir: str, nlist: int = 8, m: int = 4, ksub: in
     from delta_lake_optimizations_spark.table import GraftTable
 
     key = _hashlib.sha256(
-        f"{_os.path.abspath(sf_dir)}|ivfpq-res|{nlist}|{m}|{ksub}|"
+        f"{_os.path.abspath(sf_dir)}|ivfpq-ip|{nlist}|{m}|{ksub}|"
         f"{_corpus_fingerprint(sf_dir)}".encode()
     ).hexdigest()[:16]
     path = _os.path.join(_tempfile.gettempdir(), "spark_graft_ivfpq_index", key)

@@ -52,6 +52,7 @@ _QUERY_MODULES = (
     "delta_lake_optimizations_spark.operators.multimodal",
     "delta_lake_optimizations_spark.operators.decontam",
     "delta_lake_optimizations_spark.operators.packing",
+    "delta_lake_optimizations_spark.operators.bpe",
     "delta_lake_optimizations_spark.operators.semantic_dedup",
     "delta_lake_optimizations_spark.operators.skew",
     "delta_lake_optimizations_spark.operators.ranking",

@@ -390,6 +390,7 @@ class GraftTable:
         remove: list[str],
         metadata: dict[str, Any] | None = None,
         base_version: int | None = None,
+        no_rebase: bool = False,
     ) -> Commit:
         """Append one commit to the log.
 
@@ -414,6 +415,15 @@ class GraftTable:
         many-writer 100 TB contract — ingest jobs appending to one table
         never fail each other, while conflicting rewrites stay exactly-one-
         winner.
+
+        ``no_rebase=True`` opts a commit OUT of blind-append rebasing even
+        when it would qualify: any concurrent winner raises
+        ``ConcurrentCommitError`` so the caller can re-derive its add list
+        against the new head. This is the hook for appends whose CONTENT
+        depends on the snapshot they read even though their file list is
+        mechanically rebase-safe — e.g. a dedup fingerprint store, where
+        two concurrent batches could otherwise both admit the same new
+        fingerprint (Delta's WriteSerializable -> Serializable distinction).
         """
         os.makedirs(self._log_path, exist_ok=True)
         if base_version is not None:
@@ -423,7 +433,12 @@ class GraftTable:
             version = (versions[-1] + 1) if versions else 0
         # a blind append's effect is independent of the snapshot it was
         # computed against (modulo metadata, checked per-winner below)
-        rebaseable = base_version is not None and not remove and metadata is None
+        rebaseable = (
+            base_version is not None
+            and not remove
+            and metadata is None
+            and not no_rebase
+        )
 
         attempts = 0
         while True:
@@ -768,8 +783,23 @@ class GraftTable:
         merge_schema: bool = False,
         extra_parameters: dict[str, Any] | None = None,
         replace_where: list[tuple[str, str, Any]] | None = None,
+        serializable: bool = False,
+        expected_version: int | None = None,
     ) -> Commit:
         """Write data as a new commit.
+
+        ``serializable`` (appends only): opt out of blind-append rebasing —
+        if ANY commit landed after the snapshot this write read, raise
+        ``ConcurrentCommitError`` instead of rebasing, so the caller can
+        re-derive the rows against the new head. Use when the written
+        CONTENT was computed from the snapshot (e.g. an anti-join against
+        the table itself); plain data appends should keep the default
+        (Delta's WriteSerializable), which never fails ingest jobs against
+        each other. Pair it with ``expected_version`` — the version the
+        caller DERIVED its rows from: if the head has already moved past
+        it by the time write() starts, the commit raises up front (the
+        link(2) race inside ``_write_commit`` only guards the window after
+        this method reads the snapshot, not the caller's earlier read).
 
         ``replace_where`` (with mode='overwrite'): Delta's ``replaceWhere``
         — atomically replace ONLY the rows matching the conjunctive
@@ -794,6 +824,15 @@ class GraftTable:
         """
         existed = self.exists()
         base = self.snapshot() if existed else None
+        if expected_version is not None and (
+            base is None or base.version != expected_version
+        ):
+            raise ConcurrentCommitError(
+                f"table at {self.path} moved past expected version "
+                f"{expected_version} (head is "
+                f"{base.version if base is not None else 'absent'}) — "
+                "re-derive against the new head and retry"
+            )
         if mode == "error" and existed:
             raise FileExistsError(f"table exists at {self.path}")
         # delta.appendOnly parity: a table marked append-only refuses any
@@ -1173,6 +1212,7 @@ class GraftTable:
         commit = self._write_commit(
             operation, params, adds, remove, commit_metadata,
             base_version=base.version if base is not None else -1,
+            no_rebase=serializable,
         )
         # T1 parity: "statistics collected automatically at write time"
         # (reference docs/02-lab-optimizations.md:591-596). Precedence

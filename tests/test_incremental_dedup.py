@@ -123,3 +123,160 @@ def test_streaming_dedup_ingest_sink(spark, tmp_path):
     assert sorted(r["text"] for r in clean.load().collect()) == texts
     assert store.fingerprints().count() == 3
     assert len(clean.commits()) == n_clean_commits
+
+
+# ---------------------------------------------------------------------------
+# Serializable-ingest concurrency (VERDICT r06 #5): the documented
+# double-admit window — two concurrent batches both containing the same NEW
+# fingerprint — must be closed: exactly one admits it.
+# ---------------------------------------------------------------------------
+
+
+def test_serializable_write_rejects_moved_head(spark, tmp_path):
+    """Both layers of the guard, deterministically: (a) expected_version
+    catches a head that moved BEFORE write() starts; (b) no_rebase turns
+    the link(2) collision inside the commit window into a conflict even
+    for a mechanically rebase-safe blind append."""
+    import pytest
+
+    from delta_lake_optimizations_spark.table import GraftTable
+    from delta_lake_optimizations_spark.table.graft_table import (
+        AddFile,
+        ConcurrentCommitError,
+    )
+
+    t = GraftTable(spark, os.path.join(tmp_path, "t"))
+    t.write(spark.range(5).toDF("id"))
+    ver = t.latest_version()
+    t.write(spark.range(5).toDF("id"), mode="append")  # head moves
+
+    with pytest.raises(ConcurrentCommitError, match="moved past"):
+        t.write(
+            spark.range(5).toDF("id"), mode="append",
+            serializable=True, expected_version=ver,
+        )
+
+    # same stale base inside the commit protocol: default blind append
+    # rebases and lands; no_rebase raises instead
+    add = [AddFile(path="data/x.parquet", size=1, num_records=1)]
+    with pytest.raises(ConcurrentCommitError):
+        t._write_commit("A", {}, add, [], base_version=ver, no_rebase=True)
+    c = t._write_commit("A", {}, add, [], base_version=ver)
+    assert c.version == t.latest_version()
+
+
+def test_conflicting_ingest_rederives_and_admits_once(spark, tmp_path):
+    """Deterministic interleaving of the exact race the store documents:
+    a rival batch containing the same NEW fingerprint commits in the
+    window between this ingest's derivation and its append. The
+    serializable commit must fail the stale attempt, the retry must
+    re-derive against the rival's head, and the shared fingerprint must
+    be admitted exactly once (by the rival)."""
+    path = os.path.join(tmp_path, "fp")
+    store = FingerprintStore(spark, path)
+    store.ingest(_batch(spark, [(1, "alpha")]), "b0").collect()
+
+    rival = FingerprintStore(spark, path)
+    orig_write = store.table.write
+    injected = {"done": False}
+
+    def write_with_rival(*a, **kw):
+        if not injected["done"]:
+            injected["done"] = True
+            rival.ingest(
+                _batch(spark, [(50, "shared-new"), (51, "rival-only")]), "rb"
+            ).collect()
+        return orig_write(*a, **kw)
+
+    store.table.write = write_with_rival
+    kept = sorted(
+        r["doc_id"]
+        for r in store.ingest(
+            _batch(spark, [(60, "shared-new"), (61, "mine-only")]), "b1"
+        ).collect()
+    )
+    assert injected["done"], "rival commit must have been injected"
+    assert kept == [61], "shared fingerprint belongs to the rival's batch"
+    fps = store.fingerprints()
+    assert fps.count() == 4  # alpha, shared-new, rival-only, mine-only
+    assert fps.select("fp").distinct().count() == 4, "no double admission"
+    owner = fps.filter(F.col("id") == 50).first()
+    assert owner is not None and owner["batch"] == "rb"
+
+
+def _race_ingest_worker(args):
+    """Real-process worker: own SparkSession (spawn — no inherited JVM),
+    rendezvous on the filesystem so both ingests enter the critical
+    section together, then ingest a batch containing one unique text and
+    one text SHARED with the other worker."""
+    path, rendezvous, worker_id = args
+    import os
+    import sys
+    import time
+
+    sys.path.insert(0, "/root/repo")
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[2]")
+        .appName(f"fpstore-race-{worker_id}")
+        .config("spark.sql.shuffle.partitions", "2")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    try:
+        from delta_lake_optimizations_spark.operators.incremental_dedup import (
+            FingerprintStore,
+        )
+
+        store = FingerprintStore(spark, path)
+        batch = spark.createDataFrame(
+            [
+                (worker_id, f"unique-{worker_id}"),
+                (100 + worker_id, "shared-between-batches"),
+            ],
+            "doc_id long, text string",
+        )
+        open(os.path.join(rendezvous, f"ready-{worker_id}"), "w").close()
+        deadline = time.time() + 120
+        while len(os.listdir(rendezvous)) < 2:
+            if time.time() > deadline:
+                raise TimeoutError("rendezvous partner never arrived")
+            time.sleep(0.01)
+        kept = sorted(
+            r["doc_id"] for r in store.ingest(batch, f"b{worker_id}").collect()
+        )
+        return (worker_id, kept)
+    finally:
+        spark.stop()
+
+
+def test_two_process_race_admits_shared_fingerprint_once(spark, tmp_path):
+    """Two REAL OS processes (fresh interpreters, own JVMs) ingest
+    concurrent batches that both contain the same brand-new text — they
+    also race the store's CREATION. Every unique text must land, and the
+    shared text must be admitted by EXACTLY one batch, whichever
+    interleaving the scheduler produced."""
+    import multiprocessing as mp
+
+    path = os.path.join(tmp_path, "fp")
+    rendezvous = os.path.join(tmp_path, "rdv")
+    os.makedirs(rendezvous)
+
+    ctx = mp.get_context("spawn")
+    with ctx.Pool(2) as pool:
+        results = dict(
+            pool.map(_race_ingest_worker, [(path, rendezvous, i) for i in (1, 2)])
+        )
+
+    admitted_shared = [w for w in (1, 2) if 100 + w in results[w]]
+    assert len(admitted_shared) == 1, f"shared text admitted by {admitted_shared}"
+    for w in (1, 2):
+        assert w in results[w], f"unique text of worker {w} lost"
+
+    store = FingerprintStore(spark, path)
+    fps = store.fingerprints()
+    assert fps.count() == 3  # unique-1, unique-2, shared (once)
+    assert fps.select("fp").distinct().count() == 3
+    assert store.ingested_batches() == {"b1", "b2"}
