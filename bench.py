@@ -512,6 +512,105 @@ def _bench_sf1_rehearsal(spark, sf_dir: str, sf01_timings: dict[str, float]) -> 
     return out
 
 
+def _bench_sf5_rehearsal(spark, sf_dir: str) -> dict:
+    """VERDICT r06 #2: rehearse the HEAVY text/vector operators at sf5 —
+    5x the sf1 corpus (250k documents / 250k vectors from an sf0.1 base)
+    — where skew and shuffle-spill behavior first appear. Documents and
+    embeddings are replicated 50x; the TPC-H facts ride at 1x (nothing
+    under rehearsal reads them — they exist so the oracle harness can
+    register its views). Per-query ratio = t(sf5)/t(sf1) on THIS machine
+    in THIS session (both measured here, so machine drift cancels);
+    acceptance is ratio <= ~7.5, i.e. <= 1.5x linear for 5x data. A
+    subset of oracle-backed queries is also VALUE-checked on the sf5
+    corpus."""
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts"))
+    from make_sfx import make_sfx
+    from sf1_check import run_sf1_correctness
+
+    sf1_dir = make_sfx(spark, sf_dir, "/tmp/spark_graft_sfx/sf1", factor=10)
+    sf5_dir = make_sfx(
+        spark, sf_dir, "/tmp/spark_graft_sfx/sf5", factor=50,
+        factor_overrides={
+            t: 1
+            for t in ("lineitem", "orders", "customer", "supplier", "part", "events")
+        },
+    )
+    reg = registry()
+    heavy = (
+        "dedup_minhash_lsh",
+        "dedup_components_ngram",
+        "paragraph_dedup_docs",
+        "strip_boilerplate_docs",
+        "lm_perplexity_scores",
+    )
+    out: dict = {"dir": sf5_dir, "factor_vs_sf1": 5, "queries": {}, "ratio_vs_sf1": {}}
+    for name in heavy:
+        fn = reg[name].fn
+        t0 = time.perf_counter()
+        fn(spark, sf1_dir).count()
+        t1 = round(time.perf_counter() - t0, 4)
+        t0 = time.perf_counter()
+        fn(spark, sf5_dir).count()
+        t5 = round(time.perf_counter() - t0, 4)
+        out["queries"][name] = {"sf1_sec": t1, "sf5_sec": t5}
+        out["ratio_vs_sf1"][name] = round(t5 / t1, 2)
+
+    # sharded-ANN probe at sf5: index build (once) + probe latency vs a
+    # brute-force scan of the same 250k-vector corpus
+    from delta_lake_optimizations_spark.catalog import load_table
+    from delta_lake_optimizations_spark.operators.lsh_index import (
+        _cached_sharded_index,
+        ann_topk_from_sharded,
+    )
+    from delta_lake_optimizations_spark.operators.similarity import topk_cosine
+
+    t0 = time.perf_counter()
+    st = _cached_sharded_index(spark, sf5_dir)
+    out["ann_sharded_build_sec"] = round(time.perf_counter() - t0, 4)
+    emb5 = load_table(spark, sf5_dir, "embeddings")
+    qvecs = [
+        [float(x) for x in r["embedding"]]
+        for r in emb5.filter(F.col("vec_id") < 3).collect()
+    ]
+    import statistics
+
+    for qv in qvecs:  # warm both shapes
+        ann_topk_from_sharded(st, qv, k=10).count()
+        topk_cosine(emb5, qv, k=10).count()
+    probe_times, brute_times = [], []
+    for qv in qvecs:
+        t0 = time.perf_counter()
+        ann_topk_from_sharded(st, qv, k=10).count()
+        probe_times.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        topk_cosine(emb5, qv, k=10).count()
+        brute_times.append(time.perf_counter() - t0)
+    out["ann_sharded_probe_med_sec"] = round(statistics.median(probe_times), 4)
+    out["ann_bruteforce_med_sec"] = round(statistics.median(brute_times), 4)
+    out["ann_speedup_vs_bruteforce"] = round(
+        out["ann_bruteforce_med_sec"] / out["ann_sharded_probe_med_sec"], 2
+    )
+
+    ratios = list(out["ratio_vs_sf1"].values())
+    out["max_ratio_vs_sf1"] = max(ratios) if ratios else None
+    out["correctness"] = run_sf1_correctness(
+        spark,
+        sf5_dir,
+        [
+            "paragraph_dedup_docs",
+            "url_normalize_docs",
+            "dedup_url_normalized",
+            "incremental_dedup_two_batches",
+            "lm_perplexity_scores",
+        ],
+    )
+    out["correctness_all_green"] = all(
+        v.get("rows_match") and v.get("schema_match") and v.get("values_match")
+        for v in out["correctness"].values()
+    ) and len(out["correctness"]) > 0
+    return out
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument(
@@ -528,6 +627,7 @@ def main() -> None:
     parser.add_argument("--workshop-files", type=int, default=400)
     parser.add_argument("--no-ann-index", action="store_true")
     parser.add_argument("--no-sf1", action="store_true")
+    parser.add_argument("--no-sf5", action="store_true")
     args = parser.parse_args()
 
     spark = get_spark(app_name="bench")
@@ -601,6 +701,11 @@ def main() -> None:
         if not args.no_sf1 and _sf_from_dir(args.sf_dir) == 0.1
         else None
     )
+    sf5 = (
+        _bench_sf5_rehearsal(spark, args.sf_dir)
+        if not args.no_sf5 and _sf_from_dir(args.sf_dir) == 0.1
+        else None
+    )
 
     full = {
         "metric": "headline_queries_total_sec",
@@ -616,6 +721,7 @@ def main() -> None:
         "workshop_scale": workshop,
         "ann_index": ann_index,
         "sf1": sf1,
+        "sf5": sf5,
     }
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_detail.json")
     with open(detail_path, "w") as f:
@@ -670,9 +776,19 @@ def main() -> None:
             "correctness_all_green": sf1.get("correctness_all_green"),
             "correctness_n": len(sf1.get("correctness", {})),
         }
+    if sf5 is not None:
+        compact["sf5"] = {
+            "max_ratio_vs_sf1": sf5["max_ratio_vs_sf1"],
+            "ann_speedup_vs_bruteforce": sf5["ann_speedup_vs_bruteforce"],
+            "correctness_all_green": sf5.get("correctness_all_green"),
+            "correctness_n": len(sf5.get("correctness", {})),
+        }
     line = json.dumps(compact)
     if len(line) > 1900:
         compact.pop("ann_index", None)
+        line = json.dumps(compact)
+    if len(line) > 1900:
+        compact.pop("sf5", None)
         line = json.dumps(compact)
     if len(line) > 1900:
         compact.pop("sf1", None)

@@ -71,30 +71,48 @@ _QUERY_MODULES = (
 # window/setops; r02 scalar/events/vector/dedup/similarity/text/sampling;
 # r03 reshape + remaining unchecked; r04 the 17 new metric queries; r05
 # the four materialized-index queries + the r04 rotation-hygiene list
-# (zero failures every round). Round 6 (this window): the SEVEN new
-# queries get their first driver rows (margin-ranked multi-probe LSH +
-# its recall metric; the URL-curation family; incremental fingerprint-
-# store dedup), every touched module's equivalence metric re-verifies
-# (lsh_index), and the rest re-verifies proven greens including three
-# rotated family representatives whose implementations the r05 gram-path
-# rework touched. Everything demoted out of the window stays covered by
-# the identical local gate in ``tests/test_oracle_parity.py``;
+# (zero failures every round); r06 the URL/incremental-dedup/LM/VARIANT/
+# paragraph debutantes (48/50 green, 2 by-design rows-only). Round 7
+# (this window): the SIX new queries get their first driver rows (the
+# materialized IVF-PQ family: rows-only probe + oracle-backed
+# matches-inline equivalence twin + recall floor; trigram stupid-backoff
+# LM; BPE packing + its roundtrip-consistency metric);
+# incremental_dedup_two_batches re-verifies the serializable-ingest
+# rework of its module; the r06 debutantes are re-verified per the
+# established second-row pattern. Rotated out for the six:
+# ann_lsh_recall + ann_ivf_recall + knn_join_lsh_recall (each family
+# keeps a stronger in-window representative: ann_lsh_ranked_recall, the
+# three *matches_inline equivalence twins, knn_join_ivf_recall),
+# simhash_jaccard_recall + doc_fingerprint_shingles (dedup/fingerprint
+# families stay via dedup_ngram_jaccard, dedup_components_ngram,
+# minhash_lsh_recall, incremental dedup), and
+# multimodal_decode_consistency (multimodal_real_media_decode stays).
+# Everything demoted out of the window stays covered by the identical
+# local gate in ``tests/test_oracle_parity.py``;
 # tests/test_registry_window.py asserts every registry name has had a
-# driver row across r01-r06.
+# driver row across r01-r07.
 DRIVER_WINDOW = 50
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # NEW this round (oracle-backed)
+    # NEW this round: the materialized IVF-PQ family (rows-only probe with
+    # its oracle-backed equivalence + recall twins adjacent)
+    "ann_ivfpq_topk_indexed",
+    "ann_ivfpq_matches_inline",
+    "ann_ivfpq_recall",
+    # NEW this round (oracle-backed): trigram stupid-backoff LM + BPE
+    # token packing + the BPE roundtrip/count-consistency metric
+    "lm_backoff_scores",
+    "bpe_pack_documents",
+    "bpe_roundtrip_consistency",
+    # r06 debutantes re-verified (second driver row)
     "ann_lsh_ranked_recall",
     "url_normalize_docs",
     "dedup_url_normalized",
     "url_domain_profile",
     "url_blocklist_filter",
     "incremental_dedup_two_batches",
-    # NEW rows-only (two rows-only slots this window; metric twins above
-    # and below)
+    # rows-only entries (metric twins adjacent, established pattern)
     "ann_lsh_topk_sharded_ranked",
     "knn_join_sharded_indexed",
-    # NEW: indexed batch k-NN join equality twin (oracle-backed)
     "knn_join_sharded_matches_inline",
     # touched module re-verification: the index equivalence metrics
     "ann_lsh_sharded_matches_inline",
@@ -102,26 +120,15 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ann_lsh_indexed_matches_inline",
     # metric-family greens held in the window (oracle-backed twins of the
     # approximate operators)
-    "ann_lsh_recall",
-    "ann_ivf_recall",
     "ann_pq_recall",
     "minhash_lsh_recall",
-    "simhash_jaccard_recall",
-    "knn_join_lsh_recall",
     "knn_join_ivf_recall",
     "hard_negatives_lsh_overlap",
     "multimodal_real_media_decode",
-    "multimodal_decode_consistency",
     "hll_error_by_flag",
     "approx_percentile_error_by_flag",
-    "doc_fingerprint_shingles",
-    # NEW this round (oracle-backed): VARIANT path extraction rollup
-    # (doc_fingerprint_consistency rotates out for it — its twin above
-    # stays; local oracle gate still covers the demoted name)
+    # r06 debutantes re-verified: VARIANT rollup + bigram-LM perplexity
     "variant_props_rollup",
-    # NEW this round (oracle-backed): CCNet bigram-LM perplexity scoring
-    # (hard_negatives_exact rotates out for it — its overlap metric twin
-    # hard_negatives_lsh_overlap stays; local oracle gate covers it)
     "lm_perplexity_scores",
     "chunk_embed_consistency",
     "dedup_components_ngram",
@@ -138,15 +145,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # full
     "skew_salted_join_brand_revenue",
     "dedup_ngram_jaccard",
-    # NEW this round (oracle-backed): one-pass ROLLUP dataset card
+    # r06 debutantes re-verified: dataset card + the paragraph family
     "corpus_datacard",
-    # NEW this round (oracle-backed): the paragraph-dedup family — CCNet
-    # stage-1 segment dedup with the reassembled text value-checked, the
-    # boilerplate profile, and boilerplate stripping. Rotated out for
-    # them: knn_join_exact + topk_cosine_bruteforce (recall/equivalence
-    # twins knn_join_{lsh,ivf}_recall + *matches_inline stay in-window)
-    # and dedup_exact_text (exact-dedup family stays via
-    # incremental_dedup_two_batches); local oracle gate covers all three.
     "paragraph_dedup_docs",
     "boilerplate_segments_profile",
     "strip_boilerplate_docs",

@@ -48,7 +48,10 @@ def get_spark(
         # (the sharded ANN probe issues ~100-value IN lists)
         .config("spark.sql.parquet.pushdown.inFilterThreshold", "1000")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local mode runs every task thread inside the driver JVM, so the
+        # driver heap IS the executor memory: size it ~1 GB/core (the sf5
+        # rehearsal OOMed 32 threads sharing the old 8g default)
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -55,15 +55,29 @@ def _source_manifest(src_dir: str, factor: int) -> str:
     return "\n".join(parts)
 
 
-def make_sfx(spark: SparkSession, src_dir: str, out_dir: str, factor: int = 10) -> str:
+def make_sfx(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    factor: int = 10,
+    factor_overrides: dict[str, int] | None = None,
+) -> str:
     """Write the scaled corpus; returns ``out_dir``. A manifest records
-    the source fingerprint + factor; per-table writes are skipped only
+    the source fingerprint + factors; per-table writes are skipped only
     while the manifest matches — a changed source or factor regenerates
-    everything."""
+    everything.
+
+    ``factor_overrides`` scales individual tables differently (e.g. the
+    sf5 text/vector rehearsal replicates documents/embeddings 50x while
+    carrying the TPC-H facts at 1x — the operators under rehearsal never
+    read them, but the oracle harness registers a view per table)."""
     from delta_lake_optimizations_spark.catalog import load_table
 
+    overrides = factor_overrides or {}
     os.makedirs(out_dir, exist_ok=True)
-    manifest = _source_manifest(src_dir, factor)
+    manifest = _source_manifest(src_dir, factor) + "\n" + repr(
+        sorted(overrides.items())
+    )
     manifest_path = os.path.join(out_dir, "_MANIFEST")
     stale = not (
         os.path.exists(manifest_path) and open(manifest_path).read() == manifest
@@ -73,10 +87,11 @@ def make_sfx(spark: SparkSession, src_dir: str, out_dir: str, factor: int = 10) 
         if not stale and os.path.exists(os.path.join(dst, "_SUCCESS")):
             continue
         df = load_table(spark, src_dir, table)
-        if shift_cols:
+        table_factor = overrides.get(table, factor)
+        if shift_cols and table_factor > 1:
             reps = df.crossJoin(
                 F.broadcast(
-                    spark.range(factor).select(F.col("id").alias("__rep"))
+                    spark.range(table_factor).select(F.col("id").alias("__rep"))
                 )
             )
             for c in shift_cols:

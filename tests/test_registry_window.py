@@ -67,11 +67,11 @@ def test_every_registry_name_has_had_a_driver_row():
     import json
     import os
 
+    import glob
+
     seen = set(_DRIVER_PRIORITY)
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    for r in (1, 2, 3, 4, 5):
-        p = os.path.join(repo, f"CORRECTNESS_r0{r}.json")
-        if os.path.exists(p):
-            seen |= set(json.load(open(p)).keys())
+    for p in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        seen |= set(json.load(open(p)).keys())
     missing = [n for n in registry() if n not in seen]
     assert not missing, f"never driver-checked: {missing}"
