@@ -152,6 +152,40 @@ def train_bpe(
     return BpeModel(merges=tuple(merges))
 
 
+def cached_bpe_model(spark, sf_dir: str, n_merges: int = 200) -> BpeModel:
+    """Train-once-per-corpus model (content-fingerprinted cache key, the
+    same scheme as the materialized ANN index caches — a tokenizer is
+    index-shaped: built once, served from its artifact, never re-trained
+    per query). The merge list persists as a JSON sidecar under the temp
+    dir; a production deployment would carry it in a GraftTable's
+    properties next to the centroids/codebooks its indexes already keep
+    there."""
+    import hashlib
+    import json
+
+    from delta_lake_optimizations_spark.catalog import load_table
+    from delta_lake_optimizations_spark.operators.lsh_index import (
+        _corpus_fingerprint,
+    )
+
+    key = hashlib.sha256(
+        f"{os.path.abspath(sf_dir)}|bpe|{n_merges}|"
+        f"{_corpus_fingerprint(sf_dir, table='documents')}".encode()
+    ).hexdigest()[:16]
+    cache_dir = os.path.join(tempfile.gettempdir(), "spark_graft_bpe_model")
+    path = os.path.join(cache_dir, f"{key}.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            return BpeModel(merges=tuple(tuple(p) for p in json.load(f)))
+    model = train_bpe(load_table(spark, sf_dir, "documents"), "text", n_merges)
+    os.makedirs(cache_dir, exist_ok=True)
+    tmp = path + f".tmp-{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump([list(p) for p in model.merges], f)
+    os.replace(tmp, path)
+    return model
+
+
 def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
     """Greedy lowest-rank-first merging — the canonical BPE encoder,
     guaranteed to reproduce training segmentation on training words."""
@@ -286,7 +320,7 @@ def bpe_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from delta_lake_optimizations_spark.operators.packing import pack_sequences
 
     docs = load_table(spark, sf_dir, "documents")
-    model = train_bpe(docs, "text", n_merges=200)
+    model = cached_bpe_model(spark, sf_dir, n_merges=200)
     # eager sidecar write so the oracle (which runs after this function)
     # can join word -> n_tokens; overwritten per corpus
     word_token_counts(docs, model, "text").write.mode("overwrite").parquet(
@@ -319,7 +353,7 @@ def bpe_roundtrip_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the persisted vocab path (the two independent counting routes
     the packing oracle relies on)."""
     docs = load_table(spark, sf_dir, "documents")
-    model = train_bpe(docs, "text", n_merges=200)
+    model = cached_bpe_model(spark, sf_dir, n_merges=200)
     toks = with_bpe_tokens(docs, model, "text")
     wtc = word_token_counts(docs, model, "text")
     per_word_sum = (

@@ -315,6 +315,88 @@ def write_stream_to_ivf_index(
     )
 
 
+class GraftStreamIvfPqIndexWriter:
+    """foreachBatch twin of ``GraftStreamIvfIndexWriter`` for the IVF-PQ
+    index: the first batch fits centroids AND the residual codebooks and
+    materializes the table; later batches assign + residual-encode
+    against the STORED metadata (no refit — cells and code semantics
+    stay stable for probes) and append into their partitions.
+    Centroid/codebook drift under heavy streaming ingest is the standard
+    trade: rebuild when recall decays."""
+
+    def __init__(
+        self,
+        index_table: GraftTable,
+        nlist: int = 8,
+        m: int = 4,
+        ksub: int = 16,
+        seed: int = 7,
+    ):
+        self.table = index_table
+        self.nlist = nlist
+        self.m = m
+        self.ksub = ksub
+        self.seed = seed
+
+    def _committed_batches(self) -> set[int]:
+        out = set()
+        for c in self.table.commits():
+            b = c.operation_parameters.get("streamingBatchId")
+            if b is not None:
+                out.add(int(b))
+        return out
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from delta_lake_optimizations_spark.operators.ivfpq import (
+            append_to_ivfpq_index,
+            build_ivfpq_index,
+        )
+
+        if batch_df.isEmpty():
+            return
+        if not self.table.exists():
+            build_ivfpq_index(
+                batch_df.sparkSession,
+                batch_df,
+                self.table.path,
+                nlist=self.nlist,
+                m=self.m,
+                ksub=self.ksub,
+                seed=self.seed,
+            )
+            self.table._write_commit(
+                "STREAMING INDEX INIT", {"streamingBatchId": int(batch_id)}, [], []
+            )
+            return
+        if batch_id in self._committed_batches():
+            return
+        append_to_ivfpq_index(
+            self.table, batch_df, extra_parameters={"streamingBatchId": int(batch_id)}
+        )
+
+
+def write_stream_to_ivfpq_index(
+    stream_df: DataFrame,
+    index_table: GraftTable,
+    checkpoint_dir: str,
+    nlist: int = 8,
+    m: int = 4,
+    ksub: int = 16,
+    query_name: str = "graft_ivfpq_index_sink",
+) -> StreamingQuery:
+    """Start an availableNow streaming build/append of the IVF-PQ index
+    from a ``(vec_id, embedding)`` stream."""
+    return (
+        stream_df.writeStream.foreachBatch(
+            GraftStreamIvfPqIndexWriter(index_table, nlist=nlist, m=m, ksub=ksub)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 class GraftStreamDedupIngestWriter:
     """foreachBatch handler running each micro-batch through a
     FingerprintStore (operators/incremental_dedup.py) and appending only

@@ -258,3 +258,26 @@ def test_chunk_dedup_rewrite_bounded_shuffles(spark):
     assert not s["single_partition"], s
     cols = read_columns(df)
     assert cols and all(set(c) <= {"doc_id", "text"} for c in cols), cols
+
+
+def test_ivfpq_probe_plan_is_exchange_free_scan_plus_broadcast(spark):
+    """The IVF-PQ probe must be two pruned scans and a broadcast: the ADC
+    pass is scan -> TakeOrderedAndProject (per-partition top-N, driver
+    merge — no shuffle), and the refine joins the short list back by
+    BROADCAST (never a shuffle of the probed cells). Any Exchange here
+    means the index layout stopped paying for itself."""
+    from delta_lake_optimizations_spark.operators.ivfpq import (
+        _cached_ivfpq_index,
+        ann_topk_from_ivfpq_index,
+    )
+    from delta_lake_optimizations_spark.operators.similarity import query_vector
+    from delta_lake_optimizations_spark.plans.inspect import plan_summary
+
+    t = _cached_ivfpq_index(spark, SF_DIR, nlist=8, m=4, ksub=16)
+    qv = query_vector(spark, SF_DIR, 0)
+    df = ann_topk_from_ivfpq_index(t, qv, k=10, nprobe=4)
+    s = plan_summary(df)
+    assert s["exchanges"] == 0, s
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "TakeOrderedAndProject" in plan
