@@ -77,36 +77,22 @@ def ivf_search(
     return topk_cosine(cand, query_vec, k=k, id_col=id_col, vec_col=vec_col)
 
 
-def ivf_knn_join(
-    df: DataFrame,
-    nlist: int = 16,
-    nprobe: int = 2,
-    k: int = 3,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    seed: int = 7,
-    sample_fraction: float | None = None,
+def _knn_join_cells(
+    assigned: DataFrame,
+    centroids: list[list[float]],
+    nprobe: int,
+    k: int,
+    id_col: str,
+    vec_col: str,
 ) -> DataFrame:
-    """Approximate k-NN JOIN (every row, not one query) blocked by IVF
-    cells: each vector's candidates are the vectors assigned to its own
-    cell plus its ``nprobe - 1`` next-nearest cells.
-
-    Scale shape: the probe map is an ``nlist x nprobe`` table built
-    driver-side from the centroid matrix (tiny by design) and broadcast;
-    the candidate join is an equi-join on the cell id — shuffle on
-    ``list_id``, quadratic only WITHIN a cell, never across the corpus.
-    On clustered embeddings (the realistic case) recall is high because
-    true neighbours share a Voronoi cell; see
-    tests/test_ann_and_components.py for the pinned recall bound.
-    """
+    """The cell-blocked k-NN join tail shared by the inline and indexed
+    forms: probe map (nlist x nprobe, driver-side — tiny by design)
+    broadcast against the assigned frame, candidates equi-joined on the
+    cell id — shuffle on ``list_id``, quadratic only WITHIN a cell,
+    never across the corpus — exact cosine + per-src top-k window."""
     import math
 
     from pyspark.sql import Window
-
-    assigned, centroids = ivf_build(
-        df, nlist=nlist, vec_col=vec_col, id_col=id_col, seed=seed,
-        sample_fraction=sample_fraction,
-    )
 
     def sqdist(a: list[float], b: list[float]) -> float:
         return math.fsum((x - y) ** 2 for x, y in zip(a, b))
@@ -116,7 +102,7 @@ def ivf_knn_join(
         order = sorted(range(len(centroids)), key=lambda j: sqdist(ci, centroids[j]))
         for j in order[:nprobe]:
             probe_rows.append((i, j))
-    probes = df.sparkSession.createDataFrame(
+    probes = assigned.sparkSession.createDataFrame(
         probe_rows, "list_id int, probe_id int"
     )
 
@@ -145,6 +131,53 @@ def ivf_knn_join(
         .filter(F.col("rn") <= k)
         .drop("rn")
     )
+
+
+def ivf_knn_join(
+    df: DataFrame,
+    nlist: int = 16,
+    nprobe: int = 2,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+    sample_fraction: float | None = None,
+) -> DataFrame:
+    """Approximate k-NN JOIN (every row, not one query) blocked by IVF
+    cells: each vector's candidates are the vectors assigned to its own
+    cell plus its ``nprobe - 1`` next-nearest cells.
+
+    This is the INLINE form (fits KMeans per call — right for one-off
+    exploration); ``knn_join_from_ivf_index`` answers the same join from
+    a materialized index with no refit. On clustered embeddings (the
+    realistic case) recall is high because true neighbours share a
+    Voronoi cell; see tests/test_ann_and_components.py for the pinned
+    recall bound.
+    """
+    assigned, centroids = ivf_build(
+        df, nlist=nlist, vec_col=vec_col, id_col=id_col, seed=seed,
+        sample_fraction=sample_fraction,
+    )
+    return _knn_join_cells(assigned, centroids, nprobe, k, id_col, vec_col)
+
+
+def knn_join_from_ivf_index(
+    table,
+    nprobe: int = 2,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Batch k-NN JOIN answered from the MATERIALIZED IVF index: cell
+    assignments come off the stored table (one pruned columnar scan) and
+    the probe map from the stored centroids — no KMeans fit at query
+    time, the batch sibling of ``ann_topk_from_ivf_index``. The same
+    works against an IVF-PQ table (its layout is a superset: the raw
+    vector column rides along for exactly this kind of exact-math
+    consumer; per-query ADC LUTs don't apply to a whole-corpus join)."""
+    centroids = ivf_index_centroids(table)
+    assigned = table.load().select("list_id", id_col, vec_col)
+    return _knn_join_cells(assigned, centroids, nprobe, k, id_col, vec_col)
 
 
 @query("knn_join_ivf", tags=("similarity", "approx", "knn"))
@@ -309,6 +342,16 @@ def ann_ivf_topk_indexed(spark, sf_dir: str) -> DataFrame:
     t = _cached_ivf_index(spark, sf_dir, nlist=8)
     qv = query_vector(spark, sf_dir, 0)
     return ann_topk_from_ivf_index(t, qv, k=10, nprobe=4)
+
+
+@query("knn_join_ivf_indexed", tags=("similarity", "approx", "knn", "index"))
+def knn_join_ivf_indexed(spark, sf_dir: str) -> DataFrame:
+    """Approximate 3-NN join for EVERY vector, answered from the
+    materialized IVF index (stored assignments + stored centroids, no
+    refit). (Rows-only driver check; ``knn_join_ivf_matches_inline`` is
+    the oracle-backed equivalence metric.)"""
+    t = _cached_ivf_index(spark, sf_dir, nlist=8)
+    return knn_join_from_ivf_index(t, nprobe=3, k=3)
 
 
 def assign_to_centroids(

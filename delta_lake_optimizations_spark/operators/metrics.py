@@ -1019,3 +1019,50 @@ def ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         return ann_topk_from_ivfpq_index(idx, qv, k=10, nprobe=4, refine_factor=4)
 
     return _ann_recall_frame(spark, sf_dir, approx, 0.3)
+
+@query(
+    "knn_join_ivf_matches_inline",
+    tags=("similarity", "approx", "knn", "index", "metric"),
+    oracle="""
+        SELECT CAST(3 AS BIGINT) AS k, CAST(0 AS BIGINT) AS n_mismatch
+    """,
+)
+def knn_join_ivf_matches_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batch k-NN join answered from the materialized IVF index must
+    return EXACTLY the inline form's result at the same (nlist=8,
+    nprobe=3, seed=7) dial: seeded KMeans makes the inline assignment
+    identical to the stored one, and both forms share the one
+    ``_knn_join_cells`` tail — so any divergence means a stale index, a
+    drifted stored assignment, or a probe-map bug. n_mismatch counts
+    rows present in exactly one side (full outer on the whole
+    (src, nbr, sim) triple)."""
+    from delta_lake_optimizations_spark.operators.ivf import (
+        _cached_ivf_index,
+        ivf_knn_join,
+        knn_join_from_ivf_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    inline = ivf_knn_join(emb, nlist=8, nprobe=3, k=3, seed=7)
+    indexed = knn_join_from_ivf_index(
+        _cached_ivf_index(spark, sf_dir, nlist=8), nprobe=3, k=3
+    ).select(
+        F.col("src_id").alias("_s2"),
+        F.col("nbr_id").alias("_n2"),
+        F.col("cos_sim").alias("_c2"),
+    )
+    both = inline.join(
+        indexed,
+        (F.col("src_id") == F.col("_s2"))
+        & (F.col("nbr_id") == F.col("_n2"))
+        & (F.col("cos_sim") == F.col("_c2")),
+        "full",
+    )
+    return both.agg(
+        F.lit(3).cast("long").alias("k"),
+        F.sum(
+            F.when(F.col("src_id").isNull() | F.col("_s2").isNull(), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_mismatch"),
+    )

@@ -86,7 +86,11 @@ _QUERY_MODULES = (
 # simhash_jaccard_recall + doc_fingerprint_shingles (dedup/fingerprint
 # families stay via dedup_ngram_jaccard, dedup_components_ngram,
 # minhash_lsh_recall, incremental dedup), and
-# multimodal_decode_consistency (multimodal_real_media_decode stays).
+# multimodal_decode_consistency (multimodal_real_media_decode stays);
+# late in the round the indexed IVF batch k-NN join + twin entered and
+# ann_pq_recall (PQ family now carries the stronger IVF-PQ trio) +
+# skew_salted_join_brand_revenue (green since r4; join coverage stays
+# via q3/q5/q9/q21) rotated out.
 # Everything demoted out of the window stays covered by the identical
 # local gate in ``tests/test_oracle_parity.py``;
 # tests/test_registry_window.py asserts every registry name has had a
@@ -98,6 +102,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ann_ivfpq_topk_indexed",
     "ann_ivfpq_matches_inline",
     "ann_ivfpq_recall",
+    # NEW this round: batch k-NN join from the materialized IVF index
+    # (rows-only) + its oracle-backed equality twin
+    "knn_join_ivf_indexed",
+    "knn_join_ivf_matches_inline",
     # NEW this round (oracle-backed): trigram stupid-backoff LM + BPE
     # token packing + the BPE roundtrip/count-consistency metric
     "lm_backoff_scores",
@@ -120,7 +128,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ann_lsh_indexed_matches_inline",
     # metric-family greens held in the window (oracle-backed twins of the
     # approximate operators)
-    "ann_pq_recall",
     "minhash_lsh_recall",
     "knn_join_ivf_recall",
     "hard_negatives_lsh_overlap",
@@ -143,7 +150,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "quality_classifier_scores",
     # proven greens re-verified: family representatives keeping the window
     # full
-    "skew_salted_join_brand_revenue",
     "dedup_ngram_jaccard",
     # r06 debutantes re-verified: dataset card + the paragraph family
     "corpus_datacard",
