@@ -503,6 +503,16 @@ def _bench_sf1_rehearsal(spark, sf_dir: str, sf01_timings: dict[str, float]) -> 
         "lm_perplexity_scores",
         "paragraph_dedup_docs",
         "strip_boilerplate_docs",
+        # r7 additions: the trigram stupid-backoff LM, BPE packing + its
+        # corpus-wide roundtrip metric, and the IVF-PQ index-vs-inline
+        # equality twin, all value-checked on the 10x corpus too. (The
+        # knn_join_ivf twin stays at sf0.01: a cell-blocked self-join at
+        # 50k vectors is ~1e9 candidate pairs — the twin pins logic
+        # equality, which does not need scale.)
+        "lm_backoff_scores",
+        "bpe_pack_documents",
+        "bpe_roundtrip_consistency",
+        "ann_ivfpq_matches_inline",
     ]
     out["correctness"] = run_sf1_correctness(spark, out_dir, check_names)
     out["correctness_all_green"] = all(
