@@ -117,10 +117,13 @@ def test_concurrent_identity_appends_never_double_allocate(spark, tmp_path):
 
     orig = gt.GraftTable._write_commit
 
-    def stale_commit(self, operation, parameters, add, remove, metadata=None, base_version=None):
+    def stale_commit(
+        self, operation, parameters, add, remove, metadata=None,
+        base_version=None, no_rebase=False,
+    ):
         return orig(
             self, operation, parameters, add, remove, metadata,
-            base_version=stale_base,
+            base_version=stale_base, no_rebase=no_rebase,
         )
 
     try:
