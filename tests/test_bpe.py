@@ -104,3 +104,76 @@ def test_bpe_packing_budget_arithmetic(spark):
         n, pid, off = packed[i]
         assert pid == run // 64 and off == run % 64
         run += n
+
+
+# --- property-based invariants (hypothesis) ---
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_WORD = st.text(
+    alphabet=st.characters(
+        blacklist_categories=("Zs", "Zl", "Zp", "Cc", "Cs"),
+        blacklist_characters="<>/",  # keep the EOW marker unforgeable
+    ),
+    min_size=1,
+    max_size=8,
+)
+_TEXT = st.lists(_WORD, min_size=0, max_size=12).map(" ".join)
+
+
+@settings(max_examples=40, deadline=None, suppress_health_check=list(HealthCheck))
+@given(corpus=st.lists(_TEXT, min_size=1, max_size=6), n_merges=st.integers(0, 30))
+def test_bpe_roundtrip_property(spark, corpus, n_merges):
+    """For ANY corpus and merge budget: decode(encode(t)) reproduces the
+    whitespace-normalized text, encoding is deterministic, and every
+    word's token count is between 1 and its character length."""
+    from delta_lake_optimizations_spark.operators.bpe import (
+        decode_tokens,
+        encode_tokens,
+        train_bpe,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+    )
+    model = train_bpe(df, "text", n_merges=n_merges)
+    assert model.merges == train_bpe(df, "text", n_merges=n_merges).merges
+    for t in corpus:
+        toks = encode_tokens(t, model)
+        assert decode_tokens(toks) == " ".join(t.split())
+        assert toks == encode_tokens(t, model)
+        for w in t.split():
+            n = len(encode_tokens(w, model))
+            assert 1 <= n <= len(w)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    ref_texts=st.lists(_TEXT, min_size=1, max_size=4),
+    doc_texts=st.lists(_TEXT, min_size=1, max_size=4),
+)
+def test_backoff_scores_bounded_property(spark, ref_texts, doc_texts):
+    """Stupid-backoff scores are bounded: every level's S is <= 1
+    (trigram ratio <= 1; 0.4 * bigram ratio <= 0.4; the smoothed unigram
+    <= 0.16), so per-document ppl = exp(avg -ln S) >= 1 for ANY
+    reference/document pair — and every doc with >= 3 tokens gets a row."""
+    from delta_lake_optimizations_spark.operators.lm_quality import backoff_scores
+
+    rows = [(i, t, "ref") for i, t in enumerate(ref_texts)] + [
+        (100 + i, t, "eval") for i, t in enumerate(doc_texts)
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string, split string")
+    got = {
+        r["doc_id"]: r["ppl"]
+        for r in backoff_scores(
+            corpus, corpus.filter("split = 'ref'"), "doc_id", "text"
+        ).collect()
+    }
+    for i, t in enumerate(doc_texts):
+        n_toks = len(t.split())
+        if n_toks >= 3:
+            assert 100 + i in got
+            assert got[100 + i] >= 1.0 - 1e-9
+        else:
+            assert 100 + i not in got
