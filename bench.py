@@ -532,7 +532,18 @@ def _bench_sf5_rehearsal(spark, sf_dir: str) -> dict:
     in THIS session (both measured here, so machine drift cancels);
     acceptance is ratio <= ~7.5, i.e. <= 1.5x linear for 5x data. A
     subset of oracle-backed queries is also VALUE-checked on the sf5
-    corpus."""
+    corpus.
+
+    Reading the dedup ratios: the replica-shifted corpus multiplies
+    every duplicate GROUP's size by the factor, so the number of true
+    near-dup pairs grows QUADRATICALLY in the factor (50 copies of a
+    text = 1225 pairs vs 45 at 10 copies) — a pair-enumerating operator
+    (MinHash banded join, the CC edge list it feeds) measured slightly
+    above linear here is reflecting its output's growth, not a plan
+    defect; the map-side operators (paragraph, boilerplate, LM) stay
+    well under linear. The production mitigation is standard pipeline
+    ordering — exact dedup collapses identical texts BEFORE MinHash —
+    which this engine ships as `dedup_exact_text`/FingerprintStore."""
     sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts"))
     from make_sfx import make_sfx
     from sf1_check import run_sf1_correctness
