@@ -153,3 +153,31 @@ def test_ivfpq_registered_query_runs(spark):
     assert rows[0]["vec_id"] == 0
     sims = [r["cos_sim"] for r in rows]
     assert sims == sorted(sims, reverse=True)
+
+
+def test_ivf_batch_knn_join_works_on_ivfpq_table(spark, tmp_path):
+    """The IVF-PQ layout is a superset of the IVF one (raw vectors ride
+    along for exact-math consumers), so the materialized batch k-NN join
+    must answer straight off an IVF-PQ table — and agree with the same
+    join off a plain IVF index built at the same seed (identical KMeans
+    -> identical cells -> identical candidates)."""
+    from delta_lake_optimizations_spark.catalog import load_table
+    from delta_lake_optimizations_spark.operators.ivf import (
+        build_ivf_index,
+        knn_join_from_ivf_index,
+    )
+
+    from .conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    t_pq = build_ivfpq_index(spark, emb, str(tmp_path / "pq"), nlist=4, m=4, ksub=16)
+    t_flat = build_ivf_index(spark, emb, str(tmp_path / "flat"), nlist=4)
+    a = sorted(
+        (r["src_id"], r["nbr_id"], r["cos_sim"])
+        for r in knn_join_from_ivf_index(t_pq, nprobe=2, k=3).collect()
+    )
+    b = sorted(
+        (r["src_id"], r["nbr_id"], r["cos_sim"])
+        for r in knn_join_from_ivf_index(t_flat, nprobe=2, k=3).collect()
+    )
+    assert a == b and len(a) > 0
