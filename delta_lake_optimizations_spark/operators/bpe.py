@@ -387,3 +387,113 @@ def bpe_roundtrip_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_count_consistent"),
     )
+
+@query(
+    "bpe_pack_sizes",
+    tags=("text", "packing", "bpe", "llm-pipeline"),
+    oracle=f"""
+        WITH vocab AS (
+            SELECT word, n_tokens
+            FROM read_parquet('{VOCAB_SIDECAR}/*.parquet')
+        ),
+        doc_words AS (
+            SELECT doc_id, source, UNNEST(
+                string_split_regex(trim(COALESCE(text, '')), '\\s+')
+            ) AS word
+            FROM documents
+        ),
+        doc_tokens AS (
+            SELECT d.doc_id,
+                   ANY_VALUE(d.source) AS source,
+                   CAST(SUM(v.n_tokens) AS BIGINT) AS n
+            FROM doc_words d
+            JOIN vocab v USING (word)
+            WHERE d.word <> ''
+            GROUP BY d.doc_id
+        ),
+        spans AS (
+            SELECT doc_id, source, n,
+                   COALESCE(SUM(n) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS cum_before
+            FROM doc_tokens
+            WHERE n > 0
+        ),
+        pieces AS (
+            SELECT source,
+                   CAST(p.pack_id AS BIGINT) AS pack_id,
+                   LEAST(cum_before + n, (p.pack_id + 1) * 256)
+                       - GREATEST(cum_before, p.pack_id * 256) AS piece
+            FROM spans,
+                 LATERAL (
+                     SELECT UNNEST(generate_series(
+                         CAST(FLOOR(cum_before / 256) AS BIGINT),
+                         CAST(FLOOR((cum_before + n - 1) / 256) AS BIGINT)
+                     )) AS pack_id
+                 ) p
+        )
+        SELECT source, pack_id,
+               CAST(SUM(piece) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM pieces
+        GROUP BY source, pack_id
+    """,
+)
+def bpe_pack_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The numeric proof of concatenate-and-split semantics: documents
+    are cut ACROSS pack boundaries, so every (source, pack) must hold
+    exactly 256 BPE tokens — except each shard's last pack — and the
+    per-pack doc counts expose the straddling. Spark enumerates each
+    document's overlapped packs with ``sequence`` + ``explode`` (pure
+    codegen off the same running-sum window packing uses); the oracle
+    re-derives identically from the persisted vocab sidecar. One window
+    shuffle per shard + one aggregate — no corpus-size driver state."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    model = cached_bpe_model(spark, sf_dir, n_merges=200)
+    word_token_counts(docs, model, "text").write.mode("overwrite").parquet(
+        VOCAB_SIDECAR
+    )
+    budget = 256
+    toks = (
+        with_bpe_tokens(docs, model, "text")
+        .select(
+            "doc_id", "source", F.size("bpe_tokens").cast("long").alias("n")
+        )
+        .filter(F.col("n") > 0)
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    spans = toks.withColumn(
+        "cum_before", F.coalesce(F.sum("n").over(w), F.lit(0))
+    )
+    pieces = spans.select(
+        "source",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("cum_before") / budget),
+                F.floor((F.col("cum_before") + F.col("n") - 1) / budget),
+            )
+        ).alias("pack_id"),
+        "cum_before",
+        "n",
+    ).select(
+        "source",
+        F.col("pack_id").cast("long").alias("pack_id"),
+        (
+            F.least(
+                F.col("cum_before") + F.col("n"),
+                (F.col("pack_id") + 1) * budget,
+            )
+            - F.greatest(F.col("cum_before"), F.col("pack_id") * budget)
+        ).alias("piece"),
+    )
+    return pieces.groupBy("source", "pack_id").agg(
+        F.sum("piece").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )

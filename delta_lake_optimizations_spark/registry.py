@@ -90,7 +90,9 @@ _QUERY_MODULES = (
 # late in the round the indexed IVF batch k-NN join + twin entered and
 # ann_pq_recall (PQ family now carries the stronger IVF-PQ trio) +
 # skew_salted_join_brand_revenue (green since r4; join coverage stays
-# via q3/q5/q9/q21) rotated out.
+# via q3/q5/q9/q21) rotated out, then bpe_pack_sizes entered for
+# hll_error_by_flag (sketch family keeps approx_percentile_error_by_flag
+# in-window; HLL stays in the local oracle gate).
 # Everything demoted out of the window stays covered by the identical
 # local gate in ``tests/test_oracle_parity.py``;
 # tests/test_registry_window.py asserts every registry name has had a
@@ -110,6 +112,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # token packing + the BPE roundtrip/count-consistency metric
     "lm_backoff_scores",
     "bpe_pack_documents",
+    "bpe_pack_sizes",
     "bpe_roundtrip_consistency",
     # r06 debutantes re-verified (second driver row)
     "ann_lsh_ranked_recall",
@@ -132,7 +135,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "knn_join_ivf_recall",
     "hard_negatives_lsh_overlap",
     "multimodal_real_media_decode",
-    "hll_error_by_flag",
     "approx_percentile_error_by_flag",
     # r06 debutantes re-verified: VARIANT rollup + bigram-LM perplexity
     "variant_props_rollup",

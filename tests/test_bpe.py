@@ -177,3 +177,25 @@ def test_backoff_scores_bounded_property(spark, ref_texts, doc_texts):
             assert got[100 + i] >= 1.0 - 1e-9
         else:
             assert 100 + i not in got
+
+
+def test_pack_sizes_are_exactly_budget_except_shard_tails(spark):
+    """Concatenate-and-split's defining property, on the real corpus:
+    every (source, pack) holds exactly 256 BPE tokens except each
+    shard's final pack, and straddled documents are counted in every
+    pack they touch (so per-pack doc counts sum to >= the doc count)."""
+    from delta_lake_optimizations_spark.operators.bpe import bpe_pack_sizes
+
+    from .conftest import SF_DIR
+
+    rows = bpe_pack_sizes(spark, SF_DIR).collect()
+    assert rows
+    last = {}
+    for r in rows:
+        last[r["source"]] = max(last.get(r["source"], -1), r["pack_id"])
+    for r in rows:
+        if r["pack_id"] != last[r["source"]]:
+            assert r["n_tokens"] == 256, (r["source"], r["pack_id"], r["n_tokens"])
+        else:
+            assert 0 < r["n_tokens"] <= 256
+        assert r["n_docs"] >= 1
