@@ -511,6 +511,7 @@ def _bench_sf1_rehearsal(spark, sf_dir: str, sf01_timings: dict[str, float]) -> 
         # equality, which does not need scale.)
         "lm_backoff_scores",
         "bpe_pack_documents",
+        "bpe_pack_sizes",
         "bpe_roundtrip_consistency",
         "ann_ivfpq_matches_inline",
     ]
