@@ -181,3 +181,37 @@ def test_ivf_batch_knn_join_works_on_ivfpq_table(spark, tmp_path):
         for r in knn_join_from_ivf_index(t_flat, nprobe=2, k=3).collect()
     )
     assert a == b and len(a) > 0
+
+
+def test_ivfpq_optimize_compacts_fragmented_cells_probe_unchanged(spark, tmp_path):
+    """Index maintenance lifecycle: streaming-style appends fragment the
+    cells (several small files per hive partition); OPTIMIZE must compact
+    them back toward one file per cell WITHOUT changing probe results or
+    breaking partition pruning — the operational loop a served index
+    actually lives in."""
+    from delta_lake_optimizations_spark.table.maintenance import optimize
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    third = emb.count() // 3
+    base = emb.filter(F.col("vec_id") < third)
+    t = build_ivfpq_index(spark, base, str(tmp_path / "idx"), nlist=4, m=4, ksub=16)
+    append_to_ivfpq_index(
+        t, emb.filter((F.col("vec_id") >= third) & (F.col("vec_id") < 2 * third))
+    )
+    append_to_ivfpq_index(t, emb.filter(F.col("vec_id") >= 2 * third))
+
+    qv = _qv(emb)
+    before = ann_topk_from_ivfpq_index(t, qv, k=10, nprobe=2).collect()
+    files_before = len(t.snapshot().files)
+    assert files_before > 4, "appends should have fragmented the cells"
+
+    optimize(t, target_files=1)
+    files_after = len(t.snapshot().files)
+    assert files_after < files_before
+    # partition pruning must survive compaction: a 2-cell probe reads at
+    # most 2 files once each cell is one file
+    assert ivfpq_probe_files_scanned(t, qv, nprobe=2) <= 2
+    after = ann_topk_from_ivfpq_index(t, qv, k=10, nprobe=2).collect()
+    assert [(r["vec_id"], r["cos_sim"]) for r in after] == [
+        (r["vec_id"], r["cos_sim"]) for r in before
+    ]
