@@ -56,10 +56,16 @@ from delta_lake_optimizations_spark.registry import query
 
 EOW = "</w>"
 
-# fixed sidecar path shared by the registered packing query and its
-# DuckDB oracle (the query WRITES it eagerly before returning, the
-# oracle READS it — the driver runs each query before its oracle)
-VOCAB_SIDECAR = os.path.join(tempfile.gettempdir(), "spark_graft_bpe", "word_tokens.parquet")
+# Sidecar path shared by the registered packing queries and their DuckDB
+# oracles (each query WRITES it eagerly before returning, the oracle
+# READS it — the driver runs each query before its oracle). Keyed by PID:
+# oracle SQL strings are rendered once at import, so the path must be
+# stable within a process, but a CONCURRENT run at another scale factor
+# (another process) must not overwrite it between this process's query
+# and oracle — per-process temp dirs make that impossible.
+VOCAB_SIDECAR = os.path.join(
+    tempfile.gettempdir(), f"spark_graft_bpe_{os.getpid()}", "word_tokens.parquet"
+)
 
 
 def pre_tokenize(col: Column) -> Column:
@@ -326,8 +332,13 @@ def bpe_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     word_token_counts(docs, model, "text").write.mode("overwrite").parquet(
         VOCAB_SIDECAR
     )
-    toks = with_bpe_tokens(docs, model, "text").withColumn(
-        "n_bpe_tokens", F.size("bpe_tokens").cast("long")
+    toks = (
+        with_bpe_tokens(docs, model, "text")
+        .withColumn("n_bpe_tokens", F.size("bpe_tokens").cast("long"))
+        # the oracle's inner join on vocab drops zero-token (empty/
+        # whitespace-only) documents; mirror that here so a corpus with
+        # empty docs can't hash-mismatch (bpe_pack_sizes already filters)
+        .filter(F.col("n_bpe_tokens") > 0)
     )
     packed = pack_sequences(
         toks, token_col="n_bpe_tokens", order_col="doc_id",

@@ -153,9 +153,21 @@ class FingerprintStore:
                 F.lit(batch_id).alias("batch"),
             )
             try:
+                # mode='error' when the store did not exist at derivation
+                # time: if a RIVAL process created it between our exists()
+                # check and this write, write() re-checks existence and
+                # raises FileExistsError instead of overwriting (which
+                # would silently delete the rival's admitted fingerprints
+                # — the double-admit hole would re-open through creation).
+                # Treated exactly like ConcurrentCommitError below: loop
+                # and re-derive with an anti-join against the rival's
+                # head. Two creations racing write() itself collide on
+                # link(2) at version 0 (creation commits carry metadata,
+                # so the loser is never rebased) and raise
+                # ConcurrentCommitError — same retry path.
                 self.table.write(
                     to_append,
-                    mode="append" if existed else "overwrite",
+                    mode="append" if existed else "error",
                     # fp is a uniform hash, so min/max ranges can never
                     # prune it; point `contains` probes prune through the
                     # BLOOM sidecar (auto-built at write), and cluster.by
@@ -168,7 +180,7 @@ class FingerprintStore:
                     serializable=True,
                     expected_version=ver,
                 )
-            except ConcurrentCommitError:
+            except (ConcurrentCommitError, FileExistsError):
                 attempts += 1
                 if attempts > 20:
                     raise

@@ -13,6 +13,23 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_driver_mem() -> str:
+    """~1 GB per local task thread, bounded by half of physical RAM and
+    floored at 8g (the pre-sf5 default, always safe for the test tiers)."""
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS") or os.cpu_count() or 8)
+    half_ram_gb = None
+    try:
+        page = os.sysconf("SC_PAGE_SIZE")
+        phys = os.sysconf("SC_PHYS_PAGES")
+        half_ram_gb = max(1, (page * phys) // (2 * 1024**3))
+    except (ValueError, OSError, AttributeError):
+        pass
+    gb = max(8, cores)
+    if half_ram_gb is not None:
+        gb = max(2, min(gb, half_ram_gb))
+    return f"{gb}g"
+
+
 def get_spark(
     app_name: str = "delta_lake_optimizations_spark",
     master: str | None = None,
@@ -50,8 +67,11 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         # local mode runs every task thread inside the driver JVM, so the
         # driver heap IS the executor memory: size it ~1 GB/core (the sf5
-        # rehearsal OOMed 32 threads sharing the old 8g default)
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
+        # rehearsal OOMed 32 threads sharing the old 8g default), but cap
+        # at roughly half the machine's physical RAM so the JVM can still
+        # start on small hosts — a fixed 32g default would fail outright
+        # on a 16 GB laptop. SPARK_GRAFT_DRIVER_MEM overrides.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM") or _default_driver_mem())
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
