@@ -451,7 +451,10 @@ def _bench_sf1_rehearsal(spark, sf_dir: str, sf01_timings: dict[str, float]) -> 
 
     out_dir = make_sfx(spark, sf_dir, "/tmp/spark_graft_sfx/sf1", factor=10)
     reg = registry()
-    names = [n for n, q in reg.items() if q.headline] + ["dedup_minhash_lsh"]
+    names = [n for n, q in reg.items() if q.headline] + [
+        "dedup_minhash_lsh",
+        "dedup_minhash_scaled",
+    ]
     out: dict = {"dir": out_dir, "factor": 10, "queries": {}, "ratio_vs_sf01": {}}
     for name in sorted(set(names)):
         fn = reg[name].fn
@@ -514,6 +517,10 @@ def _bench_sf1_rehearsal(spark, sf_dir: str, sf01_timings: dict[str, float]) -> 
         "bpe_pack_sizes",
         "bpe_roundtrip_consistency",
         "ann_ivfpq_matches_inline",
+        # r8 addition: the composed scale path must equal the uncomposed
+        # pairwise form on the 10x replica-shifted corpus too (where the
+        # exact-collapse stage does real work: 50k docs -> ~5k reps)
+        "minhash_scaled_matches_pairwise",
     ]
     out["correctness"] = run_sf1_correctness(spark, out_dir, check_names)
     out["correctness_all_green"] = all(
@@ -538,13 +545,12 @@ def _bench_sf5_rehearsal(spark, sf_dir: str) -> dict:
     Reading the dedup ratios: the replica-shifted corpus multiplies
     every duplicate GROUP's size by the factor, so the number of true
     near-dup pairs grows QUADRATICALLY in the factor (50 copies of a
-    text = 1225 pairs vs 45 at 10 copies) — a pair-enumerating operator
-    (MinHash banded join, the CC edge list it feeds) measured slightly
-    above linear here is reflecting its output's growth, not a plan
-    defect; the map-side operators (paragraph, boilerplate, LM) stay
-    well under linear. The production mitigation is standard pipeline
-    ordering — exact dedup collapses identical texts BEFORE MinHash —
-    which this engine ships as `dedup_exact_text`/FingerprintStore."""
+    text = 1225 pairs vs 45 at 10 copies). The registered SCALE path is
+    therefore `dedup_minhash_scaled` (survivor-set contract: exact
+    collapse before MinHash + per-bucket cap — linear in corpus size);
+    the pair-enumerating `dedup_minhash_lsh` is timed separately as
+    `pair_enumerating_reference` OUTSIDE the ratio gate, because its
+    OUTPUT is quadratic by contract (r07's 14.67x finding)."""
     sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts"))
     from make_sfx import make_sfx
     from sf1_check import run_sf1_correctness
@@ -559,7 +565,7 @@ def _bench_sf5_rehearsal(spark, sf_dir: str) -> dict:
     )
     reg = registry()
     heavy = (
-        "dedup_minhash_lsh",
+        "dedup_minhash_scaled",
         "dedup_components_ngram",
         "paragraph_dedup_docs",
         "strip_boilerplate_docs",
@@ -576,6 +582,19 @@ def _bench_sf5_rehearsal(spark, sf_dir: str) -> dict:
         t5 = round(time.perf_counter() - t0, 4)
         out["queries"][name] = {"sf1_sec": t1, "sf5_sec": t5}
         out["ratio_vs_sf1"][name] = round(t5 / t1, 2)
+    # informational: the pair-enumerating form, outside the ratio gate
+    # (quadratic OUTPUT under replication by contract — see docstring)
+    fn = reg["dedup_minhash_lsh"].fn
+    t0 = time.perf_counter()
+    fn(spark, sf1_dir).count()
+    t1 = round(time.perf_counter() - t0, 4)
+    t0 = time.perf_counter()
+    fn(spark, sf5_dir).count()
+    t5 = round(time.perf_counter() - t0, 4)
+    out["pair_enumerating_reference"] = {
+        "name": "dedup_minhash_lsh", "sf1_sec": t1, "sf5_sec": t5,
+        "ratio": round(t5 / t1, 2),
+    }
 
     # sharded-ANN probe at sf5: index build (once) + probe latency vs a
     # brute-force scan of the same 250k-vector corpus
