@@ -652,6 +652,59 @@ def _bench_sf5_rehearsal(spark, sf_dir: str) -> dict:
     return out
 
 
+def _bench_sf5_tpch_rehearsal(spark, sf_dir: str) -> dict:
+    """VERDICT r07 #2: rehearse the RELATIONAL engine (the reference-
+    lineage join/agg workload, docs/02-lab-optimizations.md:98-102
+    flagship shape) at 5x the sf1 fact volume — ~30M lineitem rows from
+    an sf0.1 base, facts AND dimensions replicated 50x with per-replica
+    key shifts so join fan-out stays realistic (make_sfx re-keys
+    orderkeys/custkeys/suppkeys/partkeys; nation/region stay single-copy
+    like TPC-H scale-up). Text/vector tables ride at 1x — the r06 sf5
+    rehearsal covered them; this block exists because q1/q3/q5/q9/q21
+    had never run above sf1. Ratio = t(sf5)/t(sf1) measured in-session
+    (machine drift cancels); bar <= ~7.5 (1.5x-linear for 5x data).
+    The same five queries are VALUE-checked against DuckDB on the sf5
+    corpus."""
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts"))
+    from make_sfx import make_sfx
+    from sf1_check import run_sf1_correctness
+
+    sf1_dir = make_sfx(spark, sf_dir, "/tmp/spark_graft_sfx/sf1", factor=10)
+    sf5t_dir = make_sfx(
+        spark, sf_dir, "/tmp/spark_graft_sfx/sf5_tpch", factor=50,
+        factor_overrides={t: 1 for t in ("documents", "embeddings", "events")},
+    )
+    reg = registry()
+    tpch = (
+        "q1_pricing_summary",
+        "q3_top_unshipped_orders",
+        "q5_revenue_by_nation",
+        "q9_product_type_profit",
+        "q21_suppliers_kept_orders_waiting",
+    )
+    out: dict = {"dir": sf5t_dir, "factor_vs_sf1": 5, "queries": {}, "ratio_vs_sf1": {}}
+    for name in tpch:
+        fn = reg[name].fn
+        fn(spark, sf1_dir).count()  # warm both shapes (JIT, file listing)
+        t0 = time.perf_counter()
+        fn(spark, sf1_dir).count()
+        t1 = round(time.perf_counter() - t0, 4)
+        fn(spark, sf5t_dir).count()
+        t0 = time.perf_counter()
+        fn(spark, sf5t_dir).count()
+        t5 = round(time.perf_counter() - t0, 4)
+        out["queries"][name] = {"sf1_sec": t1, "sf5_sec": t5}
+        out["ratio_vs_sf1"][name] = round(t5 / t1, 2)
+    ratios = list(out["ratio_vs_sf1"].values())
+    out["max_ratio_vs_sf1"] = max(ratios) if ratios else None
+    out["correctness"] = run_sf1_correctness(spark, sf5t_dir, list(tpch))
+    out["correctness_all_green"] = all(
+        v.get("rows_match") and v.get("schema_match") and v.get("values_match")
+        for v in out["correctness"].values()
+    ) and len(out["correctness"]) > 0
+    return out
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument(
@@ -669,6 +722,7 @@ def main() -> None:
     parser.add_argument("--no-ann-index", action="store_true")
     parser.add_argument("--no-sf1", action="store_true")
     parser.add_argument("--no-sf5", action="store_true")
+    parser.add_argument("--no-sf5-tpch", action="store_true")
     args = parser.parse_args()
 
     spark = get_spark(app_name="bench")
@@ -747,6 +801,11 @@ def main() -> None:
         if not args.no_sf5 and _sf_from_dir(args.sf_dir) == 0.1
         else None
     )
+    sf5_tpch = (
+        _bench_sf5_tpch_rehearsal(spark, args.sf_dir)
+        if not args.no_sf5_tpch and _sf_from_dir(args.sf_dir) == 0.1
+        else None
+    )
 
     full = {
         "metric": "headline_queries_total_sec",
@@ -763,6 +822,7 @@ def main() -> None:
         "ann_index": ann_index,
         "sf1": sf1,
         "sf5": sf5,
+        "sf5_tpch": sf5_tpch,
     }
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_detail.json")
     with open(detail_path, "w") as f:
@@ -824,12 +884,21 @@ def main() -> None:
             "correctness_all_green": sf5.get("correctness_all_green"),
             "correctness_n": len(sf5.get("correctness", {})),
         }
+    if sf5_tpch is not None:
+        compact["sf5_tpch"] = {
+            "max_ratio_vs_sf1": sf5_tpch["max_ratio_vs_sf1"],
+            "correctness_all_green": sf5_tpch.get("correctness_all_green"),
+            "correctness_n": len(sf5_tpch.get("correctness", {})),
+        }
     line = json.dumps(compact)
     if len(line) > 1900:
         compact.pop("ann_index", None)
         line = json.dumps(compact)
     if len(line) > 1900:
         compact.pop("sf5", None)
+        line = json.dumps(compact)
+    if len(line) > 1900:
+        compact.pop("sf5_tpch", None)
         line = json.dumps(compact)
     if len(line) > 1900:
         compact.pop("sf1", None)

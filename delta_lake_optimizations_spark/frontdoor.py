@@ -604,6 +604,26 @@ class GraftCatalog:
             (loc, len(snap.files), snap.num_records),
         )
 
+    def _h_convert_from_delta(self, m: re.Match) -> DataFrame:
+        """CONVERT FROM DELTA delta.`/path` [VERSION AS OF n] — read-only
+        import of a real delta-spark table (parse the public protocol's
+        JSON actions/checkpoints into a GraftTable log next to the
+        ``_delta_log``; see table/delta_import.py)."""
+        from delta_lake_optimizations_spark.table.delta_import import (
+            convert_from_delta,
+        )
+
+        loc = m.group("loc").strip("`")
+        ver = m.group("ver")
+        t = convert_from_delta(
+            self.spark, loc, version=int(ver) if ver else None
+        )
+        snap = t.snapshot()
+        return self._row(
+            ("location", "numFiles", "numRecords", "versions"),
+            (loc, len(snap.files), snap.num_records, snap.version + 1),
+        )
+
     def _h_create_location(self, m: re.Match) -> DataFrame:
         self.register(m.group("table"), _unquote(m.group("loc")))
         return self._row(("table",), (m.group("table"),))
@@ -813,6 +833,14 @@ class GraftCatalog:
                 re.I,
             ),
             _h_convert,
+        ),
+        (
+            re.compile(
+                r"CONVERT\s+FROM\s+DELTA\s+delta\.(?P<loc>`[^`]+`)"
+                r"(?:\s+VERSION\s+AS\s+OF\s+(?P<ver>\d+))?$",
+                re.I,
+            ),
+            _h_convert_from_delta,
         ),
         (
             re.compile(

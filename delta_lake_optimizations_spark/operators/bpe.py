@@ -70,9 +70,14 @@ VOCAB_SIDECAR = os.path.join(
 
 def pre_tokenize(col: Column) -> Column:
     """Whitespace pre-tokenization (case-preserving — unlike the dedup
-    stack's ``tokenize``, a tokenizer must not destroy information).
+    stack's ``tokenize``, a tokenizer must not destroy information), with
+    zero-width characters stripped (shared light-normalization tier,
+    ``operators/textnorm.py`` — still codegen; identical on zero-width-
+    free corpora like the driver's).
     Mirrored in the oracle as ``string_split_regex(trim(text), '\\s+')``."""
-    return F.split(F.trim(F.coalesce(col, F.lit(""))), r"\s+")
+    from delta_lake_optimizations_spark.operators.textnorm import strip_invisible
+
+    return F.split(F.trim(strip_invisible(F.coalesce(col, F.lit("")))), r"\s+")
 
 
 @dataclass(frozen=True)

@@ -86,9 +86,15 @@ def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def tokenize(col: Column) -> Column:
-    """Lowercased whitespace tokens (identical semantics to the DuckDB
-    oracle's regexp split)."""
-    return F.split(F.lower(F.trim(col)), r"\s+")
+    """Lowercased whitespace tokens with zero-width characters stripped
+    (the shared light normalization tier — ``operators/textnorm.py``;
+    still pure codegen). Identical to the DuckDB oracles' regexp split
+    on any zero-width-free corpus — the driver corpora are (verified);
+    the normalization itself is oracle-pinned by
+    ``normalize_text_docs``/``dedup_normalized_forms``."""
+    from delta_lake_optimizations_spark.operators.textnorm import light_normalize
+
+    return F.split(light_normalize(col), r"\s+")
 
 
 def token_ngrams(col: Column, n: int) -> Column:

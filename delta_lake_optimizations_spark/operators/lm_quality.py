@@ -347,6 +347,229 @@ def backoff_filter(
     )
 
 
+# ---------------------------------------------------------------------------
+# 4-gram stupid backoff (VERDICT r07 #4): one more order of the same
+# Brants et al. cascade — CCNet's KenLM reference uses 4-5-gram models,
+# and each added order measurably sharpens the filter on longer
+# dependencies. Same pruning semantics: ``min_count`` prunes ONLY the
+# top (4-gram) table — a pruned 4-gram backs off, exactly the paper's
+# count-cutoff behavior; all lower orders stay unpruned because they
+# serve as denominators.
+#
+#     S(w4 | w1 w2 w3) = c4(w1..w4) / c3(w1 w2 w3)        if c4 > 0
+#                      = a   * c3(w2 w3 w4) / c2(w2 w3)   elif c3 > 0
+#                      = a^2 * c2(w3 w4)    / c1(w3)      elif c2 > 0
+#                      = a^3 * (c1(w4) + 1) / (N + V)     otherwise
+# ---------------------------------------------------------------------------
+
+
+def train_backoff4_lm(
+    ref: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_count: int = 1,
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Count tables for the 4-gram stupid-backoff LM: four hash
+    aggregates over the reference gram streams plus the 1-row scalars.
+    Only the 4-gram table is pruned (see module comment)."""
+    fourgrams = (
+        _gram_rows(ref, id_col, text_col, n=4, short_gram=False)
+        .groupBy(F.col("_gram").alias("_gram4"))
+        .agg(F.count(F.lit(1)).alias("c4"))
+    )
+    if min_count > 1:
+        fourgrams = fourgrams.filter(F.col("c4") >= min_count)
+    trigrams, bigrams, unigrams, scalars = train_backoff_lm(
+        ref, id_col, text_col, min_count=1
+    )
+    return fourgrams, trigrams, bigrams, unigrams, scalars
+
+
+def backoff4_scores(
+    docs: DataFrame,
+    ref: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_count: int = 1,
+    alpha: float = BACKOFF_ALPHA,
+) -> DataFrame:
+    """Per-document 4-gram stupid-backoff score: ``(id_col, n_fourgrams,
+    ppl)`` for every document with >= 1 4-gram position (< 4 tokens ->
+    no evidence, dropped). Scoring is the gram stream left-joined to the
+    four count tables (AQE broadcasts small LMs); N and V ride one
+    broadcast 1-row cross join."""
+    fourgrams, trigrams, bigrams, unigrams, scalars = train_backoff4_lm(
+        ref, id_col, text_col, min_count
+    )
+    parts = F.split("_gram", " ")
+    doc_four = _gram_rows(docs, id_col, text_col, n=4, short_gram=False).select(
+        "_id",
+        F.col("_gram").alias("_gram4"),
+        F.concat_ws(
+            " ", parts.getItem(0), parts.getItem(1), parts.getItem(2)
+        ).alias("_p3"),
+        F.concat_ws(
+            " ", parts.getItem(1), parts.getItem(2), parts.getItem(3)
+        ).alias("_s3"),
+        F.concat_ws(" ", parts.getItem(1), parts.getItem(2)).alias("_m2"),
+        F.concat_ws(" ", parts.getItem(2), parts.getItem(3)).alias("_s2"),
+        parts.getItem(2).alias("_w3"),
+        parts.getItem(3).alias("_w4"),
+    )
+    joined = (
+        doc_four.join(fourgrams, "_gram4", "left")
+        .join(
+            trigrams.select(F.col("_gram3").alias("_p3"), F.col("c3").alias("c3p")),
+            "_p3",
+            "left",
+        )
+        .join(
+            trigrams.select(F.col("_gram3").alias("_s3"), F.col("c3").alias("c3s")),
+            "_s3",
+            "left",
+        )
+        .join(
+            bigrams.select(F.col("_gram2").alias("_m2"), F.col("c2").alias("c2m")),
+            "_m2",
+            "left",
+        )
+        .join(
+            bigrams.select(F.col("_gram2").alias("_s2"), F.col("c2").alias("c2s")),
+            "_s2",
+            "left",
+        )
+        .join(
+            unigrams.select(F.col("_w").alias("_w3"), F.col("c1").alias("c1w3")),
+            "_w3",
+            "left",
+        )
+        .join(
+            unigrams.select(F.col("_w").alias("_w4"), F.col("c1").alias("c1w4")),
+            "_w4",
+            "left",
+        )
+        .crossJoin(F.broadcast(scalars))
+    )
+    score = (
+        F.when(F.col("c4").isNotNull(), F.col("c4") / F.col("c3p"))
+        .when(
+            F.col("c3s").isNotNull(),
+            F.lit(alpha) * F.col("c3s") / F.col("c2m"),
+        )
+        .when(
+            F.col("c2s").isNotNull(),
+            F.lit(alpha * alpha) * F.col("c2s") / F.col("c1w3"),
+        )
+        .otherwise(
+            F.lit(alpha ** 3)
+            * (F.coalesce(F.col("c1w4"), F.lit(0)) + F.lit(1))
+            / (F.col("n") + F.col("v"))
+        )
+    )
+    return (
+        joined.select("_id", (-F.log(score)).alias("_nll"))
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_fourgrams"),
+            F.exp(F.avg("_nll")).alias("ppl"),
+        )
+        .select(F.col("_id").alias(id_col), "n_fourgrams", "ppl")
+    )
+
+
+@query(
+    "lm_backoff4_scores",
+    tags=("quality", "lm"),
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, lang,
+                   string_split_regex(lower(trim(COALESCE(text, ''))), '\\s+') AS t
+            FROM documents
+        ),
+        ref_four AS (
+            SELECT t[i.i] || ' ' || t[i.i + 1] || ' ' || t[i.i + 2]
+                   || ' ' || t[i.i + 3] AS gram
+            FROM toks,
+                 LATERAL (SELECT UNNEST(range(1, len(t) - 2)) AS i) i
+            WHERE lang = 'en'
+        ),
+        ref_tri AS (
+            SELECT t[i.i] || ' ' || t[i.i + 1] || ' ' || t[i.i + 2] AS gram
+            FROM toks,
+                 LATERAL (SELECT UNNEST(range(1, len(t) - 1)) AS i) i
+            WHERE lang = 'en'
+        ),
+        ref_bi AS (
+            SELECT t[i.i] || ' ' || t[i.i + 1] AS gram
+            FROM toks,
+                 LATERAL (SELECT UNNEST(range(1, len(t))) AS i) i
+            WHERE lang = 'en'
+        ),
+        ref_uni AS (
+            SELECT UNNEST(t) AS w FROM toks WHERE lang = 'en'
+        ),
+        c4 AS (SELECT gram, COUNT(*) AS c4 FROM ref_four GROUP BY 1),
+        c3 AS (SELECT gram, COUNT(*) AS c3 FROM ref_tri GROUP BY 1),
+        c2 AS (SELECT gram, COUNT(*) AS c2 FROM ref_bi GROUP BY 1),
+        c1 AS (SELECT w, COUNT(*) AS c1 FROM ref_uni GROUP BY 1),
+        nv AS (
+            SELECT COUNT(*) AS n, COUNT(DISTINCT w) + 1 AS v FROM ref_uni
+        ),
+        doc_four AS (
+            SELECT doc_id,
+                   t[i.i] || ' ' || t[i.i + 1] || ' ' || t[i.i + 2]
+                       || ' ' || t[i.i + 3] AS g4,
+                   t[i.i] || ' ' || t[i.i + 1] || ' ' || t[i.i + 2] AS p3,
+                   t[i.i + 1] || ' ' || t[i.i + 2] || ' ' || t[i.i + 3] AS s3,
+                   t[i.i + 1] || ' ' || t[i.i + 2] AS m2,
+                   t[i.i + 2] || ' ' || t[i.i + 3] AS s2,
+                   t[i.i + 2] AS w3,
+                   t[i.i + 3] AS w4
+            FROM toks,
+                 LATERAL (SELECT UNNEST(range(1, len(t) - 2)) AS i) i
+        ),
+        nll AS (
+            SELECT doc_id,
+                   -LN(CASE
+                       WHEN c4.c4 IS NOT NULL THEN
+                           CAST(c4.c4 AS DOUBLE) / c3p.c3
+                       WHEN c3s.c3 IS NOT NULL THEN
+                           0.4 * CAST(c3s.c3 AS DOUBLE) / c2m.c2
+                       WHEN c2s.c2 IS NOT NULL THEN
+                           0.16 * CAST(c2s.c2 AS DOUBLE) / c1w3.c1
+                       ELSE
+                           0.064 * CAST(COALESCE(c1w4.c1, 0) + 1 AS DOUBLE)
+                               / (nv.n + nv.v)
+                   END) AS nll
+            FROM doc_four
+            LEFT JOIN c4 ON doc_four.g4 = c4.gram
+            LEFT JOIN c3 c3p ON doc_four.p3 = c3p.gram
+            LEFT JOIN c3 c3s ON doc_four.s3 = c3s.gram
+            LEFT JOIN c2 c2m ON doc_four.m2 = c2m.gram
+            LEFT JOIN c2 c2s ON doc_four.s2 = c2s.gram
+            LEFT JOIN c1 c1w3 ON doc_four.w3 = c1w3.w
+            LEFT JOIN c1 c1w4 ON doc_four.w4 = c1w4.w
+            CROSS JOIN nv
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_fourgrams,
+               ROUND(EXP(AVG(nll)), 4) AS ppl
+        FROM nll
+        GROUP BY doc_id
+    """,
+)
+def lm_backoff4_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every document's 4-gram stupid-backoff score under an LM trained
+    on the English slice — one order above ``lm_backoff_scores``, the
+    KenLM-adjacent depth CCNet actually runs; the DuckDB oracle restates
+    the full 4-level cascade independently."""
+    documents = load_table(spark, sf_dir, "documents")
+    ref = documents.filter(F.col("lang") == "en")
+    return backoff4_scores(documents, ref, "doc_id", "text").select(
+        "doc_id", "n_fourgrams", F.round("ppl", 4).alias("ppl")
+    )
+
+
 @query(
     "lm_backoff_scores",
     tags=("quality", "lm"),

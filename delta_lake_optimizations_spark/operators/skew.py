@@ -50,7 +50,7 @@ def salted_join(
         SELECT
             p.p_brand,
             CAST(COUNT(*) AS BIGINT) AS n_items,
-            ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue
+            CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         GROUP BY p.p_brand
     """,
@@ -74,6 +74,6 @@ def skew_salted_join_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFram
     return joined.groupBy("p_brand").agg(
         F.count(F.lit(1)).alias("n_items"),
         F.round(
-            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double"), 2
-        ).alias("revenue"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")), 2
+        ).cast("double").alias("revenue"),
     )

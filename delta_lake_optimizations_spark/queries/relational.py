@@ -32,10 +32,10 @@ from delta_lake_optimizations_spark.registry import query
         SELECT
             l_returnflag,
             l_linestatus,
-            ROUND(SUM(l_quantity), 2) AS sum_qty,
-            ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-            ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-            ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+            CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
+            CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_base_price,
+            CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,8))), 2) AS DOUBLE) AS sum_disc_price,
+            CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,8))), 2) AS DOUBLE) AS sum_charge,
             ROUND(AVG(l_quantity), 4) AS avg_qty,
             ROUND(AVG(l_extendedprice), 4) AS avg_price,
             ROUND(AVG(l_discount), 4) AS avg_disc,
@@ -51,6 +51,16 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     Catalyst pushes the shipdate predicate to the parquet scan; the
     aggregation runs partial (map-side) then final after a shuffle on the
     two low-cardinality group keys.
+
+    The money sums accumulate in DECIMAL and are rounded IN DECIMAL, cast
+    to double last: prices/discount/tax carry 2 decimal digits, so the
+    2- and 3-factor products are exact <=6-dp decimals — the 8-dp cast
+    recovers them exactly in both engines (binary noise ~1e-11 washes
+    out), the decimal sum is order-independent, and the 2-dp HALF_UP
+    round can't diverge on representation ties the way rounding the
+    double image does (measured one-cent diffs at the 30M-row sf5
+    rehearsal). AVGs stay double: a quotient is never a short decimal,
+    so its shortest repr rounds identically in both engines.
     """
     lineitem = load_table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
@@ -58,10 +68,14 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         lineitem.filter(F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.sum(F.col("l_quantity").cast("decimal(18,4)")), 2)
+            .cast("double").alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")), 2)
+            .cast("double").alias("sum_base_price"),
+            F.round(F.sum(disc_price.cast("decimal(18,8)")), 2)
+            .cast("double").alias("sum_disc_price"),
+            F.round(F.sum((disc_price * (1 + F.col("l_tax"))).cast("decimal(18,8)")), 2)
+            .cast("double").alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
@@ -77,7 +91,8 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT
             l_orderkey,
-            ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+            CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                              AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
             o_orderdate,
             o_orderpriority
         FROM customer
@@ -113,9 +128,14 @@ def q3_top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,4)"
+                    )
+                ),
+                2,
+            ).cast("double").alias("revenue")
         )
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
@@ -130,7 +150,8 @@ def q3_top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT
             n_name,
-            ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                              AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
         FROM customer
         JOIN orders ON c_custkey = o_custkey
         JOIN lineitem ON l_orderkey = o_orderkey
@@ -181,9 +202,14 @@ def q5_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(asian_nations), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,4)"
+                    )
+                ),
+                2,
+            ).cast("double").alias("revenue")
         )
         .orderBy(F.col("revenue").desc(), F.col("n_name"))
     )
@@ -545,7 +571,7 @@ def stats_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
             CAST(LEAST(FLOOR(l_extendedprice / 5000), 23) AS BIGINT) * 5000
                 AS bucket_start,
             COUNT(*) AS n_rows,
-            ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 2)
+            CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE)
                 AS bucket_value
         FROM lineitem
         GROUP BY 1
@@ -573,7 +599,7 @@ def histogram_price_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.round(
-                F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double"), 2
-            ).alias("bucket_value"),
+                F.sum(F.col("l_extendedprice").cast("decimal(18,4)")), 2
+            ).cast("double").alias("bucket_value"),
         )
     )

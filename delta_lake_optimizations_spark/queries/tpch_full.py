@@ -103,7 +103,7 @@ def q8_national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join", "agg", "tpch"),
     oracle="""
         SELECT nation, o_year,
-               ROUND(CAST(SUM(amount) AS DOUBLE), 2) AS sum_profit
+               CAST(ROUND(SUM(amount), 2) AS DOUBLE) AS sum_profit
         FROM (
             SELECT n_name AS nation, YEAR(o_orderdate) AS o_year,
                    CAST(l_extendedprice * (1 - l_discount)
@@ -124,7 +124,11 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast, shrinking the fact early. Per-row amounts are cast to
     DECIMAL(18,4) before summing: decimal addition is associative, so the
     mixed-sign sum is identical regardless of partition/merge order (a
-    plain double sum drifts a cent from the oracle at sf>=0.01)."""
+    plain double sum drifts a cent from the oracle at sf>=0.01). The
+    2-dp ROUND happens IN DECIMAL, cast to double only after: rounding
+    the double image of the exact sum instead diverges on .XX50 ties
+    (Spark rounds the shortest-decimal rendering, DuckDB the binary
+    value — measured 4 one-cent diffs at the 30M-row sf5 rehearsal)."""
     lineitem = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     supplier = load_table(spark, sf_dir, "supplier")
@@ -145,7 +149,7 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
         )
-        .agg(F.round(F.sum(amount).cast("double"), 2).alias("sum_profit"))
+        .agg(F.round(F.sum(amount), 2).cast("double").alias("sum_profit"))
     )
 
 

@@ -162,7 +162,7 @@ def window_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             o_orderkey,
             o_custkey,
             o_orderdate,
-            ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DOUBLE), 2)
+            CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER w, 2) AS DOUBLE)
                 AS moving_sum_30d,
             COUNT(*) OVER w AS n_orders_30d
         FROM orders
@@ -202,7 +202,7 @@ def window_range_moving_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         "o_custkey",
         "o_orderdate",
-        F.round(F.sum(price_dec).over(w).cast("double"), 2).alias("moving_sum_30d"),
+        F.round(F.sum(price_dec).over(w), 2).cast("double").alias("moving_sum_30d"),
         F.count(F.lit(1)).over(w).alias("n_orders_30d"),
     )
 

@@ -62,6 +62,7 @@ _QUERY_MODULES = (
     "delta_lake_optimizations_spark.operators.incremental_dedup",
     "delta_lake_optimizations_spark.operators.lm_quality",
     "delta_lake_optimizations_spark.operators.paragraphs",
+    "delta_lake_optimizations_spark.operators.textnorm",
     "delta_lake_optimizations_spark.operators.metrics",
 )
 

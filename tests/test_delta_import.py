@@ -1,0 +1,332 @@
+"""CONVERT FROM DELTA (table/delta_import.py): import a hand-built but
+protocol-conformant ``_delta_log`` (the public Delta spec's JSON actions)
+and verify the GraftTable snapshot matches the expected parquet file set
+at every version — multi-commit history, a remove, a schema change, a
+checkpoint base, URL-encoded paths, stats import, and the refusal cases
+(deletion vectors, column mapping, cleaned logs)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from delta_lake_optimizations_spark.table.delta_import import (
+    UnsupportedDeltaFeature,
+    convert_from_delta,
+)
+from delta_lake_optimizations_spark.table.graft_table import GraftTable
+
+_SCHEMA_V0 = json.dumps(
+    {
+        "type": "struct",
+        "fields": [
+            {"name": "id", "type": "long", "nullable": True, "metadata": {}},
+            {"name": "country", "type": "string", "nullable": True, "metadata": {}},
+            {"name": "price", "type": "double", "nullable": True, "metadata": {}},
+        ],
+    }
+)
+_SCHEMA_V3 = json.dumps(
+    {
+        "type": "struct",
+        "fields": [
+            {"name": "id", "type": "long", "nullable": True, "metadata": {}},
+            {"name": "country", "type": "string", "nullable": True, "metadata": {}},
+            {"name": "price", "type": "double", "nullable": True, "metadata": {}},
+            {"name": "extra", "type": "string", "nullable": True, "metadata": {}},
+        ],
+    }
+)
+_TS0 = 1_700_000_000_000
+
+
+def _write_part(root: str, name: str, ids, countries, prices, extra=None) -> dict:
+    cols = {
+        "id": pa.array(ids, pa.int64()),
+        "country": pa.array(countries, pa.string()),
+        "price": pa.array(prices, pa.float64()),
+    }
+    if extra is not None:
+        cols["extra"] = pa.array(extra, pa.string())
+    table = pa.table(cols)
+    path = os.path.join(root, name)
+    pq.write_table(table, path)
+    stats = {
+        "numRecords": len(ids),
+        "minValues": {"id": min(ids), "country": min(countries)},
+        "maxValues": {"id": max(ids), "country": max(countries)},
+        "nullCount": {"id": 0, "country": 0, "price": 0},
+    }
+    return {
+        "path": name,
+        "partitionValues": {},
+        "size": os.path.getsize(path),
+        "modificationTime": _TS0,
+        "dataChange": True,
+        "stats": json.dumps(stats),
+    }
+
+
+def _commit(log_dir: str, v: int, actions: list[dict]) -> None:
+    with open(os.path.join(log_dir, f"{v:020d}.json"), "w") as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+
+
+def _meta_action(schema_string: str, configuration=None) -> dict:
+    return {
+        "metaData": {
+            "id": "11111111-2222-3333-4444-555555555555",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema_string,
+            "partitionColumns": [],
+            "configuration": configuration or {},
+            "createdTime": _TS0,
+        }
+    }
+
+
+def _make_delta_table(root: str) -> None:
+    """v0: 2 adds; v1: append; v2: DELETE (remove+rewrite); v3: schema
+    change + add using the new column."""
+    os.makedirs(root)
+    log = os.path.join(root, "_delta_log")
+    os.makedirs(log)
+    a0 = _write_part(root, "part-00000-aaa.snappy.parquet", [1, 2], ["US", "US"], [1.0, 2.0])
+    a1 = _write_part(root, "part-00001-bbb.snappy.parquet", [3, 4], ["DE", "FR"], [3.0, 4.0])
+    _commit(root + "/_delta_log", 0, [
+        {"commitInfo": {"timestamp": _TS0, "operation": "WRITE"}},
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        _meta_action(_SCHEMA_V0),
+        {"add": a0},
+        {"add": a1},
+    ])
+    a2 = _write_part(root, "part-00002-ccc.snappy.parquet", [5, 6], ["US", "GB"], [5.0, 6.0])
+    a2 = {**a2, "stats": None}  # exercise the footer-read fallback
+    _commit(log, 1, [
+        {"commitInfo": {"timestamp": _TS0 + 1000, "operation": "WRITE"}},
+        {"add": a2},
+    ])
+    # DELETE id=1: rewrite part-00000 keeping id=2
+    a3 = _write_part(root, "part-00003-ddd.snappy.parquet", [2], ["US"], [2.0])
+    _commit(log, 2, [
+        {"commitInfo": {"timestamp": _TS0 + 2000, "operation": "DELETE"}},
+        {"remove": {"path": "part-00000-aaa.snappy.parquet",
+                    "deletionTimestamp": _TS0 + 2000, "dataChange": True}},
+        {"add": a3},
+    ])
+    a4 = _write_part(
+        root, "part-00004-eee.snappy.parquet", [7], ["JP"], [7.0], extra=["x"]
+    )
+    _commit(log, 3, [
+        {"commitInfo": {"timestamp": _TS0 + 3000, "operation": "ADD COLUMNS"}},
+        _meta_action(_SCHEMA_V3),
+        {"add": a4},
+    ])
+
+
+def test_convert_full_history(spark, tmp_path):
+    root = str(tmp_path / "delta_sales")
+    _make_delta_table(root)
+    t = convert_from_delta(spark, root)
+
+    # final snapshot: ids {2,3,4,5,6,7}, schema includes `extra`
+    final = t.load().orderBy("id")
+    assert [r["id"] for r in final.collect()] == [2, 3, 4, 5, 6, 7]
+    assert final.columns == ["id", "country", "price", "extra"]
+    # pre-schema-change files null-fill the new column
+    assert final.filter(F.col("extra").isNotNull()).count() == 1
+
+    # version selection mirrors delta versions
+    assert sorted(r["id"] for r in t.load(version=0).collect()) == [1, 2, 3, 4]
+    assert sorted(r["id"] for r in t.load(version=1).collect()) == [1, 2, 3, 4, 5, 6]
+    assert sorted(r["id"] for r in t.load(version=2).collect()) == [2, 3, 4, 5, 6]
+    assert t.load(version=1).columns == ["id", "country", "price"]
+
+    # history preserved: 4 commits, delta commitInfo timestamps intact
+    hist = {r["version"]: r for r in t.history().collect()}
+    assert len(hist) == 4
+    assert hist[2]["operation"] == "DELTA DELETE"
+    assert hist[3]["timestamp"] == t.spark.sql(
+        f"SELECT timestamp_millis({_TS0 + 3000}) AS t"
+    ).collect()[0]["t"]
+
+    # O(1) metadata row count matches
+    assert t.count_rows() == 6
+
+
+def test_timestamp_as_of_uses_delta_clock(spark, tmp_path):
+    root = str(tmp_path / "delta_ts")
+    _make_delta_table(root)
+    t = convert_from_delta(spark, root)
+    from datetime import datetime, timezone
+
+    at = datetime.fromtimestamp((_TS0 + 1500) / 1000, tz=timezone.utc)
+    assert sorted(r["id"] for r in t.load(timestamp=at).collect()) == [
+        1, 2, 3, 4, 5, 6,
+    ]
+
+
+def test_version_truncation_and_skipping_stats(spark, tmp_path):
+    root = str(tmp_path / "delta_trunc")
+    _make_delta_table(root)
+    t = convert_from_delta(spark, root, version=1)
+    assert t.latest_version() == 1
+    assert sorted(r["id"] for r in t.load().collect()) == [1, 2, 3, 4, 5, 6]
+    # imported min/max stats drive file skipping: id=1 lives only in
+    # part-00000 (ids 1-2)
+    assert t.files_scanned(skip_where=[("id", "=", 1)]) == 1
+    assert t.files_scanned(skip_where=[("id", "=", 999)]) == 0
+
+
+def test_url_encoded_paths_decode(spark, tmp_path):
+    root = str(tmp_path / "delta_enc")
+    os.makedirs(root)
+    log = os.path.join(root, "_delta_log")
+    os.makedirs(log)
+    add = _write_part(root, "part with space.parquet", [1], ["US"], [1.0])
+    add["path"] = "part%20with%20space.parquet"
+    _commit(log, 0, [
+        {"commitInfo": {"timestamp": _TS0, "operation": "WRITE"}},
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        _meta_action(_SCHEMA_V0),
+        {"add": add},
+    ])
+    t = convert_from_delta(spark, root)
+    assert t.load().count() == 1
+
+
+def test_checkpoint_base_replaces_cleaned_json(spark, tmp_path):
+    """delta-spark checkpoints then cleans old JSON commits; the importer
+    must rebuild state from the checkpoint parquet and replay the tail."""
+    root = str(tmp_path / "delta_ckpt")
+    _make_delta_table(root)
+    log = os.path.join(root, "_delta_log")
+
+    # checkpoint at v2: state = metaData(v0 schema) + the 4 live files
+    live = [
+        ("part-00001-bbb.snappy.parquet", 2),
+        ("part-00002-ccc.snappy.parquet", 2),
+        ("part-00003-ddd.snappy.parquet", 1),
+    ]
+    add_rows = [
+        {
+            "add": {
+                "path": p,
+                "partitionValues": {},
+                "size": os.path.getsize(os.path.join(root, p)),
+                "modificationTime": _TS0,
+                "dataChange": False,
+                "stats": json.dumps({"numRecords": n}),
+            },
+            "metaData": None,
+            "protocol": None,
+        }
+        for p, n in live
+    ]
+    meta_row = {
+        "add": None,
+        "metaData": json.loads(json.dumps(_meta_action(_SCHEMA_V0)["metaData"])),
+        "protocol": None,
+    }
+    proto_row = {"add": None, "metaData": None,
+                 "protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+    ckpt_schema = (
+        "add struct<path:string,partitionValues:map<string,string>,size:bigint,"
+        "modificationTime:bigint,dataChange:boolean,stats:string>, "
+        "metaData struct<id:string,format:struct<provider:string,"
+        "options:map<string,string>>,schemaString:string,"
+        "partitionColumns:array<string>,configuration:map<string,string>,"
+        "createdTime:bigint>, "
+        "protocol struct<minReaderVersion:int,minWriterVersion:int>"
+    )
+    ckpt_df = spark.createDataFrame([*add_rows, meta_row, proto_row], ckpt_schema)
+    ckpt_tmp = str(tmp_path / "ckpt_out")
+    ckpt_df.coalesce(1).write.parquet(ckpt_tmp)
+    part = [f for f in os.listdir(ckpt_tmp) if f.endswith(".parquet")][0]
+    os.rename(
+        os.path.join(ckpt_tmp, part),
+        os.path.join(log, f"{2:020d}.checkpoint.parquet"),
+    )
+    with open(os.path.join(log, "_last_checkpoint"), "w") as fh:
+        json.dump({"version": 2, "size": 5}, fh)
+    for v in (0, 1, 2):  # the cleanup delta-spark performs
+        os.unlink(os.path.join(log, f"{v:020d}.json"))
+
+    t = convert_from_delta(spark, root)
+    # graft v0 = checkpoint state (delta v2), graft v1 = delta v3
+    assert t.latest_version() == 1
+    assert sorted(r["id"] for r in t.load().collect()) == [2, 3, 4, 5, 6, 7]
+    assert sorted(r["id"] for r in t.load(version=0).collect()) == [2, 3, 4, 5, 6]
+    hist = {r["version"]: r for r in t.history().collect()}
+    params = hist[0]["operationParameters"]
+    if isinstance(params, str):
+        params = json.loads(params)
+    assert str(params["deltaVersion"]) == "2"
+
+
+def test_refusals(spark, tmp_path):
+    # deletion vector on an add action
+    root = str(tmp_path / "delta_dv")
+    os.makedirs(root)
+    log = os.path.join(root, "_delta_log")
+    os.makedirs(log)
+    add = _write_part(root, "part-00000.parquet", [1], ["US"], [1.0])
+    add["deletionVector"] = {
+        "storageType": "u", "pathOrInlineDv": "ab^-aqEH.-t@S}K{vb[*k^",
+        "offset": 1, "sizeInBytes": 36, "cardinality": 1,
+    }
+    _commit(log, 0, [
+        {"commitInfo": {"timestamp": _TS0, "operation": "WRITE"}},
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"],
+                      "writerFeatures": ["deletionVectors"]}},
+        _meta_action(_SCHEMA_V0),
+        {"add": add},
+    ])
+    with pytest.raises(UnsupportedDeltaFeature):
+        convert_from_delta(spark, root)
+
+    # column mapping
+    root2 = str(tmp_path / "delta_cm")
+    os.makedirs(root2)
+    log2 = os.path.join(root2, "_delta_log")
+    os.makedirs(log2)
+    add2 = _write_part(root2, "part-00000.parquet", [1], ["US"], [1.0])
+    _commit(log2, 0, [
+        {"commitInfo": {"timestamp": _TS0, "operation": "WRITE"}},
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        _meta_action(_SCHEMA_V0, {"delta.columnMapping.mode": "name"}),
+        {"add": add2},
+    ])
+    with pytest.raises(UnsupportedDeltaFeature):
+        convert_from_delta(spark, root2)
+
+    # cleaned log without checkpoint
+    root3 = str(tmp_path / "delta_gap")
+    _make_delta_table(root3)
+    os.unlink(os.path.join(root3, "_delta_log", f"{0:020d}.json"))
+    with pytest.raises(UnsupportedDeltaFeature):
+        convert_from_delta(spark, root3)
+
+
+def test_sql_route(spark, tmp_path):
+    from delta_lake_optimizations_spark.frontdoor import GraftCatalog
+
+    root = str(tmp_path / "delta_sql")
+    _make_delta_table(root)
+    cat = GraftCatalog(spark)
+    row = cat.sql(f"CONVERT FROM DELTA delta.`{root}`").collect()[0]
+    assert row["numFiles"] == 4
+    assert row["numRecords"] == 6
+    assert row["versions"] == 4
+    # imported table is queryable through the catalog like any GraftTable
+    cat.register("imported_sales", root)
+    assert cat.sql(
+        "SELECT COUNT(*) AS n FROM imported_sales"
+    ).collect()[0]["n"] == 6

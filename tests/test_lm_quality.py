@@ -175,3 +175,82 @@ def test_backoff_filter_keeps_fluent_side(spark):
         .collect()
     }
     assert ids == {0, 1}  # ref doc itself is fluent under its own LM
+
+
+# --- 4-gram stupid backoff (VERDICT r07 #4) ---
+
+
+def test_backoff4_cascade_levels_hand_computed(spark):
+    """One doc per level of the 4-level cascade against a hand-countable
+    reference: exact 4-gram; unseen 4-gram with seen suffix trigram;
+    unseen trigram with seen suffix bigram; unseen bigram with seen
+    unigram; full OOV."""
+    import math
+
+    from delta_lake_optimizations_spark.operators.lm_quality import backoff4_scores
+
+    ref_text = "a b c d a b c e"
+    # c4(a b c d)=1, c4(b c d a)=1, c4(c d a b)=1, c4(d a b c)=1, c4(a b c e)=1
+    # c3(a b c)=2, c3(b c d)=1, c3(c d a)=1, c3(d a b)=1, c3(b c e)=1
+    # c2(a b)=2, c2(b c)=2, c2(c d)=1, c2(d a)=1, c2(c e)=1
+    # c1: a=2 b=2 c=2 d=1 e=1; N=8; V=5+1=6
+    rows = [
+        (0, ref_text, "ref"),
+        (1, "a b c d", "eval"),  # 4-gram level: c4/c3(a b c) = 1/2
+        (2, "x b c d", "eval"),  # trigram level: 0.4 * c3(b c d)/c2(b c) = 0.4*1/2
+        (3, "x y c d", "eval"),  # bigram level: 0.16 * c2(c d)/c1(c) = 0.16*1/2
+        (4, "x y z d", "eval"),  # unigram level: 0.064 * (1+1)/(8+6)
+        (5, "x y z w", "eval"),  # OOV floor: 0.064 * (0+1)/(8+6)
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string, split string")
+    ref = corpus.filter("split = 'ref'")
+    got = {
+        r["doc_id"]: (r["n_fourgrams"], r["ppl"])
+        for r in backoff4_scores(corpus, ref, "doc_id", "text").collect()
+    }
+    assert got[1][0] == 1 and math.isclose(got[1][1], 2.0, rel_tol=1e-9)
+    assert math.isclose(got[2][1], 1.0 / (0.4 * 0.5), rel_tol=1e-9)
+    assert math.isclose(got[3][1], 1.0 / (0.16 * 0.5), rel_tol=1e-9)
+    assert math.isclose(got[4][1], 1.0 / (0.064 * 2 / 14), rel_tol=1e-9)
+    assert math.isclose(got[5][1], 1.0 / (0.064 * 1 / 14), rel_tol=1e-9)
+    assert got[1][1] < got[2][1] < got[3][1] < got[4][1] < got[5][1]
+    assert 0 in got  # the reference itself scores (has 4-gram positions)
+
+
+def test_backoff4_min_count_prunes_to_backoff(spark):
+    """A 4-gram pruned by min_count scores exactly as if unseen (backs
+    off to the trigram level); lower orders are never pruned."""
+    import math
+
+    from delta_lake_optimizations_spark.operators.lm_quality import backoff4_scores
+
+    rows = [
+        (0, "a b c d a b c e", "ref"),
+        (1, "a b c d", "eval"),
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string, split string")
+    ref = corpus.filter("split = 'ref'")
+    pruned = (
+        backoff4_scores(corpus, ref, "doc_id", "text", min_count=2)
+        .filter("doc_id = 1")
+        .first()["ppl"]
+    )
+    # all c4 are 1 -> pruned -> trigram level: 0.4 * c3(b c d)/c2(b c)
+    # = 0.4 * 1/2
+    assert math.isclose(pruned, 1.0 / (0.4 * 0.5), rel_tol=1e-9)
+
+
+def test_backoff4_short_docs_drop(spark):
+    from delta_lake_optimizations_spark.operators.lm_quality import backoff4_scores
+
+    rows = [
+        (0, "a b c d a b c e", "ref"),
+        (1, "a b c", "eval"),  # 3 tokens: no 4-gram position
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string, split string")
+    ref = corpus.filter("split = 'ref'")
+    ids = {
+        r["doc_id"]
+        for r in backoff4_scores(corpus, ref, "doc_id", "text").collect()
+    }
+    assert 1 not in ids
