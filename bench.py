@@ -427,6 +427,30 @@ def _bench_ann_index(spark, n_vectors: int = 100_000, dim: int = 64) -> dict:
             }
             recalls.append(len(exact_ids & got) / max(1, len(exact_ids)))
         out["ivfpq_recall_at_10_clustered"] = round(statistics.mean(recalls), 3)
+        # SQ8 warm refine (r07 #8): re-rank the ADC shortlist on the int8
+        # column, touch the float column only for the final k ids
+        out["ivfpq_sq8_query_med_sec"] = warm_shape_med(
+            lambda qv: ann_topk_from_ivfpq_index(
+                ivfpq_t, qv, k=10, nprobe=nprobe, refine_factor=pq_rf,
+                refine="sq8",
+            ).count(),
+            cqvecs,
+        )
+        out["ivfpq_sq8_speedup_vs_bruteforce"] = round(
+            out["bruteforce_query_med_sec"] / out["ivfpq_sq8_query_med_sec"], 2
+        )
+        recalls = []
+        for qv in cqvecs:
+            exact_ids = {r[0] for r in topk_cosine(ccorpus, qv, k=10).collect()}
+            got = {
+                r[0]
+                for r in ann_topk_from_ivfpq_index(
+                    ivfpq_t, qv, k=10, nprobe=nprobe, refine_factor=pq_rf,
+                    refine="sq8",
+                ).collect()
+            }
+            recalls.append(len(exact_ids & got) / max(1, len(exact_ids)))
+        out["ivfpq_sq8_recall_at_10_clustered"] = round(statistics.mean(recalls), 3)
         ivfpq_files = len(ivfpq_t.snapshot().files)
         out["ivfpq_total_files"] = ivfpq_files
         out["ivfpq_probe_files_med"] = statistics.median(
@@ -866,6 +890,8 @@ def main() -> None:
                 "ivf_recall_at_10_clustered",
                 "ivfpq_speedup_vs_bruteforce", "ivfpq_probe_file_fraction",
                 "ivfpq_recall_at_10_clustered",
+                "ivfpq_sq8_speedup_vs_bruteforce",
+                "ivfpq_sq8_recall_at_10_clustered",
                 "covering_query_med_sec", "covering_bruteforce_med_sec",
             )
             if k in ann_index

@@ -211,6 +211,184 @@ def decontam_embedding_similarity(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 
+# ---------------------------------------------------------------------------
+# Embedding decontamination at BENCHMARK scale (VERDICT r07 #6): the
+# broadcast form above is linear in |corpus| * |benchmark| flops — fine
+# while eval suites are thousands of vectors, quadratic pain once a
+# deployment accumulates 10^5+ benchmark vectors. The indexed form
+# answers the same max-cosine report from a materialized IVF index OVER
+# THE BENCHMARK: each corpus vector scores against only its nprobe
+# nearest benchmark cells (one Arrow argpartition pass to pick cells, an
+# equi-join on list_id) — |corpus| * |benchmark| * nprobe/nlist flops,
+# the benchmark never broadcast, the corpus shuffled once by cell id.
+# Same crossover logic as every ANN family here: build once, probe
+# cheap. ``decontam_embedding_matches_broadcast`` is the oracle-backed
+# equality twin (deterministic: seeded KMeans, fixed probe ranking).
+# ---------------------------------------------------------------------------
+
+
+def assign_topn_cells(
+    df: DataFrame,
+    centroids: list[list[float]],
+    nprobe: int,
+    vec_col: str = "embedding",
+    out_col: str = "_cells",
+) -> DataFrame:
+    """Top-``nprobe`` nearest centroids per row (generalizes
+    ``ivf.assign_to_centroids`` from argmin to argpartition) — one
+    Arrow-batched numpy pass, no shuffle."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.array(centroids, dtype=np.float64)
+    Cn = (C * C).sum(axis=1)
+    n = min(nprobe, len(centroids))
+
+    def topn(emb: pd.Series) -> pd.Series:
+        X = np.vstack([np.asarray(v, dtype=np.float64) for v in emb])
+        d = Cn[None, :] - 2.0 * (X @ C.T)
+        # argsort the nprobe-smallest for a deterministic cell order
+        part = np.argpartition(d, n - 1, axis=1)[:, :n]
+        rows = np.take_along_axis(d, part, axis=1)
+        order = np.argsort(rows, axis=1, kind="stable")
+        cells = np.take_along_axis(part, order, axis=1).astype("int32")
+        return pd.Series(list(cells))
+
+    topn.__annotations__ = {"emb": pd.Series, "return": pd.Series}
+    udf = pandas_udf("array<int>")(topn)
+    return df.withColumn(out_col, udf(F.col(vec_col)))
+
+
+def embedding_decontaminate_indexed(
+    corpus: DataFrame,
+    bench_table,
+    threshold: float = 0.5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``embedding_decontaminate_report`` answered from a materialized
+    IVF index over the benchmark (``ivf.build_ivf_index`` output): max
+    cosine per corpus vector = a batch k-NN (k=1) against the index,
+    restricted to each vector's ``nprobe`` nearest benchmark cells."""
+    from delta_lake_optimizations_spark.operators.ivf import ivf_index_centroids
+    from delta_lake_optimizations_spark.queries.vectors import cosine
+
+    centroids = ivf_index_centroids(bench_table)
+    left = (
+        assign_topn_cells(
+            corpus.select(id_col, vec_col), centroids, nprobe, vec_col
+        )
+        .select(id_col, vec_col, F.explode("_cells").alias("list_id"))
+    )
+    right = bench_table.load().select(
+        "list_id", F.col(vec_col).alias("__bv")
+    )
+    return (
+        left.join(right, "list_id")
+        .select(
+            F.col(id_col),
+            cosine(F.col(vec_col), F.col("__bv")).alias("__cos"),
+        )
+        .groupBy(id_col)
+        .agg(F.round(F.max("__cos"), 6).alias("max_bench_cos"))
+        .filter(F.col("max_bench_cos") >= threshold)
+    )
+
+
+def _cached_bench_ivf_index(spark, sf_dir: str, nlist: int = 8):
+    """Build-once IVF index over the synthetic benchmark slice
+    (vec_id % 50 == 0) — content-fingerprinted cache key, the same
+    scheme as ``ivf._cached_ivf_index``."""
+    import hashlib
+    import os
+    import tempfile
+
+    from delta_lake_optimizations_spark.operators.ivf import (
+        _ivf_corpus_fingerprint,
+        build_ivf_index,
+    )
+    from delta_lake_optimizations_spark.table import GraftTable
+
+    key = hashlib.sha256(
+        f"{os.path.abspath(sf_dir)}|bench-ivf|{nlist}|"
+        f"{_ivf_corpus_fingerprint(sf_dir)}".encode()
+    ).hexdigest()[:16]
+    path = os.path.join(tempfile.gettempdir(), "spark_graft_bench_ivf", key)
+    t = GraftTable(spark, path)
+    if not t.exists():
+        emb = load_table(spark, sf_dir, "embeddings")
+        t = build_ivf_index(
+            spark, emb.filter(F.col("vec_id") % 50 == 0), path,
+            nlist=nlist, seed=7,
+        )
+    return t
+
+
+@query("decontam_embedding_indexed", tags=("decontam", "similarity", "index", "llm-pipeline"))
+def decontam_embedding_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The indexed embedding-decontamination report (rows-only driver
+    check; ``decontam_embedding_matches_broadcast`` is the oracle-backed
+    equality twin against the broadcast form). Threshold 0.3: the
+    synthetic corpus's max-cos distribution tops out near 0.45, so 0.3
+    flags a real contaminated tail (~10%) instead of an empty set."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 50 != 0)
+    t = _cached_bench_ivf_index(spark, sf_dir, nlist=8)
+    return embedding_decontaminate_indexed(
+        corpus, t, threshold=0.3, nprobe=4
+    ).orderBy("vec_id")
+
+
+@query(
+    "decontam_embedding_matches_broadcast",
+    tags=("decontam", "similarity", "index", "metric"),
+    oracle="SELECT CAST(0 AS BIGINT) AS n_mismatch",
+)
+def decontam_embedding_matches_broadcast(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The indexed form must reproduce the broadcast form's report
+    exactly at these dials (nlist=8, nprobe=4 on clustered embeddings:
+    the true max-cosine benchmark vector lives in one of the 4 nearest
+    cells for EVERY corpus vector — deterministic, seeded, re-verified
+    per round). Compared UNTHRESHOLDED (every corpus vector's max-cos,
+    not just the contaminated tail) so the twin pins ~|corpus| values,
+    never an empty set. A stale benchmark index, a probe under-reach,
+    or an assignment drift makes n_mismatch > 0."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("vec_id") % 50 == 0)
+    corpus = emb.filter(F.col("vec_id") % 50 != 0)
+    broadcast_form = embedding_decontaminate_report(
+        corpus, bench, threshold=-1.0
+    )
+    t = _cached_bench_ivf_index(spark, sf_dir, nlist=8)
+    indexed_form = embedding_decontaminate_indexed(
+        corpus, t, threshold=-1.0, nprobe=4
+    ).select(
+        F.col("vec_id").alias("_v2"), F.col("max_bench_cos").alias("_c2")
+    )
+    both = broadcast_form.join(
+        indexed_form,
+        (F.col("vec_id") == F.col("_v2"))
+        & (F.col("max_bench_cos") == F.col("_c2")),
+        "full",
+    )
+    return both.agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("vec_id").isNull() | F.col("_v2").isNull(), 1
+                ).otherwise(0)
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_mismatch")
+    )
+
+
 @query(
     "decontam_clean_corpus_stats",
     tags=("text", "decontam", "llm-pipeline"),

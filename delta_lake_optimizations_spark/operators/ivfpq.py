@@ -78,6 +78,7 @@ from delta_lake_optimizations_spark.queries.vectors import cosine, l2_norm_sq
 from delta_lake_optimizations_spark.registry import query
 
 PQ_BOOKS_PROP = "graft.ivfpq.codebooks"
+SQ8_PROP = "graft.ivfpq.sq8"  # per-dim {"vmin": [...], "scale": [...]}
 
 
 def _round_books(books: list[list[list[float]]]) -> list[list[list[float]]]:
@@ -138,6 +139,73 @@ def _train_and_encode(
     return encoded, books
 
 
+# ---------------------------------------------------------------------------
+# SQ8 warm refine column (VERDICT r07 #8, public FAISS ScalarQuantizer
+# QT_8bit technique): the exact refine re-reads the COLD float vector
+# column across all nprobe probed files just to re-rank k*rf candidates
+# — at production dims (768 x float32 = 3 KB/row) that read dominates
+# query IO. Storing a per-row int8 vector (dim bytes, 4-12x smaller)
+# as a WARM column lets the refine re-rank on the quantized vectors and
+# touch the float column only for the FINAL k rows, via a pushed IN
+# filter (k ids = bounded metadata; parquet row-group dictionary/stats
+# pruning applies inside the probed cells).
+#
+# Quantization: per-dimension affine (vmin_d, scale_d) trained on the
+# corpus min/max; code_d in [0,255] stored as tinyint (code-128).
+# Reconstruction x~_d = vmin_d + (code_d + 0.5) * scale_d, so
+# dot(q, x~) = CONST(q) + sum_d (q_d * scale_d) * code_d — one
+# zip_with/aggregate over the k*rf survivors only (never the cell scan,
+# which stays pure-codegen ADC).
+# ---------------------------------------------------------------------------
+
+
+def _sq8_train(df: DataFrame, vec_col: str) -> tuple[list[float], list[float]]:
+    """Per-dimension (vmin, scale) over the corpus — one posexplode +
+    hash aggregate at build time."""
+    stats = (
+        df.select(F.posexplode(F.col(vec_col).cast("array<double>")).alias("_d", "_x"))
+        .groupBy("_d")
+        .agg(F.min("_x").alias("mn"), F.max("_x").alias("mx"))
+        .orderBy("_d")
+        .collect()
+    )
+    vmin = [round(r["mn"], 8) for r in stats]
+    scale = [
+        round(max(r["mx"] - r["mn"], 1e-12) / 256.0, 12) for r in stats
+    ]
+    return vmin, scale
+
+
+def _sq8_encode_col(vec_col: str, vmin: list[float], scale: list[float]):
+    """array<tinyint> codes (code-128) — literal-array zip_with, build-
+    time only."""
+    vmin_arr = F.array(*[F.lit(float(x)) for x in vmin])
+    scale_arr = F.array(*[F.lit(float(s)) for s in scale])
+    centered = F.zip_with(
+        F.col(vec_col).cast("array<double>"), vmin_arr, lambda x, mn: x - mn
+    )
+    code = F.zip_with(
+        centered,
+        scale_arr,
+        lambda t, sc: F.least(
+            F.greatest(F.floor(t / sc).cast("int"), F.lit(0)), F.lit(255)
+        )
+        - 128,
+    )
+    return F.transform(code, lambda c: c.cast("byte"))
+
+
+def ivfpq_sq8_metadata(table) -> tuple[list[float], list[float]]:
+    props = table.snapshot().properties
+    if SQ8_PROP not in props:
+        raise ValueError(
+            "index has no SQ8 warm column (built before r8) — rebuild with "
+            "build_ivfpq_index to enable refine='sq8'"
+        )
+    d = _json.loads(props[SQ8_PROP])
+    return d["vmin"], d["scale"]
+
+
 def build_ivfpq_index(
     spark,
     df: DataFrame,
@@ -164,14 +232,17 @@ def build_ivfpq_index(
     encoded, books = _train_and_encode(
         assigned, centroids, m, ksub, vec_col, seed, sample_fraction
     )
+    vmin, scale = _sq8_train(df, vec_col)
+    encoded = encoded.withColumn("sq8", _sq8_encode_col(vec_col, vmin, scale))
     t = GraftTable(spark, path)
     t.write(
-        encoded.select("list_id", id_col, "pq_code", "vnorm", vec_col),
+        encoded.select("list_id", id_col, "pq_code", "vnorm", "sq8", vec_col),
         mode="overwrite",
         partition_by=["list_id"],
         properties={
             CENTROIDS_PROP: _json.dumps(centroids),
             PQ_BOOKS_PROP: _json.dumps(books),
+            SQ8_PROP: _json.dumps({"vmin": vmin, "scale": scale}),
             "graft.ivf.nlist": str(nlist),
             "graft.pq.m": str(m),
             "graft.pq.ksub": str(ksub),
@@ -277,13 +348,67 @@ def ann_topk_from_ivfpq_index(
     refine_factor: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    refine: str = "exact",
 ) -> DataFrame:
-    """Top-k from the materialized IVF-PQ index (see module docstring)."""
+    """Top-k from the materialized IVF-PQ index (see module docstring).
+
+    ``refine='exact'`` (default): ADC top k*rf -> exact cosine re-rank
+    from the cold float column (reads the float bytes of every probed
+    cell). ``refine='sq8'``: ADC top k*rf -> re-rank on the WARM int8
+    column (dim bytes/row instead of 4-8x that) -> exact cosine only for
+    the FINAL k rows via a pushed IN filter — the float column is read
+    for k ids' row groups, not nprobe cells (the SQ8 section comment)."""
     centroids, books = ivfpq_metadata(table)
     probes = _probe_cells(centroids, query_vec, nprobe)
     cand = table.load(skip_where=[("list_id", "in", probes)])
     score = _ip_adc_score(books, centroids, probes, query_vec)
-    return _adc_refine_topk(cand, score, query_vec, k, refine_factor, id_col, vec_col)
+    if refine == "exact":
+        return _adc_refine_topk(
+            cand, score, query_vec, k, refine_factor, id_col, vec_col
+        )
+    if refine != "sq8":
+        raise ValueError(f"unknown refine mode {refine!r}")
+    vmin, scale = ivfpq_sq8_metadata(table)
+    qscale = [q * s for q, s in zip(query_vec, scale)]
+    # dot(q, x~) = dot(q, vmin) + (128 + 0.5) * sum(q*s) + sum_d (q_d*s_d)*c8_d
+    const = _math.fsum(q * v for q, v in zip(query_vec, vmin)) + 128.5 * _math.fsum(
+        qscale
+    )
+    qscale_arr = F.array(*[F.lit(float(x)) for x in qscale])
+    approx = (
+        cand.select(id_col, score.alias("adc_score"))
+        .orderBy(F.col("adc_score").desc(), F.col(id_col).asc())
+        .limit(k * refine_factor)
+    )
+    sq8_dot = F.aggregate(
+        F.zip_with(F.col("sq8"), qscale_arr, lambda c, s: c * s),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    sq8_score = (F.lit(const) + sq8_dot) / F.greatest(
+        F.col("vnorm"), F.lit(1e-30)
+    )
+    warm = (
+        cand.select(id_col, "sq8", "vnorm")
+        .join(F.broadcast(approx), id_col)
+        .select(id_col, sq8_score.alias("_sq8"))
+        .orderBy(F.col("_sq8").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+    # bounded metadata collect (k ids) so the final exact pass can push
+    # an IN filter into the parquet scan instead of decoding the float
+    # column for every probed row
+    final_ids = [r[0] for r in warm.collect()]
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        table.load(skip_where=[("list_id", "in", probes)])
+        .filter(F.col(id_col).isin(final_ids))
+        .select(
+            id_col, F.round(cosine(F.col(vec_col), qlit), 6).alias("cos_sim")
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
 
 
 def ivfpq_search_inline(
@@ -347,8 +472,18 @@ def append_to_ivfpq_index(
             "vnorm", F.sqrt(l2_norm_sq(F.col(vec_col).cast("array<double>")))
         )
     )
+    cols = ["list_id", id_col, "pq_code", "vnorm", vec_col]
+    props = table.snapshot().properties
+    if SQ8_PROP in props:
+        # encode against the STORED quantizer (no retrain — appends must
+        # stay comparable to the original build's codes)
+        d = _json.loads(props[SQ8_PROP])
+        encoded = encoded.withColumn(
+            "sq8", _sq8_encode_col(vec_col, d["vmin"], d["scale"])
+        )
+        cols = ["list_id", id_col, "pq_code", "vnorm", "sq8", vec_col]
     table.write(
-        encoded.select("list_id", id_col, "pq_code", "vnorm", vec_col),
+        encoded.select(*cols),
         mode="append",
         partition_by=["list_id"],
         extra_parameters=extra_parameters,
@@ -363,7 +498,7 @@ def _cached_ivfpq_index(spark, sf_dir: str, nlist: int = 8, m: int = 4, ksub: in
     from delta_lake_optimizations_spark.table import GraftTable
 
     key = _hashlib.sha256(
-        f"{_os.path.abspath(sf_dir)}|ivfpq-ip|{nlist}|{m}|{ksub}|"
+        f"{_os.path.abspath(sf_dir)}|ivfpq-ip-sq8|{nlist}|{m}|{ksub}|"
         f"{_corpus_fingerprint(sf_dir)}".encode()
     ).hexdigest()[:16]
     path = _os.path.join(_tempfile.gettempdir(), "spark_graft_ivfpq_index", key)

@@ -73,35 +73,48 @@ _QUERY_MODULES = (
 # r03 reshape + remaining unchecked; r04 the 17 new metric queries; r05
 # the four materialized-index queries + the r04 rotation-hygiene list
 # (zero failures every round); r06 the URL/incremental-dedup/LM/VARIANT/
-# paragraph debutantes (48/50 green, 2 by-design rows-only). Round 7
-# (this window): the SIX new queries get their first driver rows (the
-# materialized IVF-PQ family: rows-only probe + oracle-backed
-# matches-inline equivalence twin + recall floor; trigram stupid-backoff
-# LM; BPE packing + its roundtrip-consistency metric);
-# incremental_dedup_two_batches re-verifies the serializable-ingest
-# rework of its module; the r06 debutantes are re-verified per the
-# established second-row pattern. Rotated out for the six:
-# ann_lsh_recall + ann_ivf_recall + knn_join_lsh_recall (each family
-# keeps a stronger in-window representative: ann_lsh_ranked_recall, the
-# three *matches_inline equivalence twins, knn_join_ivf_recall),
-# simhash_jaccard_recall + doc_fingerprint_shingles (dedup/fingerprint
-# families stay via dedup_ngram_jaccard, dedup_components_ngram,
-# minhash_lsh_recall, incremental dedup), and
-# multimodal_decode_consistency (multimodal_real_media_decode stays);
-# late in the round the indexed IVF batch k-NN join + twin entered and
-# ann_pq_recall (PQ family now carries the stronger IVF-PQ trio) +
-# skew_salted_join_brand_revenue (green since r4; join coverage stays
-# via q3/q5/q9/q21) rotated out, then bpe_pack_sizes entered for
-# hll_error_by_flag (sketch family keeps approx_percentile_error_by_flag
-# in-window; HLL stays in the local oracle gate).
+# paragraph debutantes (48/50 green, 2 by-design rows-only); r07 the
+# IVF-PQ family, BPE trio, trigram backoff LM, IVF k-NN join pair
+# (46/50 green, 4 by-design rows-only with adjacent oracle twins).
+# Round 8 (this window): the SEVEN r8 debutantes get their first driver
+# rows — the replication-proof dedup scale path + its survivor-set
+# equality twin, the 4-gram backoff LM, the Unicode-normalization
+# parity probe + mixed-form dedup story, and the indexed embedding
+# decontamination + its unthresholded equality twin; the nine r7
+# debutantes re-verify on their second row (established pattern).
+# Rotated out for the seven: ann_lsh_topk_sharded_ranked +
+# knn_join_sharded_indexed (rows-only entries that got their r7 row;
+# their oracle twins knn_join_sharded_matches_inline +
+# ann_lsh_ranked_recall stay in-window), ann_lsh_indexed_matches_inline
+# (covering-index twin; the sharded + IVF + IVF-PQ twins stay),
+# minhash_lsh_recall (the minhash family now carries the STRONGER
+# survivor-set equality twin + dedup_ngram_jaccard +
+# dedup_components_ngram), hard_negatives_lsh_overlap (similarity
+# family keeps 6 in-window reps), lm_perplexity_scores (LM family now
+# has both backoff orders in-window), chunk_embed_consistency
+# (pipeline family keeps pipeline_curate_documents).
 # Everything demoted out of the window stays covered by the identical
 # local gate in ``tests/test_oracle_parity.py``;
 # tests/test_registry_window.py asserts every registry name has had a
-# driver row across r01-r07.
+# driver row across all recorded rounds.
 DRIVER_WINDOW = 50
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # NEW this round: the materialized IVF-PQ family (rows-only probe with
-    # its oracle-backed equivalence + recall twins adjacent)
+    # NEW round 8: the replication-proof near-dup SCALE path (rows-only)
+    # + its oracle-backed survivor-set equality twin
+    "dedup_minhash_scaled",
+    "minhash_scaled_matches_pairwise",
+    # NEW round 8: 4-gram stupid-backoff LM (full cascade restated in the
+    # oracle; the trigram form lm_backoff_scores re-verifies below)
+    "lm_backoff4_scores",
+    # NEW round 8: Unicode normalization choke point — full-tier NFC
+    # parity probe + the mixed-form dedup user story, both oracle-backed
+    "normalize_text_docs",
+    "dedup_normalized_forms",
+    # NEW round 8: indexed embedding decontamination (rows-only) + its
+    # oracle-backed unthresholded equality twin vs the broadcast form
+    "decontam_embedding_indexed",
+    "decontam_embedding_matches_broadcast",
+    # r7 debutantes re-verified (second driver row): IVF-PQ family
     "ann_ivfpq_topk_indexed",
     "ann_ivfpq_matches_inline",
     "ann_ivfpq_recall",
@@ -123,24 +136,17 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "url_blocklist_filter",
     "incremental_dedup_two_batches",
     # rows-only entries (metric twins adjacent, established pattern)
-    "ann_lsh_topk_sharded_ranked",
-    "knn_join_sharded_indexed",
     "knn_join_sharded_matches_inline",
     # touched module re-verification: the index equivalence metrics
     "ann_lsh_sharded_matches_inline",
     "ann_ivf_indexed_matches_inline",
-    "ann_lsh_indexed_matches_inline",
     # metric-family greens held in the window (oracle-backed twins of the
     # approximate operators)
-    "minhash_lsh_recall",
     "knn_join_ivf_recall",
-    "hard_negatives_lsh_overlap",
     "multimodal_real_media_decode",
     "approx_percentile_error_by_flag",
     # r06 debutantes re-verified: VARIANT rollup + bigram-LM perplexity
     "variant_props_rollup",
-    "lm_perplexity_scores",
-    "chunk_embed_consistency",
     "dedup_components_ngram",
     "pagerank_mass_conservation",
     # regression watches (bench medians under observation this round)
