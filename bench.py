@@ -451,6 +451,38 @@ def _bench_ann_index(spark, n_vectors: int = 100_000, dim: int = 64) -> dict:
             }
             recalls.append(len(exact_ids & got) / max(1, len(exact_ids)))
         out["ivfpq_sq8_recall_at_10_clustered"] = round(statistics.mean(recalls), 3)
+
+        # ---- embedding-decontamination crossover (r07 #6) ----
+        # broadcast form (|corpus| x |bench| flops) vs the IVF-indexed
+        # form (nprobe/nlist of that) at a benchmark size where broadcast
+        # is already past its comfort zone: 1/16 of the clustered corpus
+        # as the "benchmark", the rest as the corpus.
+        from delta_lake_optimizations_spark.operators.decontam import (
+            embedding_decontaminate_indexed,
+            embedding_decontaminate_report,
+        )
+        from delta_lake_optimizations_spark.operators.ivf import (
+            build_ivf_index as _build_ivf,
+        )
+
+        bench_side = ccorpus.filter(F.col("vec_id") % 16 == 0)
+        corpus_side = ccorpus.filter(F.col("vec_id") % 16 != 0)
+        out["decontam_bench_vectors"] = bench_side.count()
+        t0 = time.perf_counter()
+        embedding_decontaminate_report(corpus_side, bench_side, 0.9).count()
+        out["decontam_broadcast_sec"] = round(time.perf_counter() - t0, 4)
+        t0 = time.perf_counter()
+        dt = _build_ivf(
+            spark, bench_side, os.path.join(root, "decontamidx"),
+            nlist=nlist, seed=7, sample_fraction=0.1,
+        )
+        out["decontam_index_build_sec"] = round(time.perf_counter() - t0, 4)
+        t0 = time.perf_counter()
+        embedding_decontaminate_indexed(corpus_side, dt, 0.9, nprobe=nprobe).count()
+        out["decontam_indexed_sec"] = round(time.perf_counter() - t0, 4)
+        out["decontam_indexed_speedup"] = round(
+            out["decontam_broadcast_sec"] / out["decontam_indexed_sec"], 2
+        )
         ivfpq_files = len(ivfpq_t.snapshot().files)
         out["ivfpq_total_files"] = ivfpq_files
         out["ivfpq_probe_files_med"] = statistics.median(
@@ -541,10 +573,17 @@ def _bench_sf1_rehearsal(spark, sf_dir: str, sf01_timings: dict[str, float]) -> 
         "bpe_pack_sizes",
         "bpe_roundtrip_consistency",
         "ann_ivfpq_matches_inline",
-        # r8 addition: the composed scale path must equal the uncomposed
+        # r8 additions: the composed scale path must equal the uncomposed
         # pairwise form on the 10x replica-shifted corpus too (where the
-        # exact-collapse stage does real work: 50k docs -> ~5k reps)
+        # exact-collapse stage does real work: 50k docs -> ~5k reps);
+        # the 4-gram backoff LM and the Unicode-normalization parity
+        # probes are value-checkable at any scale; the indexed-decontam
+        # twin pins the IVF-backed report on the 10x vector corpus
         "minhash_scaled_matches_pairwise",
+        "lm_backoff4_scores",
+        "normalize_text_docs",
+        "dedup_normalized_forms",
+        "decontam_embedding_matches_broadcast",
     ]
     out["correctness"] = run_sf1_correctness(spark, out_dir, check_names)
     out["correctness_all_green"] = all(

@@ -733,6 +733,16 @@ class GraftCatalog:
         from delta_lake_optimizations_spark.table import generate_manifest
 
         mode = m.group("mode").strip("'").lower()
+        if mode == "delta_log":
+            from delta_lake_optimizations_spark.table.delta_import import (
+                generate_delta_log,
+            )
+
+            r = generate_delta_log(self.table(m.group("table")))
+            return self._row(
+                ("logDir", "numFiles", "version"),
+                (r["log_dir"], r["n_files"], r["version"]),
+            )
         if mode != "symlink_format_manifest":
             raise ValueError(f"GENERATE: unsupported mode {mode!r}")
         r = generate_manifest(self.table(m.group("table")))

@@ -217,6 +217,101 @@ def _checkpoint_state(
     return meta_action, adds, None
 
 
+def generate_delta_log(table, timestamp_ms: int | None = None) -> dict[str, Any]:
+    """EXPORT the current GraftTable snapshot as a real ``_delta_log``
+    (the outbound half of interop, completing the bidirectional pair
+    with ``convert_from_delta``): one version-0 JSON commit carrying
+    protocol(1,2) + metaData (the snapshot's Spark schema JSON is
+    already the protocol's ``schemaString`` dialect) + one ``add``
+    action per active data file with URL-encoded relative path, hive
+    partitionValues, size, and the embedded stats string
+    (numRecords/minValues/maxValues/nullCount) so a Delta reader gets
+    data skipping too. Snapshot export, like Delta's own CONVERT — the
+    GraftTable history stays in ``_log``; regeneration atomically
+    replaces the exported log.
+
+    Refused when any active file carries a deletion vector (an external
+    Delta reader has no DV sidecar and would resurrect deleted rows —
+    the same restriction as ``generate_manifest``) or when column
+    mapping is active (physical names on disk differ from the logical
+    schema).
+
+    Driver-side metadata work only; zero data I/O at any scale.
+    """
+    import shutil
+    import time as _time
+    import uuid as _uuid
+
+    snap = table.snapshot()
+    if any(f.dv_count for f in snap.files):
+        raise ValueError(
+            "generate_delta_log: table has deletion vectors; an external "
+            "Delta reader would resurrect deleted rows — run reorg_purge "
+            "first"
+        )
+    if snap.properties.get("graft.columnMapping", "none") not in ("", "none"):
+        raise ValueError(
+            "generate_delta_log: column mapping is active — physical "
+            "column names on disk differ from the logical schema"
+        )
+    ts = timestamp_ms if timestamp_ms is not None else int(_time.time() * 1000)
+    actions: list[dict[str, Any]] = [
+        {
+            "commitInfo": {
+                "timestamp": ts,
+                "operation": "CONVERT",
+                "operationParameters": {"sourceFormat": "graft"},
+            }
+        },
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {
+            "metaData": {
+                "id": str(_uuid.uuid4()),
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": snap.schema_json,
+                "partitionColumns": list(snap.partition_columns),
+                "configuration": {},
+                "createdTime": ts,
+            }
+        },
+    ]
+    for f in sorted(snap.files, key=lambda a: a.path):
+        stats = {
+            "numRecords": f.num_records,
+            "minValues": {
+                k: v for k, v in f.stats.get("minValues", {}).items()
+                if v is not None
+            },
+            "maxValues": {
+                k: v for k, v in f.stats.get("maxValues", {}).items()
+                if v is not None
+            },
+            "nullCount": dict(f.stats.get("nullCounts", {})),
+        }
+        actions.append(
+            {
+                "add": {
+                    "path": urllib.parse.quote(f.path),
+                    "partitionValues": dict(f.partition_values),
+                    "size": f.size,
+                    "modificationTime": ts,
+                    "dataChange": True,
+                    "stats": json.dumps(stats),
+                }
+            }
+        )
+    log_dir = os.path.join(table.path, "_delta_log")
+    tmp_dir = log_dir + f".tmp-{os.getpid()}"
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    os.makedirs(tmp_dir)
+    with open(os.path.join(tmp_dir, f"{0:020d}.json"), "w") as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+    shutil.rmtree(log_dir, ignore_errors=True)
+    os.replace(tmp_dir, log_dir)
+    return {"log_dir": log_dir, "n_files": len(snap.files), "version": 0}
+
+
 def convert_from_delta(
     spark: SparkSession,
     path: str,

@@ -330,3 +330,83 @@ def test_sql_route(spark, tmp_path):
     assert cat.sql(
         "SELECT COUNT(*) AS n FROM imported_sales"
     ).collect()[0]["n"] == 6
+
+
+# --- GENERATE delta_log: the outbound half of interop ---
+
+
+def test_generate_delta_log_round_trip(spark, tmp_path):
+    """Export a partitioned GraftTable snapshot as a _delta_log, copy the
+    data + exported log to a fresh location (as an external Delta reader
+    would see it), import it back with convert_from_delta, and require
+    identical contents, schema, partition values, and stats-driven file
+    skipping."""
+    import shutil
+
+    from delta_lake_optimizations_spark.table.delta_import import (
+        generate_delta_log,
+    )
+
+    src = str(tmp_path / "graft_src")
+    t = GraftTable(spark, src)
+    df = spark.createDataFrame(
+        [(i, "US" if i % 2 == 0 else "DE", float(i)) for i in range(100)],
+        "id long, country string, price double",
+    )
+    t.write(df, partition_by=["country"])
+    r = generate_delta_log(t)
+    assert r["n_files"] >= 2 and os.path.isdir(r["log_dir"])
+
+    # ship data files + _delta_log only (no GraftTable _log)
+    dst = str(tmp_path / "delta_view")
+    shutil.copytree(src, dst, ignore=shutil.ignore_patterns("_log"))
+    t2 = convert_from_delta(spark, dst)
+    got = t2.load()
+    assert got.count() == 100
+    assert sorted(got.columns) == ["country", "id", "price"]
+    assert {r["country"] for r in got.select("country").distinct().collect()} == {
+        "US", "DE",
+    }
+    assert sorted(r["id"] for r in got.collect()) == list(range(100))
+    # exported stats round-trip into the importer's file skipping
+    assert t2.files_scanned(skip_where=[("id", "=", 0)]) >= 1
+    assert t2.files_scanned(skip_where=[("id", "=", 10_000)]) == 0
+
+
+def test_generate_delta_log_refuses_dv_tables(spark, tmp_path):
+    from delta_lake_optimizations_spark.table.delta_import import (
+        generate_delta_log,
+    )
+    from delta_lake_optimizations_spark.table.maintenance import delete
+
+    src = str(tmp_path / "graft_dv")
+    t = GraftTable(spark, src)
+    t.write(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(50)], "id long, price double"
+        ),
+        properties={"graft.enableDeletionVectors": "true"},
+    )
+    delete(t, "id = 7", deletion_vectors=True)
+    snap = t.snapshot()
+    assert any(f.dv_count for f in snap.files)
+    with pytest.raises(ValueError):
+        generate_delta_log(t)
+
+
+def test_generate_delta_log_sql_route(spark, tmp_path):
+    from delta_lake_optimizations_spark.frontdoor import GraftCatalog
+    from delta_lake_optimizations_spark.table.delta_import import (
+        generate_delta_log,  # noqa: F401 — route under test
+    )
+
+    src = str(tmp_path / "graft_sqlgen")
+    t = GraftTable(spark, src)
+    t.write(spark.createDataFrame([(1, "x")], "id long, s string"))
+    cat = GraftCatalog(spark)
+    cat.register("gen_src", src)
+    row = cat.sql("GENERATE delta_log FOR TABLE gen_src").collect()[0]
+    assert row["numFiles"] >= 1 and row["version"] == 0
+    assert os.path.exists(
+        os.path.join(src, "_delta_log", f"{0:020d}.json")
+    )

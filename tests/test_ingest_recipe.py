@@ -1,8 +1,10 @@
 """The 100 TB ingest recipe, end to end (VERDICT r06 #7): landing zone
 -> COPY INTO bronze (idempotent file ledger) -> DLT drop-mode
-expectations at the bronze write -> FingerprintStore dedup into silver
-(exactly-once batches, serializable admission) -> curation -> token-
-budget packed gold shards. Every stage's contract is asserted, and the
+expectations at the bronze write -> Unicode normalization (the r8 choke
+point: mixed-form duplicates become byte-identical BEFORE
+fingerprinting) -> FingerprintStore dedup into silver (exactly-once
+batches, serializable admission) -> curation -> token-budget packed
+gold shards. Every stage's contract is asserted, and the
 silver survivor set — the stage whose semantics are SQL-expressible —
 is value-checked against an independent DuckDB restatement."""
 
@@ -19,6 +21,7 @@ from delta_lake_optimizations_spark.operators.incremental_dedup import (
 )
 from delta_lake_optimizations_spark.operators.packing import pack_sequences
 from delta_lake_optimizations_spark.operators.pipeline import curate_documents
+from delta_lake_optimizations_spark.operators.textnorm import normalize_documents
 from delta_lake_optimizations_spark.table import GraftTable
 from delta_lake_optimizations_spark.table.copy_into import copy_into
 
@@ -75,14 +78,21 @@ def test_ingest_recipe_end_to_end(spark, duck, tmp_path):
 
     store = FingerprintStore(spark, str(tmp_path / "fp"))
     silver = GraftTable(spark, str(tmp_path / "silver"))
-    kept1 = store.ingest(batch1, "v1")
+    kept1 = store.ingest(normalize_documents(batch1), "v1")
     silver.write(kept1)
 
     # second landing drop: the odd docs, cross-batch content duplicates
-    # (re-keyed evens), and three rows the expectation must drop
-    odds.unionByName(rekeyed).unionByName(bad).coalesce(1).write.parquet(
-        os.path.join(landing, "drop_b")
+    # (re-keyed evens), MIXED-FORM duplicates (uppercased + zero-width
+    # noise — byte-distinct, visually identical; only the normalization
+    # stage makes them dedup), and three rows the expectation must drop
+    mixed = evens.select(
+        (F.col("doc_id") + 3_000_000).alias("doc_id"),
+        F.concat(F.upper("text"), F.lit("\u200b")).alias("text"),
+        "lang", "source", "n_chars",
     )
+    odds.unionByName(rekeyed).unionByName(mixed).unionByName(bad).coalesce(
+        1
+    ).write.parquet(os.path.join(landing, "drop_b"))
     r2 = copy_into(bronze, landing)
     assert r2["skipped_files"] >= 1, "drop_a files must not re-ingest"
     # expectation observability: violation count in the commit params
@@ -93,23 +103,33 @@ def test_ingest_recipe_end_to_end(spark, duck, tmp_path):
         "action": "drop",
         "violations": 3,
     }
-    assert bronze.load().filter(F.col("doc_id") >= 2_000_000).count() == 0
+    assert (
+        bronze.load()
+        .filter((F.col("doc_id") >= 2_000_000) & (F.col("doc_id") < 3_000_000))
+        .count()
+        == 0
+    )
 
     batch2 = bronze.load(version=r2["version"]).join(
         batch1.select("doc_id"), "doc_id", "left_anti"
     )
-    kept2 = store.ingest(batch2, "v2")
+    kept2 = store.ingest(normalize_documents(batch2), "v2")
     silver.write(kept2, mode="append")
 
     # idempotency: a third COPY INTO is a no-op commit-wise, and
     # replaying batch v2 returns the original survivors without a commit
     assert copy_into(bronze, landing)["num_files"] == 0
     n_store_commits = len(store.table.commits())
-    replay = store.ingest(batch2, "v2")
+    replay = store.ingest(normalize_documents(batch2), "v2")
     assert len(store.table.commits()) == n_store_commits
     assert sorted(r["doc_id"] for r in replay.select("doc_id").collect()) == sorted(
         r["doc_id"] for r in kept2.select("doc_id").collect()
     )
+
+    # every mixed-form variant normalized to an already-admitted text,
+    # so none of them survive (without the normalization stage they all
+    # would: byte-distinct fingerprints)
+    assert silver.load().filter(F.col("doc_id") >= 3_000_000).count() == 0
 
     # the silver survivor set is exactly first-seen-wins over the two
     # drops — value-checked against an independent SQL restatement

@@ -281,3 +281,31 @@ def test_ivfpq_probe_plan_is_exchange_free_scan_plus_broadcast(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_unicode_normalize_full_tier_map_only(spark):
+    """The NFC full tier is one Arrow stage: zero exchanges, no
+    sort-merge machinery — normalization must run at scan speed."""
+    df = _DEFS["normalize_text_docs"].fn(spark, SF_DIR)
+    s = plan_summary(df)
+    assert s["exchanges"] == 0, s
+    assert s["sort_merge_joins"] == 0, s
+
+
+def test_indexed_decontam_never_cross_joins(spark):
+    """The IVF-indexed decontamination must block on list_id (equi-join)
+    — no nested-loop/cartesian anywhere, unlike the broadcast form whose
+    cross join is the very cost being replaced."""
+    df = _DEFS["decontam_embedding_indexed"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_minhash_scaled_no_cartesian(spark):
+    """The composed scale path stays equi-join/window shaped end to end
+    (exact collapse, banded bucket join, star cap, CC) — a cartesian
+    anywhere means the pair space escaped its blocking."""
+    df = _DEFS["dedup_minhash_scaled"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan

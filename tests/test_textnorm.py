@@ -83,3 +83,20 @@ def test_dedup_normalized_forms_survivors(spark):
         r["doc_id"] for r in load_table(spark, SF_DIR, "documents").select("doc_id").collect()
     }
     assert survivors == base_ids  # originals win; +1M/+2M variants all drop
+
+
+def test_normalize_is_idempotent_property(spark):
+    """normalize(normalize(x)) == normalize(x) for adversarial inputs —
+    NFC is idempotent, the strip removes everything it targets in one
+    pass, and lower of lower is lower."""
+    probes = [
+        COMPOSED, DECOMPOSED, ZW, "CAFÉ", "ẛ̣ mixed ʼn",  # exotic composições
+        "ＦＵＬＬＷＩＤＴＨ", "ñ Ñ ǅungla ǋ", "", " ", "a​‌‍b",
+    ]
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(probes)], "id long, text string"
+    )
+    once = df.select("id", normalize_text_col(F.col("text")).alias("n"))
+    twice = once.select("id", normalize_text_col(F.col("n")).alias("n2"))
+    joined = once.join(twice, "id")
+    assert joined.filter(F.col("n") != F.col("n2")).count() == 0
