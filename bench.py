@@ -453,10 +453,14 @@ def _bench_ann_index(spark, n_vectors: int = 100_000, dim: int = 64) -> dict:
         out["ivfpq_sq8_recall_at_10_clustered"] = round(statistics.mean(recalls), 3)
 
         # ---- embedding-decontamination crossover (r07 #6) ----
-        # broadcast form (|corpus| x |bench| flops) vs the IVF-indexed
-        # form (nprobe/nlist of that) at a benchmark size where broadcast
-        # is already past its comfort zone: 1/16 of the clustered corpus
-        # as the "benchmark", the rest as the corpus.
+        # broadcast form (|corpus| x |bench| dot products, each an
+        # interpreted zip_with/aggregate) vs the IVF-indexed form
+        # (nprobe/nlist of those pairs). Slice sizes are chosen so the
+        # broadcast form costs tens of seconds, not hours: 25k corpus x
+        # 2.5k benchmark = 62M pairs (the first attempt used the full
+        # 800k x 50k = 37 BILLION pairs and ran >1 h — the crossover
+        # point is far below that; the measurement only needs both forms
+        # timed on the same slices).
         from delta_lake_optimizations_spark.operators.decontam import (
             embedding_decontaminate_indexed,
             embedding_decontaminate_report,
@@ -465,8 +469,8 @@ def _bench_ann_index(spark, n_vectors: int = 100_000, dim: int = 64) -> dict:
             build_ivf_index as _build_ivf,
         )
 
-        bench_side = ccorpus.filter(F.col("vec_id") % 16 == 0)
-        corpus_side = ccorpus.filter(F.col("vec_id") % 16 != 0)
+        bench_side = ccorpus.filter(F.col("vec_id") % 320 == 0)
+        corpus_side = ccorpus.filter(F.col("vec_id") % 32 == 1)
         out["decontam_bench_vectors"] = bench_side.count()
         t0 = time.perf_counter()
         embedding_decontaminate_report(corpus_side, bench_side, 0.9).count()
