@@ -408,6 +408,24 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def exact_collapse(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Collapse byte-identical texts to their min-id representative,
+    carrying ``n_exact_copies`` — the shared pre-pass of every composed
+    near-dup SCALE path (one window over the content hash; linear). On
+    duplication-heavy corpora this removes the quadratic pair mass
+    BEFORE any bucket/gram join exists."""
+    fped = df.withColumn("_fp", F.sha2(F.col(text_col).cast("string"), 256))
+    w = Window.partitionBy("_fp").orderBy(id_col)
+    return (
+        fped.withColumn("_rn", F.row_number().over(w))
+        .withColumn(
+            "n_exact_copies", F.count(F.lit(1)).over(Window.partitionBy("_fp"))
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_fp")
+    )
+
+
 def dedup_minhash_survivors(
     df: DataFrame,
     id_col: str,
@@ -446,17 +464,7 @@ def dedup_minhash_survivors(
 
     Output: surviving rows of ``df`` + ``n_exact_copies`` (how many exact
     duplicates each survivor absorbed — downstream sampling weights)."""
-    fp = F.sha2(F.col(text_col).cast("string"), 256)
-    fped = df.withColumn("_fp", fp)
-    w = Window.partitionBy("_fp").orderBy(id_col)
-    reps = (
-        fped.withColumn("_rn", F.row_number().over(w))
-        .withColumn(
-            "n_exact_copies", F.count(F.lit(1)).over(Window.partitionBy("_fp"))
-        )
-        .filter(F.col("_rn") == 1)
-        .drop("_rn", "_fp")
-    )
+    reps = exact_collapse(df, id_col, text_col)
     pairs = minhash_lsh_pairs(
         reps,
         id_col,

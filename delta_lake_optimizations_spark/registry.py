@@ -145,9 +145,12 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "knn_join_ivf_recall",
     "multimodal_real_media_decode",
     "approx_percentile_error_by_flag",
-    # r06 debutantes re-verified: VARIANT rollup + bigram-LM perplexity
+    # r06 debutantes re-verified: VARIANT rollup; graph family now led
+    # by the r8 SCALE path (exact collapse -> gram edges over reps -> CC,
+    # full vertex parity); the uncomposed dedup_components_ngram stays in
+    # the local oracle gate (r6+r7 driver rows)
     "variant_props_rollup",
-    "dedup_components_ngram",
+    "dedup_components_scaled",
     "pagerank_mass_conservation",
     # regression watches (bench medians under observation this round)
     "pipeline_curate_documents",
