@@ -42,7 +42,9 @@ pinned by the round-trip metric + unit tests on hand-computed merges.
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
 from collections.abc import Iterator
 from dataclasses import dataclass
@@ -63,9 +65,24 @@ EOW = "</w>"
 # stable within a process, but a CONCURRENT run at another scale factor
 # (another process) must not overwrite it between this process's query
 # and oracle — per-process temp dirs make that impossible.
-VOCAB_SIDECAR = os.path.join(
-    tempfile.gettempdir(), f"spark_graft_bpe_{os.getpid()}", "word_tokens.parquet"
+# pid alone recycles across reboots (stale parquet from a previous boot
+# could alias a reused PID), so the key also carries the process start
+# time; atexit removes the directory so sidecars don't accumulate one
+# per process in the system tempdir.
+def _proc_key() -> str:
+    try:
+        with open(f"/proc/{os.getpid()}/stat") as fh:
+            starttime = fh.read().rsplit(")", 1)[1].split()[19]
+    except OSError:
+        starttime = "0"
+    return f"{os.getpid()}_{starttime}"
+
+
+_SIDECAR_DIR = os.path.join(
+    tempfile.gettempdir(), f"spark_graft_bpe_{_proc_key()}"
 )
+VOCAB_SIDECAR = os.path.join(_SIDECAR_DIR, "word_tokens.parquet")
+atexit.register(shutil.rmtree, _SIDECAR_DIR, ignore_errors=True)
 
 
 def pre_tokenize(col: Column) -> Column:

@@ -325,10 +325,15 @@ def minhash_lsh_pairs(
         # STAR — every member paired with the bucket's min-id row — so
         # pair output per bucket is O(size). On duplication-heavy
         # corpora (real web crawl: boilerplate with 10^5 copies) this is
-        # the difference between linear and quadratic output; the star
-        # preserves the bucket's connectivity for the connected-
-        # components consumer, trading only clique edges BETWEEN
-        # non-min members (each still estimated against the min). One
+        # the difference between linear and quadratic output. The star is
+        # a RECALL trade, not connectivity-preserving in general: star
+        # edges are filtered by the same est_jaccard >= threshold gate at
+        # the tail, so a component whose only above-threshold edges run
+        # between NON-min members of an oversized bucket can split (the
+        # (min, member) edges that replaced them fall below threshold and
+        # drop). The parity twin proves equality only while no bucket
+        # exceeds the cap on the tested corpora; at scale the cap bounds
+        # cost and accepts that bounded recall loss. One
         # extra hash aggregate on the same bucket key — the join below
         # reuses its partitioning.
         stats = banded.groupBy("bucket").agg(

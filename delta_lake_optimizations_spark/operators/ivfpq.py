@@ -403,6 +403,18 @@ def ann_topk_from_ivfpq_index(
     # column for every probed row
     final_ids = [r[0] for r in warm.collect()]
     qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    if not final_ids:
+        # empty shortlist (empty/tiny index, all-null cells): isin([]) is
+        # version-dependent edge-case territory — return a typed empty
+        # frame explicitly instead
+        return (
+            table.load()
+            .select(
+                id_col,
+                F.round(cosine(F.col(vec_col), qlit), 6).alias("cos_sim"),
+            )
+            .limit(0)
+        )
     return (
         table.load(skip_where=[("list_id", "in", probes)])
         .filter(F.col(id_col).isin(final_ids))

@@ -63,13 +63,13 @@ from delta_lake_optimizations_spark.table.graft_table import (
 _JSON_COMMIT = re.compile(r"^(\d{20})\.json$")
 _CHECKPOINT = re.compile(r"^(\d{20})\.checkpoint(\.\d{10}\.\d{10})?\.parquet$")
 
-# Reader-version-2/3 table features we would misread; refuse instead.
-_UNSUPPORTED_READER_FEATURES = {
-    "deletionVectors",
-    "columnMapping",
-    "v2Checkpoint",
-    "typeWidening",
-    "variantType-preview",
+# Reader features this importer actually honors (ALLOWLIST — the Delta
+# protocol requires a reader to reject any readerFeature it does not
+# implement, so unknown/future features must refuse, not pass).
+# timestampNtz is safe: schemaString parses to Spark's TimestampNTZType
+# and the parquet physical encoding is read verbatim.
+_SUPPORTED_READER_FEATURES = {
+    "timestampNtz",
 }
 
 
@@ -91,12 +91,13 @@ def _check_protocol(action: dict[str, Any]) -> None:
     if action.get("minReaderVersion", 1) <= 1:
         return
     feats = set(action.get("readerFeatures") or [])
-    bad = feats & _UNSUPPORTED_READER_FEATURES
-    if bad or not feats:
+    unsupported = feats - _SUPPORTED_READER_FEATURES
+    if unsupported or not feats:
         raise UnsupportedDeltaFeature(
             f"Delta minReaderVersion={action.get('minReaderVersion')} "
             f"requires reader features {sorted(feats) or '(unlisted)'} — "
-            f"unsupported: {sorted(bad) or 'unknown set'}"
+            f"not implemented here: {sorted(unsupported) or 'unknown set'} "
+            "(the protocol requires rejecting unimplemented readerFeatures)"
         )
 
 
@@ -217,22 +218,173 @@ def _checkpoint_state(
     return meta_action, adds, None
 
 
-def generate_delta_log(table, timestamp_ms: int | None = None) -> dict[str, Any]:
-    """EXPORT the current GraftTable snapshot as a real ``_delta_log``
-    (the outbound half of interop, completing the bidirectional pair
-    with ``convert_from_delta``): one version-0 JSON commit carrying
+def _add_action_json(f: AddFile, ts: int) -> dict[str, Any]:
+    """One Delta ``add`` action (dict form) for a live GraftTable file."""
+    stats = {
+        "numRecords": f.num_records,
+        "minValues": {
+            k: v for k, v in f.stats.get("minValues", {}).items()
+            if v is not None
+        },
+        "maxValues": {
+            k: v for k, v in f.stats.get("maxValues", {}).items()
+            if v is not None
+        },
+        "nullCount": dict(f.stats.get("nullCounts", {})),
+    }
+    return {
+        "path": urllib.parse.quote(f.path),
+        "partitionValues": dict(f.partition_values),
+        "size": f.size,
+        "modificationTime": ts,
+        "dataChange": True,
+        "stats": json.dumps(stats),
+    }
+
+
+def _meta_action_json(
+    table_id: str, schema_json: str, partition_columns: list[str], ts: int
+) -> dict[str, Any]:
+    return {
+        "id": table_id,
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": schema_json,
+        "partitionColumns": list(partition_columns),
+        "configuration": {},
+        "createdTime": ts,
+    }
+
+
+def _write_checkpoint_parquet(
+    out_path: str,
+    protocol: dict[str, Any],
+    meta: dict[str, Any],
+    adds: list[dict[str, Any]],
+) -> int:
+    """Write a single-part Delta checkpoint parquet: the protocol's
+    row-per-action layout (columns protocol/metaData/add, exactly one
+    non-null per row) that ``_checkpoint_state`` above already reads.
+    Driver-side pyarrow write — the action count is metadata-sized
+    (one row per live file), never data-sized."""
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    str_map = pa.map_(pa.string(), pa.string())
+    protocol_t = pa.struct(
+        [("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())]
+    )
+    meta_t = pa.struct(
+        [
+            ("id", pa.string()),
+            ("format", pa.struct([("provider", pa.string()),
+                                  ("options", str_map)])),
+            ("schemaString", pa.string()),
+            ("partitionColumns", pa.list_(pa.string())),
+            ("configuration", str_map),
+            ("createdTime", pa.int64()),
+        ]
+    )
+    add_t = pa.struct(
+        [
+            ("path", pa.string()),
+            ("partitionValues", str_map),
+            ("size", pa.int64()),
+            ("modificationTime", pa.int64()),
+            ("dataChange", pa.bool_()),
+            ("stats", pa.string()),
+        ]
+    )
+
+    def mapped(d: dict[str, Any] | None, *map_keys: str) -> Any:
+        if d is None:
+            return None
+        out = dict(d)
+        for k in map_keys:
+            out[k] = list((out.get(k) or {}).items())
+        return out
+
+    n = 2 + len(adds)
+    proto_col = [protocol] + [None] * (n - 1)
+    meta_col = [None, mapped(meta, "configuration")] + [None] * len(adds)
+    if meta_col[1] is not None:
+        meta_col[1]["format"] = mapped(meta["format"], "options")
+    add_col = [None, None] + [mapped(a, "partitionValues") for a in adds]
+    tbl = pa.table(
+        {
+            "protocol": pa.array(proto_col, type=protocol_t),
+            "metaData": pa.array(meta_col, type=meta_t),
+            "add": pa.array(add_col, type=add_t),
+        }
+    )
+    papq.write_table(tbl, out_path)
+    return n
+
+
+def _log_is_graft_export(log_dir: str) -> bool:
+    """True iff every JSON commit in ``log_dir`` declares itself a graft
+    export (``commitInfo.operationParameters.sourceFormat == "graft"``) —
+    the overwrite guard: a _delta_log we did not produce (e.g. the source
+    log of an in-place ``convert_from_delta``) must never be clobbered."""
+    saw_any = False
+    for fn in os.listdir(log_dir):
+        if not _JSON_COMMIT.match(fn):
+            continue
+        saw_any = True
+        try:
+            actions = _read_json_actions(os.path.join(log_dir, fn))
+        except (OSError, ValueError):
+            return False
+        ok = any(
+            (a.get("commitInfo") or {}).get("operationParameters", {})
+            .get("sourceFormat") == "graft"
+            for a in actions
+        )
+        if not ok:
+            return False
+    return saw_any
+
+
+def generate_delta_log(
+    table,
+    timestamp_ms: int | None = None,
+    history: bool = False,
+    checkpoint_interval: int = 10,
+    force: bool = False,
+) -> dict[str, Any]:
+    """EXPORT the GraftTable as a real ``_delta_log`` (the outbound half
+    of interop, completing the bidirectional pair with
+    ``convert_from_delta``).
+
+    Snapshot mode (default): one version-0 JSON commit carrying
     protocol(1,2) + metaData (the snapshot's Spark schema JSON is
     already the protocol's ``schemaString`` dialect) + one ``add``
     action per active data file with URL-encoded relative path, hive
     partitionValues, size, and the embedded stats string
     (numRecords/minValues/maxValues/nullCount) so a Delta reader gets
-    data skipping too. Snapshot export, like Delta's own CONVERT — the
-    GraftTable history stays in ``_log``; regeneration atomically
-    replaces the exported log.
+    data skipping too — like Delta's own CONVERT.
 
-    Refused when any active file carries a deletion vector (an external
-    Delta reader has no DV sidecar and would resurrect deleted rows —
-    the same restriction as ``generate_manifest``) or when column
+    ``history=True``: every retained graft version becomes its own Delta
+    JSON commit (adds/removes/metaData replayed verbatim, commitInfo
+    keeping the graft wall clock so TIMESTAMP AS OF agrees), and every
+    ``checkpoint_interval`` versions a ``<v>.checkpoint.parquet`` +
+    ``_last_checkpoint`` pair is written — the same single-part
+    checkpoint layout ``convert_from_delta`` reads — so an external
+    Delta reader of a long history replays from the newest checkpoint
+    instead of every JSON commit (and log-cleaned re-imports still work:
+    the round-trip test deletes the pre-checkpoint JSONs).
+
+    Overwrite safety: an existing ``_delta_log`` is replaced ONLY if it
+    is a prior graft export (every JSON commit stamped
+    ``sourceFormat=graft``); anything else — in particular the source
+    log of an in-place ``convert_from_delta`` import, whose documented
+    contract is read-only w.r.t. Delta's files — is refused unless
+    ``force=True``. The swap itself is crash-safe: the new log is staged
+    complete in a temp dir, the old log renamed aside, the temp renamed
+    in, then the old removed — at no instant is there no ``_delta_log``.
+
+    Refused when any exported file carries a deletion vector (an
+    external Delta reader has no DV sidecar and would resurrect deleted
+    rows — the same restriction as ``generate_manifest``) or when column
     mapping is active (physical names on disk differ from the logical
     schema).
 
@@ -243,73 +395,144 @@ def generate_delta_log(table, timestamp_ms: int | None = None) -> dict[str, Any]
     import uuid as _uuid
 
     snap = table.snapshot()
-    if any(f.dv_count for f in snap.files):
-        raise ValueError(
-            "generate_delta_log: table has deletion vectors; an external "
-            "Delta reader would resurrect deleted rows — run reorg_purge "
-            "first"
-        )
     if snap.properties.get("graft.columnMapping", "none") not in ("", "none"):
         raise ValueError(
             "generate_delta_log: column mapping is active — physical "
             "column names on disk differ from the logical schema"
         )
-    ts = timestamp_ms if timestamp_ms is not None else int(_time.time() * 1000)
-    actions: list[dict[str, Any]] = [
-        {
-            "commitInfo": {
-                "timestamp": ts,
-                "operation": "CONVERT",
-                "operationParameters": {"sourceFormat": "graft"},
-            }
-        },
-        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
-        {
-            "metaData": {
-                "id": str(_uuid.uuid4()),
-                "format": {"provider": "parquet", "options": {}},
-                "schemaString": snap.schema_json,
-                "partitionColumns": list(snap.partition_columns),
-                "configuration": {},
-                "createdTime": ts,
-            }
-        },
-    ]
-    for f in sorted(snap.files, key=lambda a: a.path):
-        stats = {
-            "numRecords": f.num_records,
-            "minValues": {
-                k: v for k, v in f.stats.get("minValues", {}).items()
-                if v is not None
-            },
-            "maxValues": {
-                k: v for k, v in f.stats.get("maxValues", {}).items()
-                if v is not None
-            },
-            "nullCount": dict(f.stats.get("nullCounts", {})),
-        }
-        actions.append(
-            {
-                "add": {
-                    "path": urllib.parse.quote(f.path),
-                    "partitionValues": dict(f.partition_values),
-                    "size": f.size,
-                    "modificationTime": ts,
-                    "dataChange": True,
-                    "stats": json.dumps(stats),
-                }
-            }
-        )
+    now_ts = timestamp_ms if timestamp_ms is not None else int(_time.time() * 1000)
+    table_id = str(_uuid.uuid4())
+
+    # ---- stage the new log fully in a temp dir -------------------------
     log_dir = os.path.join(table.path, "_delta_log")
     tmp_dir = log_dir + f".tmp-{os.getpid()}"
     shutil.rmtree(tmp_dir, ignore_errors=True)
     os.makedirs(tmp_dir)
-    with open(os.path.join(tmp_dir, f"{0:020d}.json"), "w") as fh:
-        for a in actions:
-            fh.write(json.dumps(a) + "\n")
-    shutil.rmtree(log_dir, ignore_errors=True)
+
+    last_ckpt: int | None = None
+    if not history:
+        if any(f.dv_count for f in snap.files):
+            raise ValueError(
+                "generate_delta_log: table has deletion vectors; an "
+                "external Delta reader would resurrect deleted rows — run "
+                "reorg_purge first"
+            )
+        actions: list[dict[str, Any]] = [
+            {
+                "commitInfo": {
+                    "timestamp": now_ts,
+                    "operation": "CONVERT",
+                    "operationParameters": {"sourceFormat": "graft"},
+                }
+            },
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {"metaData": _meta_action_json(
+                table_id, snap.schema_json, snap.partition_columns, now_ts)},
+        ]
+        for f in sorted(snap.files, key=lambda a: a.path):
+            actions.append({"add": _add_action_json(f, now_ts)})
+        with open(os.path.join(tmp_dir, f"{0:020d}.json"), "w") as fh:
+            for a in actions:
+                fh.write(json.dumps(a) + "\n")
+        versions_written = [0]
+    else:
+        versions = table._versions()
+        if versions[0] != 0:
+            raise ValueError(
+                "generate_delta_log(history=True): graft log retention has "
+                f"cleaned versions below {versions[0]} — export the current "
+                "state with history=False instead"
+            )
+        schema_json: str | None = None
+        part_cols: list[str] = []
+        versions_written = []
+        for v in versions:
+            c = table._read_commit(v)
+            if any(a.dv_count for a in c.add):
+                raise ValueError(
+                    f"generate_delta_log(history=True): version {v} adds a "
+                    "file with a deletion vector — an external Delta reader "
+                    "would resurrect deleted rows; export history=False "
+                    "after reorg_purge"
+                )
+            ts = c.timestamp_ms
+            actions = [
+                {
+                    "commitInfo": {
+                        "timestamp": ts,
+                        "operation": c.operation,
+                        "operationParameters": {
+                            "sourceFormat": "graft",
+                            "graftVersion": str(v),
+                        },
+                    }
+                }
+            ]
+            if v == 0:
+                actions.append(
+                    {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+                )
+            meta_changed = bool(c.metadata) and (
+                c.metadata.get("schemaJson") is not None
+                or c.metadata.get("partitionColumns") is not None
+            )
+            if c.metadata:
+                schema_json = c.metadata.get("schemaJson", schema_json)
+                if c.metadata.get("partitionColumns") is not None:
+                    part_cols = list(c.metadata["partitionColumns"])
+            if v == 0 or meta_changed:
+                actions.append({"metaData": _meta_action_json(
+                    table_id, schema_json, part_cols, ts)})
+            for p in c.remove:
+                actions.append({"remove": {
+                    "path": urllib.parse.quote(p),
+                    "deletionTimestamp": ts,
+                    "dataChange": True,
+                }})
+            for a in sorted(c.add, key=lambda x: x.path):
+                actions.append({"add": _add_action_json(a, ts)})
+            with open(os.path.join(tmp_dir, f"{v:020d}.json"), "w") as fh:
+                for a in actions:
+                    fh.write(json.dumps(a) + "\n")
+            versions_written.append(v)
+            if checkpoint_interval and v > 0 and v % checkpoint_interval == 0:
+                vsnap = table.snapshot(version=v)
+                n = _write_checkpoint_parquet(
+                    os.path.join(tmp_dir, f"{v:020d}.checkpoint.parquet"),
+                    {"minReaderVersion": 1, "minWriterVersion": 2},
+                    _meta_action_json(
+                        table_id, vsnap.schema_json,
+                        vsnap.partition_columns, ts),
+                    [_add_action_json(f, ts)
+                     for f in sorted(vsnap.files, key=lambda a: a.path)],
+                )
+                last_ckpt = v
+        if last_ckpt is not None:
+            with open(os.path.join(tmp_dir, "_last_checkpoint"), "w") as fh:
+                json.dump({"version": last_ckpt, "size": n}, fh)
+
+    # ---- crash-safe swap ----------------------------------------------
+    backup = log_dir + f".bak-{os.getpid()}"
+    if os.path.isdir(log_dir):
+        if not force and not _log_is_graft_export(log_dir):
+            shutil.rmtree(tmp_dir, ignore_errors=True)
+            raise ValueError(
+                f"generate_delta_log: {log_dir} exists and is NOT a prior "
+                "graft export — refusing to destroy a real Delta "
+                "transaction log (the source of an in-place "
+                "convert_from_delta import?). Pass force=True to overwrite."
+            )
+        shutil.rmtree(backup, ignore_errors=True)
+        os.replace(log_dir, backup)
     os.replace(tmp_dir, log_dir)
-    return {"log_dir": log_dir, "n_files": len(snap.files), "version": 0}
+    shutil.rmtree(backup, ignore_errors=True)
+    return {
+        "log_dir": log_dir,
+        "n_files": len(snap.files),
+        "version": versions_written[-1],
+        "versions": len(versions_written),
+        "checkpoint": last_ckpt,
+    }
 
 
 def convert_from_delta(

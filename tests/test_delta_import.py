@@ -410,3 +410,110 @@ def test_generate_delta_log_sql_route(spark, tmp_path):
     assert os.path.exists(
         os.path.join(src, "_delta_log", f"{0:020d}.json")
     )
+
+
+def test_generate_delta_log_history_checkpoint_round_trip(spark, tmp_path):
+    """history=True export of a 26-version table writes checkpoint parquet
+    at versions 10 and 20 plus _last_checkpoint; after deleting every
+    pre-checkpoint JSON commit (log cleanup), re-import replays from the
+    checkpoint and contents are identical, and version selection works for
+    the retained tail."""
+    import shutil
+
+    from delta_lake_optimizations_spark.table.delta_import import (
+        generate_delta_log,
+    )
+
+    src = str(tmp_path / "graft_hist")
+    t = GraftTable(spark, src)
+    t.write(spark.createDataFrame([(0, 0.0)], "id long, price double"))
+    for i in range(1, 26):
+        t.write(
+            spark.createDataFrame([(i, float(i))], "id long, price double"),
+            mode="append",
+        )
+    r = generate_delta_log(t, history=True, checkpoint_interval=10)
+    assert r["versions"] == 26 and r["version"] == 25
+    assert r["checkpoint"] == 20
+    log = os.path.join(src, "_delta_log")
+    assert os.path.exists(os.path.join(log, f"{10:020d}.checkpoint.parquet"))
+    assert os.path.exists(os.path.join(log, f"{20:020d}.checkpoint.parquet"))
+    with open(os.path.join(log, "_last_checkpoint")) as fh:
+        assert json.load(fh)["version"] == 20
+
+    dst = str(tmp_path / "delta_hist_view")
+    shutil.copytree(src, dst, ignore=shutil.ignore_patterns("_log"))
+    # log cleanup: delete every JSON commit below the checkpoint
+    for v in range(20):
+        p = os.path.join(dst, "_delta_log", f"{v:020d}.json")
+        if os.path.exists(p):
+            os.unlink(p)
+    t2 = convert_from_delta(spark, dst)
+    got = sorted(r2["id"] for r2 in t2.load().collect())
+    assert got == list(range(26))
+    # graft version 0 of the import == delta checkpoint version 20 state
+    assert t2.load(version=0).count() == 21
+    assert t2.load(version=5).count() == 26
+
+
+def test_generate_delta_log_refuses_foreign_log(spark, tmp_path):
+    """Overwrite guard: generate_delta_log must refuse to destroy a
+    _delta_log it did not produce (the in-place convert_from_delta source),
+    and force=True must override; a prior graft export is replaceable."""
+    from delta_lake_optimizations_spark.table.delta_import import (
+        generate_delta_log,
+    )
+
+    root = str(tmp_path / "delta_real")
+    _make_delta_table(root)
+    t = convert_from_delta(spark, root)
+    with pytest.raises(ValueError, match="refusing to destroy"):
+        generate_delta_log(t)
+    # the real log is intact after the refusal
+    assert os.path.exists(
+        os.path.join(root, "_delta_log", f"{0:020d}.json")
+    )
+    r = generate_delta_log(t, force=True)
+    assert r["version"] == 0
+    # and a second (now graft-stamped) export needs no force
+    r2 = generate_delta_log(t)
+    assert r2["version"] == 0
+
+
+def test_protocol_reader_feature_allowlist(spark, tmp_path):
+    """Reader-v3 tables gate on an ALLOWLIST: unknown/future readerFeatures
+    refuse (the Delta protocol requires it), while timestampNtz-only
+    tables import."""
+    # unknown feature -> refuse even though it's not in any denylist
+    root = str(tmp_path / "delta_future")
+    os.makedirs(root)
+    log = os.path.join(root, "_delta_log")
+    os.makedirs(log)
+    add = _write_part(root, "part-00000.parquet", [1], ["US"], [1.0])
+    _commit(log, 0, [
+        {"commitInfo": {"timestamp": _TS0, "operation": "WRITE"}},
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["someFutureFeature"],
+                      "writerFeatures": ["someFutureFeature"]}},
+        _meta_action(_SCHEMA_V0),
+        {"add": add},
+    ])
+    with pytest.raises(UnsupportedDeltaFeature):
+        convert_from_delta(spark, root)
+
+    # timestampNtz alone -> allowed
+    root2 = str(tmp_path / "delta_ntz")
+    os.makedirs(root2)
+    log2 = os.path.join(root2, "_delta_log")
+    os.makedirs(log2)
+    add2 = _write_part(root2, "part-00000.parquet", [1], ["US"], [1.0])
+    _commit(log2, 0, [
+        {"commitInfo": {"timestamp": _TS0, "operation": "WRITE"}},
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["timestampNtz"],
+                      "writerFeatures": ["timestampNtz"]}},
+        _meta_action(_SCHEMA_V0),
+        {"add": add2},
+    ])
+    t = convert_from_delta(spark, root2)
+    assert t.load().count() == 1
