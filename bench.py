@@ -279,178 +279,267 @@ def _bench_ann_index(spark, n_vectors: int = 100_000, dim: int = 64) -> dict:
         out["ranked_candidate_fraction"] = round(n_cand_r / (len(qvecs) * n_vectors), 4)
         out["recall_at_10_uniform_ranked"] = round(statistics.mean(recalls_r), 3)
 
-        # ---- sharded block (clustered corpus — the headline numbers) ----
-        n_sh_vec = 800_000
-        n_clusters = 4000
-        n_shards = 512
-        center = hash_embed(
-            F.concat(F.lit("c"), (F.col("id") % n_clusters).cast("string")), dim=dim
-        )
-        noise = hash_embed(F.col("id").cast("string"), dim=dim)
-        clustered_gen = spark.range(n_sh_vec).select(
-            F.col("id").alias("vec_id"),
-            F.zip_with(
-                center, noise, lambda c, n: (c + F.lit(0.45) * n).cast("float")
-            ).alias("embedding"),
-        )
-        cbase = GraftTable(spark, os.path.join(root, "cbase"))
-        cbase.write(clustered_gen)
-        ccorpus = cbase.load()
-        t0 = time.perf_counter()
-        st = build_lsh_sharded_index(
-            spark, ccorpus, os.path.join(root, "sidx"), dim, n_shards=n_shards
-        )
-        out["sharded_build_sec"] = round(time.perf_counter() - t0, 4)
-        out["sharded_n_vectors"] = n_sh_vec
-        out["sharded_n_tables"] = N_TABLES_SHARDED
-
-        cqvecs = [
-            [float(x) for x in r["embedding"]]
-            for r in ccorpus.filter(F.col("vec_id") < 5).collect()
-        ]
-        out["bruteforce_query_med_sec"] = warm_shape_med(
-            lambda qv: topk_cosine(ccorpus, qv, k=10).count(), cqvecs
-        )
-        out["indexed_query_med_sec"] = warm_shape_med(
-            lambda qv: ann_topk_from_sharded(st, qv, k=10).count(), cqvecs
-        )
-        out["speedup_vs_bruteforce"] = round(
-            out["bruteforce_query_med_sec"] / out["indexed_query_med_sec"], 2
-        )
-        n_cand, recalls = 0, []
-        for qv in cqvecs:
-            exact_ids = {r[0] for r in topk_cosine(ccorpus, qv, k=10).collect()}
-            approx_ids = {r[0] for r in ann_topk_from_sharded(st, qv, k=10).collect()}
-            recalls.append(len(exact_ids & approx_ids) / max(1, len(exact_ids)))
-            from delta_lake_optimizations_spark.operators.lsh_index import probe_buckets
-
-            n_cand += (
-                st.load(skip_where=[("tc", "in", probe_buckets(qv))])
-                .select("vec_id")
-                .distinct()
-                .count()
-            )
-        out["candidate_fraction"] = round(n_cand / (len(cqvecs) * n_sh_vec), 4)
-        out["recall_at_10_clustered"] = round(statistics.mean(recalls), 3)
-        total_files = len(st.snapshot().files)
-        out["sharded_total_files"] = total_files
-        out["sharded_probe_files_med"] = statistics.median(
-            [sharded_probe_files_scanned(st, qv) for qv in cqvecs]
-        )
-        out["sharded_probe_file_fraction"] = round(
-            out["sharded_probe_files_med"] / total_files, 4
-        )
-
-        # ---- materialized IVF index on the same clustered corpus ----
+        # ---- clustered-corpus scale points (the headline numbers) ----
+        # VERDICT r08 #1a/#2: the old protocol (1 discarded warm + 1
+        # timed rep per query) let the brute baseline swing 7.8x between
+        # runs — every speedup conclusion was a single-sample artifact.
+        # The pinned protocol is: ONE cold-first call (reported
+        # separately — plan compile + JIT + cold page cache), then
+        # n_warm discarded reps per query vector, then n_reps timed reps
+        # per query vector, median over all timed calls. Batched probes
+        # (r08 #1b) time Q queries in ONE plan and report per-query
+        # amortized cost — what a retrieval pipeline actually pays — with
+        # brute force given the same batching courtesy
+        # (topk_cosine_batch: one scan scores all Q queries).
         from delta_lake_optimizations_spark.operators.ivf import (
+            ann_topk_batch_from_ivf,
             ann_topk_from_ivf_index,
             build_ivf_index,
             ivf_probe_files_scanned,
         )
-
-        nlist, nprobe = 64, 8
-        t0 = time.perf_counter()
-        ivf_t = build_ivf_index(
-            spark, ccorpus, os.path.join(root, "ivfidx"), nlist=nlist, seed=7,
-            sample_fraction=0.1,
-        )
-        out["ivf_build_sec"] = round(time.perf_counter() - t0, 4)
-        out["ivf_query_med_sec"] = warm_shape_med(
-            lambda qv: ann_topk_from_ivf_index(ivf_t, qv, k=10, nprobe=nprobe).count(),
-            cqvecs,
-        )
-        out["ivf_speedup_vs_bruteforce"] = round(
-            out["bruteforce_query_med_sec"] / out["ivf_query_med_sec"], 2
-        )
-        recalls = []
-        for qv in cqvecs:
-            exact_ids = {r[0] for r in topk_cosine(ccorpus, qv, k=10).collect()}
-            got = {
-                r[0]
-                for r in ann_topk_from_ivf_index(ivf_t, qv, k=10, nprobe=nprobe).collect()
-            }
-            recalls.append(len(exact_ids & got) / max(1, len(exact_ids)))
-        out["ivf_recall_at_10_clustered"] = round(statistics.mean(recalls), 3)
-        ivf_files = len(ivf_t.snapshot().files)
-        out["ivf_total_files"] = ivf_files
-        out["ivf_probe_files_med"] = statistics.median(
-            [ivf_probe_files_scanned(ivf_t, qv, nprobe=nprobe) for qv in cqvecs]
-        )
-        out["ivf_probe_file_fraction"] = round(
-            out["ivf_probe_files_med"] / ivf_files, 4
-        )
-        out["ivf_nprobe_over_nlist"] = round(nprobe / nlist, 4)
-
-        # ---- materialized IVF-PQ index on the same clustered corpus ----
-        # (VERDICT r06 #1 acceptance: probe reads <= nprobe/nlist of the
-        # files, speedup > 1x vs brute, on the 800k-vector corpus. ADC
-        # scans only the 8-byte code column of nprobe cells; the float
-        # vectors stay cold until the 250-row refine.)
         from delta_lake_optimizations_spark.operators.ivfpq import (
+            ann_topk_batch_from_ivfpq,
             ann_topk_from_ivfpq_index,
             build_ivfpq_index,
             ivfpq_probe_files_scanned,
         )
-
-        pq_m, pq_ksub = 8, 64
-        t0 = time.perf_counter()
-        ivfpq_t = build_ivfpq_index(
-            spark, ccorpus, os.path.join(root, "ivfpqidx"), nlist=nlist,
-            m=pq_m, ksub=pq_ksub, seed=7, sample_fraction=0.1,
+        from delta_lake_optimizations_spark.operators.lsh_index import (
+            ann_topk_batch_from_sharded,
+            probe_buckets,
         )
-        out["ivfpq_build_sec"] = round(time.perf_counter() - t0, 4)
-        out["ivfpq_m"] = pq_m
-        out["ivfpq_ksub"] = pq_ksub
+        from delta_lake_optimizations_spark.operators.similarity import (
+            topk_cosine_batch,
+        )
+
+        n_clusters = 4000
+        # nlist scales with corpus size (the FAISS guidance: nlist ~
+        # sqrt(N)..4*sqrt(N)) so cells stay ~3k vectors at every scale
+        # point: probe IO = nprobe * cell_size stays ~flat as the corpus
+        # grows, and the ADC shortlist (k * refine_factor) keeps the same
+        # ratio to the probed row count — recall holds without re-dialing.
+        # (The first 3.2M run kept nlist=64 from 800k: 50k-vector cells,
+        # 400k probed rows, and recall@10 collapsed to 0.47.)
+        nprobe = 8
+        pq_m, pq_ksub = 8, 64
         # refine_factor=25: the dial sweep showed recall@10 saturates at
         # 1.0 there while latency is flat in rf (the refine is a broadcast
-        # join; the probed-cell scans dominate) — 25x10 = 250 candidates
-        # of ~100k probed is still 0.25%
+        # join; the probed-cell scans dominate)
         pq_rf = 25
-        out["ivfpq_refine_factor"] = pq_rf
-        out["ivfpq_query_med_sec"] = warm_shape_med(
-            lambda qv: ann_topk_from_ivfpq_index(
-                ivfpq_t, qv, k=10, nprobe=nprobe, refine_factor=pq_rf
-            ).count(),
-            cqvecs,
-        )
-        out["ivfpq_speedup_vs_bruteforce"] = round(
-            out["bruteforce_query_med_sec"] / out["ivfpq_query_med_sec"], 2
-        )
-        recalls = []
-        for qv in cqvecs:
-            exact_ids = {r[0] for r in topk_cosine(ccorpus, qv, k=10).collect()}
-            got = {
-                r[0]
-                for r in ann_topk_from_ivfpq_index(
+        batch_q = 16
+
+        def _clustered_table(n_vec: int, sub: str):
+            center = hash_embed(
+                F.concat(F.lit("c"), (F.col("id") % n_clusters).cast("string")),
+                dim=dim,
+            )
+            noise = hash_embed(F.col("id").cast("string"), dim=dim)
+            gen = spark.range(n_vec).select(
+                F.col("id").alias("vec_id"),
+                F.zip_with(
+                    center, noise, lambda c, n: (c + F.lit(0.45) * n).cast("float")
+                ).alias("embedding"),
+            )
+            tb = GraftTable(spark, os.path.join(root, sub))
+            tb.write(gen)
+            return tb.load()
+
+        def _scale_point(n_vec: int, sub: str, n_qv: int, n_warm: int,
+                         n_reps: int, nlist: int) -> tuple[dict, object, dict]:
+            res: dict = {
+                "n_vectors": n_vec,
+                "nlist": nlist,
+                "nprobe": nprobe,
+                "protocol": {"n_qvecs": n_qv, "n_warm": n_warm,
+                             "n_reps": n_reps, "batch_q": batch_q},
+            }
+            corpus = _clustered_table(n_vec, sub)
+            t0 = time.perf_counter()
+            st = build_lsh_sharded_index(
+                spark, corpus, os.path.join(root, sub + "_sidx"), dim,
+                n_shards=512,
+            )
+            res["sharded_build_sec"] = round(time.perf_counter() - t0, 4)
+            t0 = time.perf_counter()
+            ivf_t = build_ivf_index(
+                spark, corpus, os.path.join(root, sub + "_ivfidx"),
+                nlist=nlist, seed=7, sample_fraction=0.1,
+            )
+            res["ivf_build_sec"] = round(time.perf_counter() - t0, 4)
+            t0 = time.perf_counter()
+            ivfpq_t = build_ivfpq_index(
+                spark, corpus, os.path.join(root, sub + "_ivfpqidx"),
+                nlist=nlist, m=pq_m, ksub=pq_ksub, seed=7, sample_fraction=0.1,
+            )
+            res["ivfpq_build_sec"] = round(time.perf_counter() - t0, 4)
+
+            qvecs = [
+                [float(x) for x in r["embedding"]]
+                for r in corpus.filter(F.col("vec_id") < n_qv).collect()
+            ]
+            batch_qs = [
+                (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+                for r in corpus.filter(F.col("vec_id") < batch_q).collect()
+            ]
+
+            def pinned(fn):
+                t0 = time.perf_counter()
+                fn(qvecs[0])
+                cold = time.perf_counter() - t0
+                for _ in range(n_warm):
+                    for qv in qvecs:
+                        fn(qv)
+                times = []
+                for _ in range(n_reps):
+                    for qv in qvecs:
+                        t0 = time.perf_counter()
+                        fn(qv)
+                        times.append(time.perf_counter() - t0)
+                return round(cold, 4), round(statistics.median(times), 4)
+
+            def pinned_batch(fn):
+                fn()  # warm (plan compile + JIT)
+                times = []
+                for _ in range(max(2, n_reps - 1)):
+                    t0 = time.perf_counter()
+                    fn()
+                    times.append(time.perf_counter() - t0)
+                return round(statistics.median(times), 4)
+
+            families = {
+                "bruteforce": lambda qv: topk_cosine(corpus, qv, k=10).count(),
+                "sharded": lambda qv: ann_topk_from_sharded(st, qv, k=10).count(),
+                "ivf": lambda qv: ann_topk_from_ivf_index(
+                    ivf_t, qv, k=10, nprobe=nprobe).count(),
+                "ivfpq": lambda qv: ann_topk_from_ivfpq_index(
                     ivfpq_t, qv, k=10, nprobe=nprobe, refine_factor=pq_rf
-                ).collect()
-            }
-            recalls.append(len(exact_ids & got) / max(1, len(exact_ids)))
-        out["ivfpq_recall_at_10_clustered"] = round(statistics.mean(recalls), 3)
-        # SQ8 warm refine (r07 #8): re-rank the ADC shortlist on the int8
-        # column, touch the float column only for the final k ids
-        out["ivfpq_sq8_query_med_sec"] = warm_shape_med(
-            lambda qv: ann_topk_from_ivfpq_index(
-                ivfpq_t, qv, k=10, nprobe=nprobe, refine_factor=pq_rf,
-                refine="sq8",
-            ).count(),
-            cqvecs,
-        )
-        out["ivfpq_sq8_speedup_vs_bruteforce"] = round(
-            out["bruteforce_query_med_sec"] / out["ivfpq_sq8_query_med_sec"], 2
-        )
-        recalls = []
-        for qv in cqvecs:
-            exact_ids = {r[0] for r in topk_cosine(ccorpus, qv, k=10).collect()}
-            got = {
-                r[0]
-                for r in ann_topk_from_ivfpq_index(
+                ).count(),
+                "ivfpq_sq8": lambda qv: ann_topk_from_ivfpq_index(
                     ivfpq_t, qv, k=10, nprobe=nprobe, refine_factor=pq_rf,
-                    refine="sq8",
-                ).collect()
+                    refine="sq8").count(),
             }
-            recalls.append(len(exact_ids & got) / max(1, len(exact_ids)))
-        out["ivfpq_sq8_recall_at_10_clustered"] = round(statistics.mean(recalls), 3)
+            for fam, fn in families.items():
+                cold, med = pinned(fn)
+                res[f"{fam}_cold_first_sec"] = cold
+                res[f"{fam}_warm_med_sec"] = med
+            for fam in ("sharded", "ivf", "ivfpq", "ivfpq_sq8"):
+                res[f"{fam}_speedup_vs_bruteforce"] = round(
+                    res["bruteforce_warm_med_sec"] / res[f"{fam}_warm_med_sec"], 2
+                )
+
+            batches = {
+                "bruteforce": lambda: topk_cosine_batch(
+                    corpus, batch_qs, k=10).count(),
+                "sharded": lambda: ann_topk_batch_from_sharded(
+                    st, batch_qs, dim, k=10).count(),
+                "ivf": lambda: ann_topk_batch_from_ivf(
+                    ivf_t, batch_qs, k=10, nprobe=nprobe).count(),
+                "ivfpq": lambda: ann_topk_batch_from_ivfpq(
+                    ivfpq_t, batch_qs, k=10, nprobe=nprobe,
+                    refine_factor=pq_rf).count(),
+            }
+            for fam, fn in batches.items():
+                total = pinned_batch(fn)
+                res[f"{fam}_batch_total_sec"] = total
+                res[f"{fam}_batch_per_query_sec"] = round(total / batch_q, 4)
+            for fam in ("sharded", "ivf", "ivfpq"):
+                res[f"{fam}_batch_speedup_vs_bruteforce"] = round(
+                    res["bruteforce_batch_per_query_sec"]
+                    / res[f"{fam}_batch_per_query_sec"], 2
+                )
+
+            # recall: exact top-10 computed ONCE per query vector, reused
+            # across every family's comparison
+            exact = {
+                i: {r[0] for r in topk_cosine(corpus, qv, k=10).collect()}
+                for i, qv in enumerate(qvecs)
+            }
+            approx_fns = {
+                "sharded": lambda qv: ann_topk_from_sharded(st, qv, k=10),
+                "ivf": lambda qv: ann_topk_from_ivf_index(
+                    ivf_t, qv, k=10, nprobe=nprobe),
+                "ivfpq": lambda qv: ann_topk_from_ivfpq_index(
+                    ivfpq_t, qv, k=10, nprobe=nprobe, refine_factor=pq_rf),
+                "ivfpq_sq8": lambda qv: ann_topk_from_ivfpq_index(
+                    ivfpq_t, qv, k=10, nprobe=nprobe, refine_factor=pq_rf,
+                    refine="sq8"),
+            }
+            for fam, fn in approx_fns.items():
+                recs = []
+                for i, qv in enumerate(qvecs):
+                    got = {r[0] for r in fn(qv).collect()}
+                    recs.append(len(exact[i] & got) / max(1, len(exact[i])))
+                res[f"{fam}_recall_at_10"] = round(statistics.mean(recs), 3)
+
+            # IO-pruning evidence (driver-side metadata counts)
+            res["sharded_total_files"] = len(st.snapshot().files)
+            res["sharded_probe_files_med"] = statistics.median(
+                [sharded_probe_files_scanned(st, qv) for qv in qvecs]
+            )
+            res["ivf_total_files"] = len(ivf_t.snapshot().files)
+            res["ivf_probe_files_med"] = statistics.median(
+                [ivf_probe_files_scanned(ivf_t, qv, nprobe=nprobe) for qv in qvecs]
+            )
+            res["ivfpq_total_files"] = len(ivfpq_t.snapshot().files)
+            res["ivfpq_probe_files_med"] = statistics.median(
+                [ivfpq_probe_files_scanned(ivfpq_t, qv, nprobe=nprobe)
+                 for qv in qvecs]
+            )
+            n_cand = 0
+            for qv in qvecs:
+                n_cand += (
+                    st.load(skip_where=[("tc", "in", probe_buckets(qv))])
+                    .select("vec_id")
+                    .distinct()
+                    .count()
+                )
+            res["sharded_candidate_fraction"] = round(
+                n_cand / (len(qvecs) * n_vec), 4
+            )
+            return res, corpus, {"st": st, "ivf_t": ivf_t, "ivfpq_t": ivfpq_t}
+
+        # 800k point (r04..r08-comparable) — legacy key names preserved
+        p800, ccorpus, _handles = _scale_point(800_000, "cbase", 4, 2, 3, 256)
+        out["sharded_n_vectors"] = 800_000
+        out["sharded_n_tables"] = N_TABLES_SHARDED
+        out["ivfpq_m"], out["ivfpq_ksub"] = pq_m, pq_ksub
+        out["ivfpq_refine_factor"] = pq_rf
+        out["ivf_nprobe_over_nlist"] = round(nprobe / 256, 4)
+        legacy = {
+            "bruteforce_warm_med_sec": "bruteforce_query_med_sec",
+            "sharded_warm_med_sec": "indexed_query_med_sec",
+            "sharded_speedup_vs_bruteforce": "speedup_vs_bruteforce",
+            "ivf_warm_med_sec": "ivf_query_med_sec",
+            "ivfpq_warm_med_sec": "ivfpq_query_med_sec",
+            "ivfpq_sq8_warm_med_sec": "ivfpq_sq8_query_med_sec",
+            "sharded_recall_at_10": "recall_at_10_clustered",
+            "ivf_recall_at_10": "ivf_recall_at_10_clustered",
+            "ivfpq_recall_at_10": "ivfpq_recall_at_10_clustered",
+            "ivfpq_sq8_recall_at_10": "ivfpq_sq8_recall_at_10_clustered",
+            "sharded_candidate_fraction": "candidate_fraction",
+        }
+        out.update({legacy.get(k2, k2): v for k2, v in p800.items()})
+        out["sharded_probe_file_fraction"] = round(
+            p800["sharded_probe_files_med"] / p800["sharded_total_files"], 4
+        )
+        out["ivf_probe_file_fraction"] = round(
+            p800["ivf_probe_files_med"] / p800["ivf_total_files"], 4
+        )
+        out["ivfpq_probe_file_fraction"] = round(
+            p800["ivfpq_probe_files_med"] / p800["ivfpq_total_files"], 4
+        )
+
+        # 3.2M crossover point (r08 #2): brute cost is linear in corpus
+        # size; probe cost is ~(nprobe/nlist) of the (cheap) code/posting
+        # columns plus a fixed per-plan overhead. The two-point curve is
+        # the evidence: brute grows ~4x from 800k to 3.2M while the
+        # indexed families stay near-flat.
+        p32, _c32, _h32 = _scale_point(3_200_000, "cbase32", 3, 1, 2, 512)
+        for fam in ("bruteforce", "sharded", "ivf", "ivfpq", "ivfpq_sq8"):
+            key = f"{fam}_warm_med_sec"
+            p32[f"{fam}_growth_x_vs_800k"] = round(
+                p32[key] / max(1e-9, p800[key]), 2
+            )
+        out["scale_3200k"] = p32
 
         # ---- embedding-decontamination crossover (r07 #6) ----
         # broadcast form (|corpus| x |bench| dot products, each an
@@ -478,7 +567,7 @@ def _bench_ann_index(spark, n_vectors: int = 100_000, dim: int = 64) -> dict:
         t0 = time.perf_counter()
         dt = _build_ivf(
             spark, bench_side, os.path.join(root, "decontamidx"),
-            nlist=nlist, seed=7, sample_fraction=0.1,
+            nlist=64, seed=7, sample_fraction=0.1,
         )
         out["decontam_index_build_sec"] = round(time.perf_counter() - t0, 4)
         t0 = time.perf_counter()
@@ -486,14 +575,6 @@ def _bench_ann_index(spark, n_vectors: int = 100_000, dim: int = 64) -> dict:
         out["decontam_indexed_sec"] = round(time.perf_counter() - t0, 4)
         out["decontam_indexed_speedup"] = round(
             out["decontam_broadcast_sec"] / out["decontam_indexed_sec"], 2
-        )
-        ivfpq_files = len(ivfpq_t.snapshot().files)
-        out["ivfpq_total_files"] = ivfpq_files
-        out["ivfpq_probe_files_med"] = statistics.median(
-            [ivfpq_probe_files_scanned(ivfpq_t, qv, nprobe=nprobe) for qv in cqvecs]
-        )
-        out["ivfpq_probe_file_fraction"] = round(
-            out["ivfpq_probe_files_med"] / ivfpq_files, 4
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -948,9 +1029,28 @@ def main() -> None:
                 "ivfpq_sq8_speedup_vs_bruteforce",
                 "ivfpq_sq8_recall_at_10_clustered",
                 "covering_query_med_sec", "covering_bruteforce_med_sec",
+                "bruteforce_batch_per_query_sec",
+                "sharded_batch_speedup_vs_bruteforce",
+                "ivf_batch_speedup_vs_bruteforce",
+                "ivfpq_batch_speedup_vs_bruteforce",
             )
             if k in ann_index
         }
+        if "scale_3200k" in ann_index:
+            s = ann_index["scale_3200k"]
+            compact["ann_index"]["scale_3200k"] = {
+                k: s[k]
+                for k in (
+                    "bruteforce_warm_med_sec", "sharded_warm_med_sec",
+                    "ivf_warm_med_sec", "ivfpq_warm_med_sec",
+                    "bruteforce_growth_x_vs_800k", "sharded_growth_x_vs_800k",
+                    "ivf_growth_x_vs_800k", "ivfpq_growth_x_vs_800k",
+                    "ivfpq_speedup_vs_bruteforce",
+                    "ivfpq_batch_speedup_vs_bruteforce",
+                    "ivfpq_recall_at_10",
+                )
+                if k in s
+            }
     if sf1 is not None:
         compact["sf1"] = {
             "total_sec": sf1["total_sec"],

@@ -85,16 +85,100 @@ VOCAB_SIDECAR = os.path.join(_SIDECAR_DIR, "word_tokens.parquet")
 atexit.register(shutil.rmtree, _SIDECAR_DIR, ignore_errors=True)
 
 
+# Pre-tokens longer than this split into fixed-size chunks so a
+# whitespace-free script (CJK, Thai, ...) cannot degenerate into
+# one whole-sentence "word" (VERDICT r08 #3): without the cap the word
+# DICTIONARY the driver-side merge loop holds grows one entry per
+# distinct sentence and the pair statistics are useless. 16 chars is the
+# SentencePiece max_sentencepiece_length default neighborhood — long
+# enough that real whitespace-delimited words are almost never cut.
+MAX_WORD_CHARS = 16
+# Continuation marker (private-use char): a chunk that is NOT its word's
+# last chunk carries it, so the symbolizer withholds </w> and decode
+# re-joins the chunks WITHOUT a space — the round trip stays exact.
+# (Text that itself contains U+E000 is outside the tokenizer's domain.)
+CONT = ""
+
+
 def pre_tokenize(col: Column) -> Column:
     """Whitespace pre-tokenization (case-preserving — unlike the dedup
     stack's ``tokenize``, a tokenizer must not destroy information), with
     zero-width characters stripped (shared light-normalization tier,
     ``operators/textnorm.py`` — still codegen; identical on zero-width-
-    free corpora like the driver's).
-    Mirrored in the oracle as ``string_split_regex(trim(text), '\\s+')``."""
+    free corpora like the driver's), then fixed 16-char chunking of long
+    words (continuation chunks tagged with ``CONT``) — all inside
+    whole-stage codegen. Mirrored in the oracle as
+    ``string_split_regex`` + ``regexp_extract_all('.{1,16}')`` +
+    ``list_transform`` (see the packing queries' SQL)."""
     from delta_lake_optimizations_spark.operators.textnorm import strip_invisible
 
-    return F.split(F.trim(strip_invisible(F.coalesce(col, F.lit("")))), r"\s+")
+    words = F.split(F.trim(strip_invisible(F.coalesce(col, F.lit("")))), r"\s+")
+
+    def chunk(w):
+        chunks = F.regexp_extract_all(
+            w, F.lit(r".{1,%d}" % MAX_WORD_CHARS), F.lit(0)
+        )
+        n = F.size(chunks)
+        return F.transform(
+            chunks,
+            lambda c, i: F.when(i < n - 1, F.concat(c, F.lit(CONT))).otherwise(c),
+        )
+
+    return F.flatten(F.transform(words, chunk))
+
+
+def _bytes_to_unicode() -> dict[int, str]:
+    """GPT-2's byte <-> unicode bijection (Radford et al. 2019; the
+    public gpt-2 encoder.py): printable/latin bytes map to themselves,
+    the rest shift up to U+0100.., so every byte of any UTF-8 text
+    becomes a visible non-whitespace symbol char. Byte-LEVEL symbols
+    give a closed base alphabet of 256 — no out-of-vocabulary character
+    is possible, and multi-byte scripts (CJK & co) merge their frequent
+    byte pairs back into whole characters during training."""
+    bs = (
+        list(range(ord("!"), ord("~") + 1))
+        + list(range(0xA1, 0xAD))
+        + list(range(0xAE, 0x100))
+    )
+    cs = list(bs)
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return {b: chr(c) for b, c in zip(bs, cs)}
+
+
+_BYTE_ENC = _bytes_to_unicode()
+_BYTE_DEC = {c: b for b, c in _BYTE_ENC.items()}
+
+
+def _py_pre_tokenize(text: str) -> list[str]:
+    """Driver/UDF-side mirror of ``pre_tokenize`` (same invisible strip,
+    same whitespace split, same chunking) — the two MUST agree or the
+    vocab-sidecar token counts drift from the encoder's."""
+    from delta_lake_optimizations_spark.operators.textnorm import INVISIBLES
+
+    import re as _re
+
+    t = text or ""
+    for ch in INVISIBLES:
+        if ch in t:
+            t = t.replace(ch, "")
+    out: list[str] = []
+    # Java/RE2 '\s' is the ASCII whitespace class — match it exactly
+    # (Python str.split() would also split on U+00A0/U+3000 and drift)
+    for w in (x for x in _re.split("[\\t\\n\\x0b\\f\\r ]+", t) if x):
+        if len(w) <= MAX_WORD_CHARS:
+            out.append(w)
+            continue
+        chunks = [
+            w[i : i + MAX_WORD_CHARS] for i in range(0, len(w), MAX_WORD_CHARS)
+        ]
+        out.extend(c + CONT for c in chunks[:-1])
+        out.append(chunks[-1])
+    return out
 
 
 @dataclass(frozen=True)
@@ -108,12 +192,21 @@ class BpeModel:
 
 
 def _word_symbols(word: str) -> list[str]:
-    """Initial symbol sequence: characters, last one carrying ``</w>``."""
+    """Initial symbol sequence: GPT-2 byte-unicode symbols (one per UTF-8
+    byte — closed 256-symbol base alphabet), the last carrying ``</w>``
+    ONLY when this pre-token really ends its word (continuation chunks,
+    tagged ``CONT`` by the chunking pre-tokenizer, withhold it so decode
+    re-joins them without a space)."""
     if not word:
         return []
-    chars = list(word)
-    chars[-1] = chars[-1] + EOW
-    return chars
+    is_final = not word.endswith(CONT)
+    core = word if is_final else word[: -len(CONT)]
+    if not core:
+        return []
+    syms = [_BYTE_ENC[b] for b in core.encode("utf-8")]
+    if is_final:
+        syms[-1] = syms[-1] + EOW
+    return syms
 
 
 def _count_pairs(
@@ -235,14 +328,24 @@ def encode_tokens(text: str, model: BpeModel) -> list[str]:
     """Driver-side encode (tests, single documents)."""
     ranks = model.merge_ranks()
     out: list[str] = []
-    for w in text.strip().split():
+    for w in _py_pre_tokenize(text):
         out.extend(_encode_word(w, ranks))
     return out
 
 
 def decode_tokens(tokens: list[str]) -> str:
-    """Concatenate and split on the end-of-word marker."""
-    return "".join(tokens).replace(EOW, " ").rstrip()
+    """Concatenate, split on the end-of-word marker, byte-unmap each
+    word (continuation chunks carried no ``</w>``, so a chunked word's
+    bytes reassemble into ONE segment before decoding — the chunking is
+    invisible in the output), join with single spaces. Exact inverse of
+    encode for whitespace-normalized text."""
+    s = "".join(tokens)
+    segs = s.split(EOW)
+    if segs and segs[-1] == "":
+        segs = segs[:-1]
+    return " ".join(
+        bytes(_BYTE_DEC[ch] for ch in seg).decode("utf-8") for seg in segs
+    )
 
 
 def with_bpe_tokens(
@@ -260,7 +363,7 @@ def with_bpe_tokens(
         out = []
         for t in texts:
             toks: list[str] = []
-            for w in (t or "").strip().split():
+            for w in _py_pre_tokenize(t):
                 got = memo.get(w)
                 if got is None:
                     got = memo[w] = _encode_word(w, ranks)
@@ -307,10 +410,22 @@ def word_token_counts(df: DataFrame, model: BpeModel, text_col: str) -> DataFram
             FROM read_parquet('{VOCAB_SIDECAR}/*.parquet')
         ),
         doc_words AS (
+            -- whitespace split + the same 16-char chunking as
+            -- pre_tokenize (continuation chunks tagged chr(57344))
             SELECT doc_id, source, UNNEST(
-                string_split_regex(trim(COALESCE(text, '')), '\\s+')
+                list_transform(
+                    regexp_extract_all(w, '.{{1,16}}'),
+                    (c, i) -> c || CASE
+                        WHEN i < len(regexp_extract_all(w, '.{{1,16}}'))
+                        THEN chr(57344) ELSE '' END
+                )
             ) AS word
-            FROM documents
+            FROM (
+                SELECT doc_id, source, UNNEST(
+                    string_split_regex(trim(COALESCE(text, '')), '\\s+')
+                ) AS w
+                FROM documents
+            )
         ),
         doc_tokens AS (
             SELECT d.doc_id,
@@ -398,14 +513,27 @@ def bpe_roundtrip_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sum("n_tokens").alias("_vocab_n"))
     )
-    normalized = F.trim(F.regexp_replace(F.coalesce(F.col("text"), F.lit("")), r"\s+", " "))
-    checked = (
-        toks.withColumn(
-            "_decoded",
-            F.rtrim(
-                F.regexp_replace(F.concat_ws("", "bpe_tokens"), EOW, " ")
-            ),
+    from delta_lake_optimizations_spark.operators.textnorm import (
+        strip_invisible,
+    )
+
+    normalized = F.trim(
+        F.regexp_replace(
+            strip_invisible(F.coalesce(F.col("text"), F.lit(""))), r"\s+", " "
         )
+    )
+
+    def decode_series(token_arrays: pd.Series) -> pd.Series:
+        return pd.Series(
+            [decode_tokens(list(toks or [])) for toks in token_arrays]
+        )
+
+    decode_series.__annotations__ = {
+        "token_arrays": pd.Series, "return": pd.Series,
+    }
+    decode_udf = F.pandas_udf("string")(decode_series)
+    checked = (
+        toks.withColumn("_decoded", decode_udf(F.col("bpe_tokens")))
         .withColumn("_n", F.size("bpe_tokens").cast("long"))
         .join(per_word_sum, "doc_id", "left")
     )
@@ -430,10 +558,22 @@ def bpe_roundtrip_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM read_parquet('{VOCAB_SIDECAR}/*.parquet')
         ),
         doc_words AS (
+            -- whitespace split + the same 16-char chunking as
+            -- pre_tokenize (continuation chunks tagged chr(57344))
             SELECT doc_id, source, UNNEST(
-                string_split_regex(trim(COALESCE(text, '')), '\\s+')
+                list_transform(
+                    regexp_extract_all(w, '.{{1,16}}'),
+                    (c, i) -> c || CASE
+                        WHEN i < len(regexp_extract_all(w, '.{{1,16}}'))
+                        THEN chr(57344) ELSE '' END
+                )
             ) AS word
-            FROM documents
+            FROM (
+                SELECT doc_id, source, UNNEST(
+                    string_split_regex(trim(COALESCE(text, '')), '\\s+')
+                ) AS w
+                FROM documents
+            )
         ),
         doc_tokens AS (
             SELECT d.doc_id,

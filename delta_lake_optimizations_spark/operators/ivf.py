@@ -292,6 +292,63 @@ def ann_topk_from_ivf_index(
     return topk_cosine(cand, query_vec, k=k, id_col=id_col, vec_col=vec_col)
 
 
+def ann_topk_batch_from_ivf(
+    table,
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k for a BATCH of queries from the materialized IVF index in
+    ONE plan (columns ``qid, <id_col>, cos_sim``): per-query probe cells
+    rank driver-side (nlist is tiny), the UNION of probed cells drives a
+    single partition-pruned load, the (qid, list_id) probe map broadcast-
+    joins candidates to their queries, and the per-query exact-cosine
+    top-k reduces skew-free (``topk_per_query``). Candidates per query
+    are IDENTICAL to ``ann_topk_from_ivf_index`` at the same nprobe, so
+    results match the single-query probe row-for-row (pinned by pytest) —
+    what batching buys is amortization: one scan setup, one plan compile,
+    one job for Q queries instead of Q of each."""
+    import math
+
+    from delta_lake_optimizations_spark.operators.similarity import (
+        topk_per_query,
+    )
+
+    centroids = ivf_index_centroids(table)
+
+    def sqdist(a: list[float], b: list[float]) -> float:
+        return math.fsum((x - y) ** 2 for x, y in zip(a, b))
+
+    probe_rows: list[tuple[int, int]] = []
+    cells: set[int] = set()
+    for qid, qv in queries:
+        order = sorted(range(len(centroids)), key=lambda i: sqdist(centroids[i], qv))
+        for c in order[:nprobe]:
+            probe_rows.append((int(qid), int(c)))
+            cells.add(int(c))
+    spark = table.spark
+    qdf = spark.createDataFrame(
+        [(int(q), [float(x) for x in v]) for q, v in queries],
+        "qid long, _qv array<double>",
+    )
+    pdf = spark.createDataFrame(probe_rows, "qid long, list_id int")
+    cand = table.load(skip_where=[("list_id", "in", sorted(cells))]).select(
+        "list_id", id_col, vec_col
+    )
+    scored = (
+        cand.join(F.broadcast(pdf), "list_id")
+        .join(F.broadcast(qdf), "qid")
+        .select(
+            "qid",
+            id_col,
+            F.round(cosine(F.col(vec_col), F.col("_qv")), 6).alias("cos_sim"),
+        )
+    )
+    return topk_per_query(scored, k, "qid", id_col)
+
+
 def ivf_probe_files_scanned(table, query_vec: list[float], nprobe: int = 4) -> int:
     """Index files the probe reads (partition pruning, driver-side)."""
     import math

@@ -308,6 +308,62 @@ def _ip_adc_score(
     return (qcent + ip) / F.greatest(F.col(norm_col), F.lit(1e-30))
 
 
+def _lut_flat(books: list[list[list[float]]], query_vec: list[float]) -> list[float]:
+    """Flat M*ksub inner-product LUT: ``flat[sub*ksub + j] =
+    dot(q_sub, codebook[sub][j])`` — the same per-entry fsum the literal
+    form uses, so scores are bit-identical either way."""
+    m = len(books)
+    dsub = len(books[0][0])
+    flat: list[float] = []
+    for sub in range(m):
+        qs = query_vec[sub * dsub : (sub + 1) * dsub]
+        for cent in books[sub]:
+            flat.append(_math.fsum(q * c for q, c in zip(qs, cent)))
+    return flat
+
+
+def _with_adc_score(
+    cand: DataFrame,
+    books: list[list[list[float]]],
+    centroids: list[list[float]],
+    probes: list[int],
+    query_vec: list[float],
+    code_col: str = "pq_code",
+    norm_col: str = "vnorm",
+):
+    """IP-ADC score with the LUT attached as a BROADCAST 1-row array
+    column instead of an M x ksub literal expression: the literal form
+    (``_ip_adc_score``) pays Catalyst analysis + Janino codegen for 512
+    Literal nodes on EVERY probe — the dominant share of the probe's
+    fixed per-query cost at local bench scale (VERDICT r08 #1c). Here the
+    plan carries one small broadcast and M ``element_at`` terms whose
+    values are identical doubles in the identical summation order, so
+    scores are bit-for-bit the same (pinned by pytest). Returns
+    ``(cand_with_lut, score_column)``."""
+    spark = cand.sparkSession
+    ksub = len(books[0])
+    lut_df = spark.createDataFrame(
+        [(_lut_flat(books, query_vec),)], "_adc_lut array<double>"
+    )
+    cand2 = cand.crossJoin(F.broadcast(lut_df))
+    ip = None
+    for sub in range(len(books)):
+        term = F.element_at(
+            F.col("_adc_lut"), F.lit(sub * ksub) + F.col(code_col)[sub] + 1
+        )
+        ip = term if ip is None else ip + term
+    qcent = None
+    for c in probes:
+        scalar = F.lit(_math.fsum(q * cc for q, cc in zip(query_vec, centroids[c])))
+        qcent = (
+            F.when(F.col("list_id") == c, scalar)
+            if qcent is None
+            else qcent.when(F.col("list_id") == c, scalar)
+        )
+    score = (qcent + ip) / F.greatest(F.col(norm_col), F.lit(1e-30))
+    return cand2, score
+
+
 def _adc_refine_topk(
     cand: DataFrame,
     score,
@@ -361,7 +417,7 @@ def ann_topk_from_ivfpq_index(
     centroids, books = ivfpq_metadata(table)
     probes = _probe_cells(centroids, query_vec, nprobe)
     cand = table.load(skip_where=[("list_id", "in", probes)])
-    score = _ip_adc_score(books, centroids, probes, query_vec)
+    cand, score = _with_adc_score(cand, books, centroids, probes, query_vec)
     if refine == "exact":
         return _adc_refine_topk(
             cand, score, query_vec, k, refine_factor, id_col, vec_col
@@ -426,6 +482,92 @@ def ann_topk_from_ivfpq_index(
     )
 
 
+def ann_topk_batch_from_ivfpq(
+    table,
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    nprobe: int = 4,
+    refine_factor: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k for a BATCH of queries from the materialized IVF-PQ index in
+    ONE plan (columns ``qid, <id_col>, cos_sim``) — the amortized probe
+    shape VERDICT r08 #1b asked for: the per-query fixed costs (plan
+    compile, codegen, scan setup, job launch) that dominate a single
+    probe at local scale are paid ONCE for Q queries.
+
+    Plan: per-query probe cells + flat LUTs compute driver-side (tiny by
+    design: Q x M*ksub doubles); the UNION of probed cells drives one
+    partition-pruned load of the code+norm columns; a broadcast
+    (qid, list_id, dot(q, centroid)) probe map fans candidates out to
+    their queries; the broadcast (qid, lut, qvec) table supplies the ADC
+    terms — M ``element_at`` lookups per row, pure codegen, no per-query
+    literals; per-query ADC top k*rf reduces skew-free
+    (``topk_per_query``), and the exact-cosine refine joins the
+    shortlist back to the float column before the final per-query top-k.
+    ADC scores are bit-identical to the single-query probe (same fsum
+    LUT entries, same summation order), so results match
+    ``ann_topk_from_ivfpq_index(refine='exact')`` row-for-row at the
+    same dials (pinned by pytest)."""
+    from delta_lake_optimizations_spark.operators.similarity import (
+        topk_per_query,
+    )
+
+    centroids, books = ivfpq_metadata(table)
+    m, ksub = len(books), len(books[0])
+    qrows, prows = [], []
+    cells: set[int] = set()
+    for qid, qv in queries:
+        probes = _probe_cells(centroids, qv, nprobe)
+        qrows.append(
+            (int(qid), [float(x) for x in qv], _lut_flat(books, qv))
+        )
+        for c in probes:
+            prows.append(
+                (
+                    int(qid),
+                    int(c),
+                    _math.fsum(q * cc for q, cc in zip(qv, centroids[c])),
+                )
+            )
+            cells.add(int(c))
+    spark = table.spark
+    qdf = spark.createDataFrame(
+        qrows, "qid long, _qv array<double>, _adc_lut array<double>"
+    )
+    pdf = spark.createDataFrame(prows, "qid long, list_id int, _qc double")
+    cand = table.load(skip_where=[("list_id", "in", sorted(cells))])
+    fanned = cand.select("list_id", id_col, "pq_code", "vnorm").join(
+        F.broadcast(pdf), "list_id"
+    ).join(F.broadcast(qdf.select("qid", "_adc_lut")), "qid")
+    ip = None
+    for sub in range(m):
+        term = F.element_at(
+            F.col("_adc_lut"), F.lit(sub * ksub) + F.col("pq_code")[sub] + 1
+        )
+        ip = term if ip is None else ip + term
+    adc = (F.col("_qc") + ip) / F.greatest(F.col("vnorm"), F.lit(1e-30))
+    shortlist = topk_per_query(
+        fanned.select("qid", id_col, adc.alias("adc_score")),
+        k * refine_factor,
+        "qid",
+        id_col,
+        "adc_score",
+    )
+    refined = (
+        cand.select(id_col, vec_col)
+        .join(F.broadcast(shortlist.select("qid", id_col)), id_col)
+        .join(F.broadcast(qdf.select("qid", "_qv")), "qid")
+        .select(
+            "qid",
+            id_col,
+            F.round(cosine(F.col(vec_col), F.col("_qv")), 6).alias("cos_sim"),
+        )
+    )
+    return topk_per_query(refined, k, "qid", id_col)
+
+
 def ivfpq_search_inline(
     df: DataFrame,
     query_vec: list[float],
@@ -454,7 +596,7 @@ def ivfpq_search_inline(
     )
     probes = _probe_cells(centroids, query_vec, nprobe)
     cand = encoded.filter(F.col("list_id").isin(probes))
-    score = _ip_adc_score(books, centroids, probes, query_vec)
+    cand, score = _with_adc_score(cand, books, centroids, probes, query_vec)
     return _adc_refine_topk(cand, score, query_vec, k, refine_factor, id_col, vec_col)
 
 

@@ -794,6 +794,41 @@ def knn_join_from_sharded(
     )
 
 
+def ann_topk_batch_from_sharded(
+    table,
+    queries: list[tuple[int, list[float]]],
+    dim: int,
+    k: int = 10,
+    probe_hamming: int = PROBE_HAMMING_INDEXED,
+    n_tables: int = N_TABLES_SHARDED,
+    n_planes: int = N_PLANES,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k for a BATCH of query vectors from the sharded index in ONE
+    plan (columns ``src_id, nbr_id, cos_sim``): thin wrapper putting the
+    (qid, vector) batch through ``knn_join_from_sharded`` with self-rows
+    kept — the amortized probe shape (one pruned index load + one plan
+    for Q queries; the single-query probe pays scan setup Q times)."""
+    spark = table.spark
+    qdf = spark.createDataFrame(
+        [(int(q), [float(x) for x in v]) for q, v in queries],
+        f"{id_col} long, {vec_col} array<float>",
+    )
+    return knn_join_from_sharded(
+        table,
+        qdf,
+        dim,
+        k=k,
+        n_tables=n_tables,
+        n_planes=n_planes,
+        probe_hamming=probe_hamming,
+        id_col=id_col,
+        vec_col=vec_col,
+        exclude_self=False,
+    )
+
+
 @query("knn_join_sharded_indexed", tags=("similarity", "approx", "knn", "index"))
 def knn_join_sharded_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate 3-NN JOIN for the whole embeddings corpus answered

@@ -102,6 +102,68 @@ def topk_cosine(
     )
 
 
+def topk_per_query(
+    scored: DataFrame,
+    k: int,
+    qid_col: str = "qid",
+    id_col: str = "vec_id",
+    score_col: str = "cos_sim",
+) -> DataFrame:
+    """Per-query top-k over a scored (qid, id, score) stream in two
+    skew-free stages: a local top-k keyed by (qid, scan-partition-id) —
+    group count is batch_size x partitions, each group's sort bounded by
+    the rows one partition contributed to one query, never corpus-sized —
+    then the global top-k over the reduced set (<= batch x partitions x k
+    rows). A single Window on qid would hash the WHOLE scored stream
+    into batch_size groups: with a 16-query batch over 100 TB that is 16
+    giant skewed sorts; this shape keeps both exchanges balanced."""
+    from pyspark.sql import Window
+
+    w1 = Window.partitionBy(qid_col, "_pid").orderBy(
+        F.col(score_col).desc(), F.col(id_col)
+    )
+    w2 = Window.partitionBy(qid_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= k)
+        .drop("_pid", "_rn")
+        .withColumn("_rn", F.row_number().over(w2))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def topk_cosine_batch(
+    df: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force cosine top-k for a BATCH of query vectors in ONE
+    scan (columns ``qid, <id_col>, cos_sim``): the query batch broadcasts
+    (tiny), every corpus row scores all Q queries, and the per-query
+    top-k reduces in two skew-free window stages (``topk_per_query``).
+    Per-query amortized cost is what a retrieval pipeline pays — the
+    corpus is read ONCE for the whole batch instead of once per query.
+    Scores/order match ``topk_cosine`` per query exactly (same double
+    fold, same 6-dp round, same id tie-break)."""
+    spark = df.sparkSession
+    qdf = spark.createDataFrame(
+        [(int(q), [float(x) for x in v]) for q, v in queries],
+        "qid long, _qv array<double>",
+    )
+    scored = df.crossJoin(F.broadcast(qdf)).select(
+        "qid",
+        id_col,
+        F.round(cosine(F.col(vec_col), F.col("_qv")), 6).alias("cos_sim"),
+    )
+    return topk_per_query(scored, k, "qid", id_col)
+
+
 @query(
     "topk_cosine_bruteforce",
     headline=True,

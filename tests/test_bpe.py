@@ -114,7 +114,9 @@ from hypothesis import strategies as st  # noqa: E402
 _WORD = st.text(
     alphabet=st.characters(
         blacklist_categories=("Zs", "Zl", "Zp", "Cc", "Cs"),
-        blacklist_characters="<>/",  # keep the EOW marker unforgeable
+        # keep the EOW marker unforgeable;  is the chunking
+        # continuation marker (outside the tokenizer's input domain)
+        blacklist_characters="<>/",
     ),
     min_size=1,
     max_size=8,
@@ -137,15 +139,25 @@ def test_bpe_roundtrip_property(spark, corpus, n_merges):
     df = spark.createDataFrame(
         [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
     )
+    from delta_lake_optimizations_spark.operators.textnorm import INVISIBLES
+
+    def norm(s: str) -> str:
+        # the tokenizer's contract: invisibles stripped (the shared
+        # light-normalization tier), whitespace collapsed
+        for ch in INVISIBLES:
+            s = s.replace(ch, "")
+        return " ".join(s.split())
+
     model = train_bpe(df, "text", n_merges=n_merges)
     assert model.merges == train_bpe(df, "text", n_merges=n_merges).merges
     for t in corpus:
         toks = encode_tokens(t, model)
-        assert decode_tokens(toks) == " ".join(t.split())
+        assert decode_tokens(toks) == norm(t)
         assert toks == encode_tokens(t, model)
-        for w in t.split():
+        for w in norm(t).split():
+            # byte-level symbols: the count bound is UTF-8 bytes, not chars
             n = len(encode_tokens(w, model))
-            assert 1 <= n <= len(w)
+            assert 1 <= n <= len(w.encode("utf-8"))
 
 
 @settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
@@ -199,3 +211,60 @@ def test_pack_sizes_are_exactly_budget_except_shard_tails(spark):
         else:
             assert 0 < r["n_tokens"] <= 256
         assert r["n_docs"] >= 1
+
+
+def test_mixed_script_roundtrip_and_cjk_tokens(spark):
+    """Byte-level BPE (VERDICT r08 #3): whitespace-free scripts must
+    round-trip exactly and actually tokenize (multi-byte chars reassemble
+    through merges) instead of degenerating to whole-sentence words."""
+    from delta_lake_optimizations_spark.operators.bpe import (
+        decode_tokens,
+        encode_tokens,
+        train_bpe,
+    )
+
+    corpus = [
+        "hello world hello",
+        "深度学习模型训练数据深度学习",  # CJK, no whitespace
+        "สวัสดีชาวโลกสวัสดี",  # Thai, no whitespace
+        "mixed 深度 text ข้อความ done",
+        "émigré naïve café",  # Latin with diacritics (2-byte chars)
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+    )
+    model = train_bpe(df, "text", n_merges=80)
+    for t in corpus:
+        toks = encode_tokens(t, model)
+        assert decode_tokens(toks) == " ".join(t.split()), t
+    # with enough merges the frequent CJK chars (3 UTF-8 bytes each)
+    # merge back into <= 1 token per char: the 12-char repeated phrase
+    # must encode to at most ~1 token per char, not 36 byte tokens
+    cjk = "深度学习模型训练数据深度学习"
+    assert len(encode_tokens(cjk, model)) <= len(cjk) + 2
+
+
+def test_no_whitespace_input_keeps_dictionary_bounded(spark):
+    """The 16-char chunking cap: a whitespace-free corpus (one giant
+    'word' per doc under the old pre-tokenizer) must produce a word
+    dictionary bounded by total_chars/16 + docs, with every entry's
+    symbol sequence bounded by 16 chars of UTF-8 bytes."""
+    from delta_lake_optimizations_spark.operators.bpe import (
+        MAX_WORD_CHARS,
+        _word_symbols,
+        word_counts,
+    )
+
+    docs = [
+        (i, "和平与发展合作共赢的时代潮流不可阻挡" * 25)  # 450 chars, 0 spaces
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    words = [r["word"] for r in word_counts(df, "text").collect()]
+    n_chars = 450
+    assert len(words) <= n_chars // MAX_WORD_CHARS + 2
+    for w in words:
+        assert len(_word_symbols(w)) <= MAX_WORD_CHARS * 4
+    # and the continuation tagging is consistent: exactly one final chunk
+    finals = [w for w in words if not w.endswith("")]
+    assert len(finals) >= 1
