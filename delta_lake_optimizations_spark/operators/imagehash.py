@@ -1,0 +1,388 @@
+"""Perceptual-hash image near-dup (SURVEY.md §2.9 X4 upgrade — VERDICT
+r08 #4): pixel-level PNG decode with NOTHING but the standard library
+(``zlib`` inflate + the five PNG filter types), aHash/dHash perceptual
+signatures, and Hamming-banded near-dup pairing — the image analogue of
+the text side's SimHash path (``dedup.simhash_near_pairs``).
+
+Why it exists: multimodal training corpora need image near-dup exactly
+like text corpora need MinHash — re-encoded/re-scaled copies of the same
+picture must collapse. The text stack had no analogue until now because
+the sandbox ships no media library; PNG, however, is decodable from
+scratch (the format is zlib + per-scanline filters, RFC 2083), so the
+pixel path is REAL for PNG and the hash/banding plumbing is ready for
+any other codec the moment a decoder exists.
+
+Scale shape (100 TB): decode+hash is one Arrow-batched ``mapInPandas``
+pass (map-only, no exchange); pairing buckets 64-bit hashes into four
+16-bit bands (pigeonhole: Hamming <= 3 pairs always share a band) and
+equi-joins band buckets — no cross join anywhere, the same candidate
+economics as SimHash text near-dup.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from delta_lake_optimizations_spark.registry import query
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def png_decode(data: bytes) -> tuple[int, int, int, bytes]:
+    """Decode an 8-bit, non-interlaced PNG to raw pixels using only the
+    stdlib: chunk walk -> concatenated IDAT -> ``zlib.decompress`` ->
+    per-scanline unfilter (types 0-4: None/Sub/Up/Average/Paeth, PNG
+    spec §6) -> palette expansion for color type 3.
+
+    Returns ``(width, height, channels, pixel_bytes)`` with pixels in
+    row-major scanline order. Raises ``ValueError`` for non-PNG bytes or
+    the (rare in training data) 16-bit / Adam7 variants."""
+    if data[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos = len(_PNG_SIG)
+    width = height = None
+    bitd = color = interlace = None
+    idat = bytearray()
+    plte: bytes | None = None
+    while pos + 8 <= len(data):
+        ln = int.from_bytes(data[pos : pos + 4], "big")
+        typ = data[pos + 4 : pos + 8]
+        chunk = data[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+        if typ == b"IHDR":
+            width, height = struct.unpack(">II", chunk[:8])
+            bitd, color, _comp, _filt, interlace = chunk[8:13]
+        elif typ == b"PLTE":
+            plte = bytes(chunk)
+        elif typ == b"IDAT":
+            idat += chunk
+        elif typ == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG without IHDR")
+    if bitd != 8:
+        raise ValueError(f"unsupported PNG bit depth {bitd}")
+    if interlace:
+        raise ValueError("Adam7-interlaced PNG unsupported")
+    if color not in _CHANNELS:
+        raise ValueError(f"unsupported PNG color type {color}")
+    nch = _CHANNELS[color]
+    raw = zlib.decompress(bytes(idat))
+    stride = width * nch
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG IDAT size mismatch")
+    out = bytearray(height * stride)
+    prev = bytearray(stride)
+    p = 0
+    for y in range(height):
+        f = raw[p]
+        p += 1
+        line = bytearray(raw[p : p + stride])
+        p += stride
+        if f == 1:  # Sub
+            for i in range(nch, stride):
+                line[i] = (line[i] + line[i - nch]) & 0xFF
+        elif f == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif f == 3:  # Average
+            for i in range(stride):
+                a = line[i - nch] if i >= nch else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - nch] if i >= nch else 0
+                b = prev[i]
+                c = prev[i - nch] if i >= nch else 0
+                pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pr) & 0xFF
+        elif f != 0:
+            raise ValueError(f"unknown PNG filter {f}")
+        out[y * stride : (y + 1) * stride] = line
+        prev = line
+    if color == 3:
+        if plte is None:
+            raise ValueError("paletted PNG without PLTE")
+        rgb = bytearray(width * height * 3)
+        for i, idx in enumerate(out):
+            rgb[i * 3 : i * 3 + 3] = plte[idx * 3 : idx * 3 + 3]
+        return width, height, 3, bytes(rgb)
+    return width, height, nch, bytes(out)
+
+
+def png_encode(width: int, height: int, channels: int, pixels: bytes) -> bytes:
+    """Minimal deterministic PNG writer (filter 0 scanlines, one IDAT,
+    fixed zlib level) — enough to round-trip the decoder and to build
+    the synthetic fixture corpus the near-dup oracle pins."""
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    stride = width * channels
+    raw = bytearray()
+    for y in range(height):
+        raw.append(0)
+        raw += pixels[y * stride : (y + 1) * stride]
+    comp = zlib.compress(bytes(raw), 9)
+
+    def chunk(typ: bytes, body: bytes) -> bytes:
+        return (
+            len(body).to_bytes(4, "big")
+            + typ
+            + body
+            + zlib.crc32(typ + body).to_bytes(4, "big")
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
+    return _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", comp) + chunk(b"IEND", b"")
+
+
+def _grayscale(w: int, h: int, nch: int, pixels: bytes):
+    import numpy as np
+
+    a = np.frombuffer(pixels, dtype=np.uint8).reshape(h, w, nch).astype(np.float64)
+    if nch >= 3:
+        return 0.299 * a[:, :, 0] + 0.587 * a[:, :, 1] + 0.114 * a[:, :, 2]
+    return a[:, :, 0]
+
+
+def _box_resize(g, out_w: int, out_h: int):
+    """Average-pooling resize to (out_h, out_w) — deterministic, no
+    interpolation library."""
+    import numpy as np
+
+    h, w = g.shape
+    ys = (np.arange(h) * out_h) // h
+    xs = (np.arange(w) * out_w) // w
+    acc = np.zeros((out_h, out_w))
+    cnt = np.zeros((out_h, out_w))
+    yy = np.repeat(ys, w)
+    xx = np.tile(xs, h)
+    np.add.at(acc, (yy, xx), g.ravel())
+    np.add.at(cnt, (yy, xx), 1.0)
+    return acc / np.maximum(cnt, 1.0)
+
+
+def ahash64(w: int, h: int, nch: int, pixels: bytes) -> int:
+    """Average hash: 8x8 box-resized grayscale, bit i set where the cell
+    beats the 64-cell mean. Robust to re-encoding, small noise, uniform
+    brightness shifts that preserve the mean ordering."""
+    r = _box_resize(_grayscale(w, h, nch, pixels), 8, 8)
+    mean = r.mean()
+    bits = (r > mean).ravel()
+    v = 0
+    for i, b in enumerate(bits):
+        if b:
+            v |= 1 << i
+    return v - (1 << 64) if v >= 1 << 63 else v  # signed long for Spark
+
+
+def dhash64(w: int, h: int, nch: int, pixels: bytes) -> int:
+    """Difference hash: 9x8 box-resized grayscale, bit set where each
+    cell is brighter than its left neighbour — captures gradients, so it
+    is invariant to global brightness/contrast shifts aHash is not."""
+    r = _box_resize(_grayscale(w, h, nch, pixels), 9, 8)
+    bits = (r[:, 1:] > r[:, :-1]).ravel()
+    v = 0
+    for i, b in enumerate(bits):
+        if b:
+            v |= 1 << i
+    return v - (1 << 64) if v >= 1 << 63 else v
+
+
+IMAGE_HASH_SCHEMA = (
+    "doc_id bigint, width int, height int, ahash bigint, dhash bigint, "
+    "decoder string"
+)
+
+
+def image_hashes(assets: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Arrow-batched decode+hash over a binary payload column: PNG bytes
+    get the REAL pixel path (stdlib decode above); anything else yields
+    NULL hashes with ``decoder='none'`` (filter on it downstream) —
+    the pipeline stays total on mixed corpora."""
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ws, hs, ah, dh, dec = [], [], [], [], []
+            for p in pdf["payload"]:
+                try:
+                    w, h, nch, pix = png_decode(bytes(p))
+                    ws.append(w)
+                    hs.append(h)
+                    ah.append(ahash64(w, h, nch, pix))
+                    dh.append(dhash64(w, h, nch, pix))
+                    dec.append("png-zlib")
+                except (ValueError, zlib.error):
+                    ws.append(None)
+                    hs.append(None)
+                    ah.append(None)
+                    dh.append(None)
+                    dec.append("none")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "width": pd.array(ws, dtype="Int32"),
+                    "height": pd.array(hs, dtype="Int32"),
+                    "ahash": pd.array(ah, dtype="Int64"),
+                    "dhash": pd.array(dh, dtype="Int64"),
+                    "decoder": dec,
+                }
+            )
+
+    return assets.mapInPandas(hash_batches, schema=IMAGE_HASH_SCHEMA)
+
+
+def phash_near_pairs(
+    hashes: DataFrame,
+    max_hamming: int = 6,
+    hash_col: str = "ahash",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup image pairs by perceptual-hash Hamming distance, blocked
+    on 16-bit bands — the identical candidate scheme as the text side's
+    ``simhash_near_pairs`` (dedup.py): pigeonhole guarantees pairs within
+    Hamming 3 share a band; equi-join on (band_idx, band_val), then the
+    exact ``bit_count(xor)`` filter. No cross join at any scale."""
+    sigs = hashes.filter(F.col(hash_col).isNotNull()).select(
+        F.col(id_col).alias("_id"), F.col(hash_col).alias("_sig")
+    )
+    chunks = sigs.select(
+        "_id",
+        "_sig",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("_sig"), 16 * c).bitwiseAND(F.lit(0xFFFF))
+                    for c in range(4)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    right = chunks.select(
+        F.col("_id").alias("_id2"),
+        F.col("_sig").alias("_sig2"),
+        F.col("band_idx").alias("band_idx2"),
+        F.col("band_val").alias("band_val2"),
+    )
+    cand = (
+        chunks.join(
+            right,
+            (F.col("band_idx") == F.col("band_idx2"))
+            & (F.col("band_val") == F.col("band_val2"))
+            & (F.col("_id") < F.col("_id2")),
+        )
+        .select("_id", "_id2", "_sig", "_sig2")
+        .dropDuplicates(["_id", "_id2"])
+    )
+    hamming = F.bit_count(F.col("_sig").bitwiseXOR(F.col("_sig2")))
+    return (
+        cand.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select(
+            F.col("_id").alias("img_a"), F.col("_id2").alias("img_b"), "hamming"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic fixture corpus with a KNOWN duplicate map (the oracle's
+# ground truth): base images are seeded noise+gradient patterns; each
+# "near-dup" is its base re-encoded after a perturbation far below the
+# hash's sensitivity; the "distinct" images share nothing.
+# ---------------------------------------------------------------------------
+
+_FIXTURE_SIZE = 32
+
+
+def _fixture_pixels(seed: int):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    n = _FIXTURE_SIZE
+    yy, xx = np.mgrid[0:n, 0:n]
+    fx, fy = rng.integers(1, 6, size=2)
+    phx, phy = rng.uniform(0, 2 * np.pi, size=2)
+    base = (
+        96.0
+        + 80.0 * np.sin(2 * np.pi * fx * xx / n + phx)
+        + 60.0 * np.cos(2 * np.pi * fy * yy / n + phy)
+        + 40.0 * np.sin(2 * np.pi * (xx + yy) * rng.integers(1, 4) / n)
+    )
+    noise = rng.normal(0.0, 18.0, size=(n, n))
+    g = np.clip(base + noise, 0, 255).astype(np.uint8)
+    return g
+
+
+def synthetic_image_assets(spark: SparkSession) -> DataFrame:
+    """10 grayscale PNGs: 4 bases, 3 perturbed copies (brightness +4 on
+    one base; 2x2 patch edit on another; re-encode byte-identity on a
+    third), 3 unrelated. Ground truth: (0,4), (1,5), (2,6) are the only
+    near-dup pairs."""
+    import numpy as np
+
+    n = _FIXTURE_SIZE
+    imgs = {}
+    for i in range(4):
+        imgs[i] = _fixture_pixels(seed=100 + i)
+    # 4: base 0 brightened by +4 with fresh pixel noise (a genuine
+    # re-encoded near-dup: ahash Hamming 1 at these dials, not 0)
+    rng4 = np.random.default_rng(7)
+    imgs[4] = np.clip(
+        imgs[0].astype(np.float64) + 4 + rng4.normal(0, 8, (n, n)), 0, 255
+    ).astype(np.uint8)
+    # 5: base 1 with one 2x2 patch overwritten
+    imgs[5] = imgs[1].copy()
+    imgs[5][10:12, 20:22] = 255
+    # 6: base 2 re-encoded verbatim (exact pixel dup, different bytes ok)
+    imgs[6] = imgs[2].copy()
+    # 7..9: unrelated patterns
+    for i in range(7, 10):
+        imgs[i] = _fixture_pixels(seed=500 + i)
+    rows = [
+        (i, bytearray(png_encode(n, n, 1, imgs[i].tobytes())))
+        for i in sorted(imgs)
+    ]
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+@query(
+    "image_phash_near_dup",
+    tags=("multimodal", "dedup", "image", "llm-pipeline"),
+    oracle="""
+        SELECT img_a, img_b
+        FROM (VALUES
+            (CAST(0 AS BIGINT), CAST(4 AS BIGINT)),
+            (CAST(1 AS BIGINT), CAST(5 AS BIGINT)),
+            (CAST(2 AS BIGINT), CAST(6 AS BIGINT))
+        ) AS t(img_a, img_b)
+    """,
+)
+def image_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup over the deterministic PNG fixture corpus: stdlib
+    pixel decode -> aHash -> 16-bit-band candidate join -> Hamming <= 6.
+    The oracle is the corpus's ground-truth duplicate map (the same
+    fixture-conformance pattern as ``multimodal_real_media_decode``);
+    independent of ``sf_dir`` by design — codec+hash conformance, not
+    corpus analysis. Distinct-image pairs measure Hamming >= 20 at these
+    dials (pinned by pytest), so the threshold has wide margin both ways."""
+    assets = synthetic_image_assets(spark)
+    hashes = image_hashes(assets)
+    return (
+        phash_near_pairs(hashes, max_hamming=6)
+        .select("img_a", "img_b")
+        .orderBy("img_a", "img_b")
+    )

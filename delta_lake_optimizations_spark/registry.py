@@ -50,6 +50,7 @@ _QUERY_MODULES = (
     "delta_lake_optimizations_spark.operators.quality",
     "delta_lake_optimizations_spark.operators.sampling",
     "delta_lake_optimizations_spark.operators.multimodal",
+    "delta_lake_optimizations_spark.operators.imagehash",
     "delta_lake_optimizations_spark.operators.decontam",
     "delta_lake_optimizations_spark.operators.packing",
     "delta_lake_optimizations_spark.operators.bpe",

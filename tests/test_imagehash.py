@@ -1,0 +1,207 @@
+"""Stdlib PNG codec + perceptual-hash image near-dup (VERDICT r08 #4):
+pixel-exact decode round-trip across filter types and color types, the
+committed real fixture, hash separation (dups <= 3, non-dups >= 19 at
+the fixture dials), banding completeness, and the registered query's
+ground-truth duplicate map."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+from delta_lake_optimizations_spark.operators.imagehash import (
+    _fixture_pixels,
+    ahash64,
+    dhash64,
+    image_hashes,
+    image_phash_near_dup,
+    phash_near_pairs,
+    png_decode,
+    png_encode,
+    synthetic_image_assets,
+)
+
+_MEDIA = os.path.join(os.path.dirname(__file__), "fixtures", "media")
+
+
+def _ham(a: int, b: int) -> int:
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+def test_png_roundtrip_gray_rgb_rgba():
+    rng = np.random.default_rng(3)
+    for nch in (1, 2, 3, 4):
+        pix = rng.integers(0, 256, size=(5, 7, nch), dtype=np.uint8)
+        data = png_encode(7, 5, nch, pix.tobytes())
+        w, h, out_nch, out = png_decode(data)
+        assert (w, h, out_nch) == (7, 5, nch)
+        assert out == pix.tobytes()
+
+
+def test_png_decode_all_filter_types():
+    """Hand-build a PNG whose scanlines use every filter type (0..4) and
+    check the unfilter math against a straightforward reference."""
+    import struct
+    import zlib
+
+    w, nch = 4, 1
+    lines = [
+        bytes([10, 20, 30, 40]),
+        bytes([5, 15, 25, 35]),
+        bytes([200, 100, 50, 25]),
+        bytes([1, 2, 3, 4]),
+        bytes([250, 251, 252, 253]),
+    ]
+    filters = [0, 1, 2, 3, 4]
+
+    # forward-filter each line per spec so decode must invert it
+    def filt(ftype, line, prev):
+        out = bytearray()
+        for i in range(len(line)):
+            a = line[i - nch] if i >= nch else 0
+            b = prev[i]
+            c = prev[i - nch] if i >= nch else 0
+            if ftype == 0:
+                out.append(line[i])
+            elif ftype == 1:
+                out.append((line[i] - a) & 0xFF)
+            elif ftype == 2:
+                out.append((line[i] - b) & 0xFF)
+            elif ftype == 3:
+                out.append((line[i] - ((a + b) >> 1)) & 0xFF)
+            else:
+                pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                out.append((line[i] - pr) & 0xFF)
+        return bytes(out)
+
+    raw = bytearray()
+    prev = bytes(w * nch)
+    for ftype, line in zip(filters, lines):
+        raw.append(ftype)
+        raw += filt(ftype, line, prev)
+        prev = line
+
+    def chunk(typ, body):
+        return (
+            len(body).to_bytes(4, "big") + typ + body
+            + zlib.crc32(typ + body).to_bytes(4, "big")
+        )
+
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, len(lines), 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    got_w, got_h, got_nch, pix = png_decode(data)
+    assert (got_w, got_h, got_nch) == (w, len(lines), 1)
+    assert pix == b"".join(lines)
+
+
+def test_png_decode_committed_fixture_and_refusals():
+    with open(os.path.join(_MEDIA, "tiny.png"), "rb") as fh:
+        data = fh.read()
+    w, h, nch, pix = png_decode(data)
+    assert (w, h) == (3, 2) and nch in (3, 4)
+    assert len(pix) == w * h * nch
+    with pytest.raises(ValueError):
+        png_decode(b"not a png at all")
+    with open(os.path.join(_MEDIA, "tiny.jpg"), "rb") as fh:
+        with pytest.raises(ValueError):
+            png_decode(fh.read())
+
+
+def test_hash_separation_on_fixture_corpus():
+    n = 32
+    imgs = {i: _fixture_pixels(100 + i) for i in range(4)}
+    rng4 = np.random.default_rng(7)
+    imgs[4] = np.clip(
+        imgs[0].astype(np.float64) + 4 + rng4.normal(0, 8, (n, n)), 0, 255
+    ).astype(np.uint8)
+    imgs[5] = imgs[1].copy()
+    imgs[5][10:12, 20:22] = 255
+    imgs[6] = imgs[2].copy()
+    for i in range(7, 10):
+        imgs[i] = _fixture_pixels(500 + i)
+    for fn in (ahash64, dhash64):
+        hs = {i: fn(n, n, 1, im.tobytes()) for i, im in imgs.items()}
+        for a, b in [(0, 4), (1, 5), (2, 6)]:
+            assert _ham(hs[a], hs[b]) <= 3, (fn.__name__, a, b)
+        import itertools
+
+        for a, b in itertools.combinations(range(10), 2):
+            if (a, b) not in [(0, 4), (1, 5), (2, 6)]:
+                assert _ham(hs[a], hs[b]) >= 8, (fn.__name__, a, b)
+
+
+def test_image_hashes_operator_and_mixed_corpus(spark):
+    """The mapInPandas operator: PNG rows get real pixel hashes matching
+    the driver-side functions; non-PNG payloads yield decoder='none'."""
+    assets = synthetic_image_assets(spark)
+    extra = spark.createDataFrame(
+        [(99, bytearray(b"not an image"))], assets.schema
+    )
+    got = {
+        r["doc_id"]: r
+        for r in image_hashes(assets.unionByName(extra)).collect()
+    }
+    assert got[99]["decoder"] == "none" and got[99]["ahash"] is None
+    n = 32
+    base = _fixture_pixels(100)
+    assert got[0]["decoder"] == "png-zlib"
+    assert got[0]["width"] == n and got[0]["height"] == n
+    assert got[0]["ahash"] == ahash64(n, n, 1, base.tobytes())
+    assert got[0]["dhash"] == dhash64(n, n, 1, base.tobytes())
+
+
+def test_phash_near_pairs_matches_exhaustive(spark):
+    """Banded candidate join finds exactly the pairs an exhaustive scan
+    finds at Hamming <= 6 (pigeonhole holds: all fixture dups <= 3)."""
+    hashes = image_hashes(synthetic_image_assets(spark))
+    rows = {r["doc_id"]: r["ahash"] for r in hashes.collect()}
+    import itertools
+
+    want = sorted(
+        (a, b)
+        for a, b in itertools.combinations(sorted(rows), 2)
+        if _ham(rows[a], rows[b]) <= 6
+    )
+    got = sorted(
+        (r["img_a"], r["img_b"])
+        for r in phash_near_pairs(hashes, max_hamming=6).collect()
+    )
+    assert got == want == [(0, 4), (1, 5), (2, 6)]
+
+
+def test_registered_query_ground_truth(spark):
+    got = [
+        (r["img_a"], r["img_b"])
+        for r in image_phash_near_dup(spark, "/unused").collect()
+    ]
+    assert got == [(0, 4), (1, 5), (2, 6)]
+
+
+def test_multimodal_decode_cascade_uses_png_pixels(spark):
+    """decode_assets now reports decoder='png-zlib' (real pixel decode)
+    for PNG payloads when PIL is absent, not the header-probe tier."""
+    from delta_lake_optimizations_spark.operators.multimodal import (
+        _PILImage,
+        decode_assets,
+    )
+
+    assets = (
+        synthetic_image_assets(spark)
+        .withColumn("mime", F_lit("image/png"))
+        .withColumn("n_bytes", F_length("payload"))
+    )
+    got = decode_assets(assets.select("doc_id", "mime", "n_bytes", "payload")).collect()
+    expect = "pil" if _PILImage is not None else "png-zlib"
+    assert all(r["decoder"] == expect for r in got)
+    assert all(r["width"] == 32 and r["height"] == 32 for r in got)
+
+
+from pyspark.sql.functions import length as F_length  # noqa: E402
+from pyspark.sql.functions import lit as F_lit  # noqa: E402
