@@ -357,6 +357,249 @@ def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_classifier(documents, "doc_id", "text")
 
 
+# ---------------------------------------------------------------------------
+# TRAINED quality classifier (VERDICT r08 #6): same features, same
+# map-only scoring pass — but the logistic weights are FIT in-Spark
+# (fastText-style supervised filter, public Joulin et al. 2016 shape)
+# against weak labels instead of hand-set constants.
+# ---------------------------------------------------------------------------
+
+#: Feature order is the model contract — weights store/restore by name.
+QUALITY_FEATURES = (
+    "stopword_ratio",
+    "alpha_ratio",
+    "punct_ratio",
+    "log1p_tokens",
+    "token_len_dev",
+)
+
+#: Table property carrying fitted weights (the centroid/codebook pattern:
+#: model artifacts ride the table metadata, scoring needs no side file).
+QUALITY_WEIGHTS_PROP = "graft.quality.weights"
+
+# Sidecar shared with the DuckDB oracle (the BPE vocab pattern): the
+# registered trained-classifier query WRITES (name, weight) rows eagerly,
+# the oracle READS them to restate the scoring pass independently.
+# Keyed by pid+start-time and cleaned at exit (same hygiene as the BPE
+# sidecar after the r08 ADVICE fix).
+import atexit as _atexit
+import os as _os
+import shutil as _shutil
+import tempfile as _tempfile
+
+from delta_lake_optimizations_spark.operators.bpe import _proc_key
+
+_QUALITY_SIDECAR_DIR = _os.path.join(
+    _tempfile.gettempdir(), f"spark_graft_quality_{_proc_key()}"
+)
+QUALITY_WEIGHTS_SIDECAR = _os.path.join(_QUALITY_SIDECAR_DIR, "weights.parquet")
+_atexit.register(_shutil.rmtree, _QUALITY_SIDECAR_DIR, ignore_errors=True)
+
+
+def _feature_frame(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, label-ready feature columns) — the 5 model inputs derived
+    from ``quality_exprs`` (6-dp-rounded ratios, so Spark and the oracle
+    score identical doubles)."""
+    from delta_lake_optimizations_spark.operators.textstats import quality_exprs
+
+    return df.select(F.col(id_col), *quality_exprs(text_col)).select(
+        F.col(id_col),
+        "n_tokens",
+        "stopword_ratio",
+        "alpha_ratio",
+        "punct_ratio",
+        F.log(F.lit(1.0) + F.col("n_tokens")).alias("log1p_tokens"),
+        F.abs(F.col("mean_token_len") - F.lit(5.0)).alias("token_len_dev"),
+    )
+
+
+def fit_logistic(
+    feats: DataFrame,
+    feature_cols: tuple[str, ...] = QUALITY_FEATURES,
+    label_col: str = "label",
+    n_iters: int = 60,
+    lr: float = 1.0,
+    l2: float = 1e-4,
+) -> dict[str, float]:
+    """Batch gradient descent for logistic regression where EVERY step is
+    one Spark aggregate — the distributed fit shape: gradient_j =
+    avg((sigmoid(w.x) - y) * x_j) is a map-side-combining hash aggregate
+    over the (cached, ~48 bytes/row) feature frame, so a 100 TB corpus
+    trains in n_iters scans of a slim projected cache, no driver data.
+
+    Features standardize to zero-mean/unit-variance for conditioning
+    (one stats aggregate), and the learned weights FOLD the
+    standardization back out before returning, so scoring stays a raw-
+    feature map-only expression. Weights round to 8 dp at this single
+    choke point — the stored model and any restatement (the DuckDB
+    oracle) score bit-comparable doubles."""
+    import math
+
+    stats = feats.agg(
+        *[F.avg(c).alias(f"mu_{c}") for c in feature_cols],
+        *[F.stddev_pop(c).alias(f"sd_{c}") for c in feature_cols],
+    ).collect()[0]
+    mu = {c: float(stats[f"mu_{c}"]) for c in feature_cols}
+    sd = {c: max(float(stats[f"sd_{c}"] or 0.0), 1e-9) for c in feature_cols}
+    std = feats.select(
+        F.col(label_col).cast("double").alias("_y"),
+        *[((F.col(c) - F.lit(mu[c])) / F.lit(sd[c])).alias(c) for c in feature_cols],
+    ).cache()
+    try:
+        std.count()  # materialize once; every GD step reuses the cache
+        w = {c: 0.0 for c in feature_cols}
+        b = 0.0
+        for _ in range(n_iters):
+            z = F.lit(b)
+            for c in feature_cols:
+                z = z + F.lit(w[c]) * F.col(c)
+            p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+            err = p - F.col("_y")
+            g = std.agg(
+                F.avg(err).alias("g_bias"),
+                *[F.avg(err * F.col(c)).alias(f"g_{c}") for c in feature_cols],
+            ).collect()[0]
+            b -= lr * float(g["g_bias"])
+            for c in feature_cols:
+                w[c] -= lr * (float(g[f"g_{c}"]) + l2 * w[c])
+    finally:
+        std.unpersist()
+    raw = {c: w[c] / sd[c] for c in feature_cols}
+    raw_bias = b - math.fsum(w[c] * mu[c] / sd[c] for c in feature_cols)
+    out = {c: round(v, 8) for c, v in raw.items()}
+    out["bias"] = round(raw_bias, 8)
+    return out
+
+
+def weak_quality_labels(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Weak labels from the corpus bigram LM (the CCNet bucketing move):
+    label 1 for documents at or above the median average log-probability
+    (plausible prose under the corpus's own statistics), 0 below.
+    Deterministic: avg_logp is 4-dp rounded and the median is exact."""
+    scores = bigram_lm_scores(df, id_col, text_col)
+    med = scores.agg(
+        F.expr("percentile(avg_logp, 0.5)").alias("m")
+    ).collect()[0]["m"]
+    return scores.select(
+        id_col,
+        (F.col("avg_logp") >= F.lit(float(med))).cast("int").alias("label"),
+    )
+
+
+def train_quality_classifier(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    labels: DataFrame | None = None,
+    n_iters: int = 60,
+    lr: float = 1.0,
+) -> dict[str, float]:
+    """Fit the quality classifier's weights on this corpus: features from
+    ``quality_exprs``, labels supplied or derived (``weak_quality_labels``).
+    Returns the raw-feature weight dict (keys = QUALITY_FEATURES + bias)."""
+    if labels is None:
+        labels = weak_quality_labels(df, id_col, text_col)
+    feats = _feature_frame(df, id_col, text_col).join(labels, id_col)
+    return fit_logistic(feats, n_iters=n_iters, lr=lr)
+
+
+def store_quality_weights(table, weights: dict[str, float]) -> None:
+    """Persist fitted weights as a table property (JSON) — the same home
+    as IVF centroids / PQ codebooks; DESCRIBE EXTENDED shows the model."""
+    import json
+
+    table.set_properties({QUALITY_WEIGHTS_PROP: json.dumps(weights, sort_keys=True)})
+
+
+def load_quality_weights(table) -> dict[str, float]:
+    import json
+
+    return json.loads(table.snapshot().properties[QUALITY_WEIGHTS_PROP])
+
+
+def quality_classifier_with_weights(
+    df: DataFrame, id_col: str, text_col: str, weights: dict[str, float]
+) -> DataFrame:
+    """Score with an explicit weight dict — the same map-only plan as
+    ``quality_classifier`` (which uses the fixed public-heuristic
+    weights); trained weights plug in here."""
+    feats = _feature_frame(df, id_col, text_col)
+    z = F.lit(weights["bias"])
+    for c in QUALITY_FEATURES:
+        z = z + F.lit(weights[c]) * F.col(c)
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 4)
+    return feats.select(
+        F.col(id_col),
+        "n_tokens",
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+        score.alias("quality_score"),
+        (score >= 0.5).alias("kept"),
+    )
+
+
+@query(
+    "quality_classifier_trained",
+    tags=("text", "pipeline", "ml"),
+    oracle=f"""
+        WITH w AS (
+            SELECT name, weight
+            FROM read_parquet('{QUALITY_WEIGHTS_SIDECAR}/*.parquet')
+        ),
+        toks AS (
+            SELECT doc_id, text,
+                   string_split_regex(lower(trim(text)), '\\s+') AS t
+            FROM documents
+        ),
+        feats AS (
+            SELECT doc_id,
+                   len(t) AS n_tokens,
+                   ROUND(CAST(len(list_filter(t,
+                       x -> x IN ('the','a','an','and','or','of','to','in','is','it','on','for')))
+                       AS DOUBLE) / len(t), 6) AS stopword_ratio,
+                   ROUND(CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[A-Za-z]', '', 'g'))
+                       AS DOUBLE) / LENGTH(text), 6) AS alpha_ratio,
+                   ROUND(CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[.,;:!?]', '', 'g'))
+                       AS DOUBLE) / LENGTH(text), 6) AS punct_ratio,
+                   LN(1.0 + len(t)) AS log1p_tokens,
+                   ABS(ROUND(CAST(LENGTH(text) AS DOUBLE) / len(t), 6) - 5.0)
+                       AS token_len_dev
+            FROM toks
+        ),
+        scored AS (
+            SELECT doc_id, n_tokens, stopword_ratio,
+                ROUND(1.0 / (1.0 + EXP(-(
+                    (SELECT weight FROM w WHERE name = 'bias')
+                    + (SELECT weight FROM w WHERE name = 'stopword_ratio') * stopword_ratio
+                    + (SELECT weight FROM w WHERE name = 'alpha_ratio') * alpha_ratio
+                    + (SELECT weight FROM w WHERE name = 'punct_ratio') * punct_ratio
+                    + (SELECT weight FROM w WHERE name = 'log1p_tokens') * log1p_tokens
+                    + (SELECT weight FROM w WHERE name = 'token_len_dev') * token_len_dev
+                ))), 4) AS quality_score
+            FROM feats
+        )
+        SELECT doc_id, n_tokens, stopword_ratio, quality_score,
+               quality_score >= 0.5 AS kept
+        FROM scored
+    """,
+)
+def quality_classifier_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED logistic quality classifier: weak labels from the corpus
+    bigram LM (median avg-logp split), weights fit by distributed
+    gradient descent (every step one hash aggregate over a cached slim
+    feature frame), then one map-only scoring pass. The fitted weights
+    are written to the sidecar the oracle reads, so DuckDB independently
+    restates the ENTIRE scoring pass — features, linear term, sigmoid,
+    threshold — from the stored model (training itself is pinned by the
+    separable-fixture convergence pytest)."""
+    documents = load_table(spark, sf_dir, "documents")
+    weights = train_quality_classifier(documents, "doc_id", "text")
+    rows = [(k, float(v)) for k, v in sorted(weights.items())]
+    spark.createDataFrame(rows, "name string, weight double").coalesce(
+        1
+    ).write.mode("overwrite").parquet(QUALITY_WEIGHTS_SIDECAR)
+    return quality_classifier_with_weights(documents, "doc_id", "text", weights)
+
+
 def bigram_lm_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Perplexity-proxy scoring against a corpus bigram LM — the CCNet
     shape (language-model scoring for quality bucketing) with the LM
