@@ -321,10 +321,6 @@ def _bench_ann_index(spark, n_vectors: int = 100_000, dim: int = 64) -> dict:
         # 400k probed rows, and recall@10 collapsed to 0.47.)
         nprobe = 8
         pq_m, pq_ksub = 8, 64
-        # refine_factor=25: the dial sweep showed recall@10 saturates at
-        # 1.0 there while latency is flat in rf (the refine is a broadcast
-        # join; the probed-cell scans dominate)
-        pq_rf = 25
         batch_q = 16
 
         def _clustered_table(n_vec: int, sub: str):
@@ -344,11 +340,19 @@ def _bench_ann_index(spark, n_vectors: int = 100_000, dim: int = 64) -> dict:
             return tb.load()
 
         def _scale_point(n_vec: int, sub: str, n_qv: int, n_warm: int,
-                         n_reps: int, nlist: int) -> tuple[dict, object, dict]:
+                         n_reps: int, nlist: int, pq_rf: int) -> tuple[dict, object, dict]:
+            # refine_factor scales with per-cluster density: the ADC
+            # shortlist (k*rf) must exceed the count of near-tie
+            # candidates (~cluster size = n_vec/n_clusters), or the PQ
+            # distortion cannot be re-ranked away — the first 3.2M run
+            # kept rf=25 (shortlist 250) against 800-vector clusters and
+            # recall@10 fell to 0.53. The refine joins a broadcast of
+            # k*rf rows, so latency is flat in rf.
             res: dict = {
                 "n_vectors": n_vec,
                 "nlist": nlist,
                 "nprobe": nprobe,
+                "ivfpq_refine_factor": pq_rf,
                 "protocol": {"n_qvecs": n_qv, "n_warm": n_warm,
                              "n_reps": n_reps, "batch_q": batch_q},
             }
@@ -498,11 +502,10 @@ def _bench_ann_index(spark, n_vectors: int = 100_000, dim: int = 64) -> dict:
             return res, corpus, {"st": st, "ivf_t": ivf_t, "ivfpq_t": ivfpq_t}
 
         # 800k point (r04..r08-comparable) — legacy key names preserved
-        p800, ccorpus, _handles = _scale_point(800_000, "cbase", 4, 2, 3, 256)
+        p800, ccorpus, _handles = _scale_point(800_000, "cbase", 4, 2, 3, 256, 25)
         out["sharded_n_vectors"] = 800_000
         out["sharded_n_tables"] = N_TABLES_SHARDED
         out["ivfpq_m"], out["ivfpq_ksub"] = pq_m, pq_ksub
-        out["ivfpq_refine_factor"] = pq_rf
         out["ivf_nprobe_over_nlist"] = round(nprobe / 256, 4)
         legacy = {
             "bruteforce_warm_med_sec": "bruteforce_query_med_sec",
@@ -533,7 +536,7 @@ def _bench_ann_index(spark, n_vectors: int = 100_000, dim: int = 64) -> dict:
         # columns plus a fixed per-plan overhead. The two-point curve is
         # the evidence: brute grows ~4x from 800k to 3.2M while the
         # indexed families stay near-flat.
-        p32, _c32, _h32 = _scale_point(3_200_000, "cbase32", 3, 1, 2, 512)
+        p32, _c32, _h32 = _scale_point(3_200_000, "cbase32", 3, 1, 2, 512, 100)
         for fam in ("bruteforce", "sharded", "ivf", "ivfpq", "ivfpq_sq8"):
             key = f"{fam}_warm_med_sec"
             p32[f"{fam}_growth_x_vs_800k"] = round(
@@ -727,6 +730,12 @@ def _bench_sf5_rehearsal(spark, sf_dir: str) -> dict:
         "paragraph_dedup_docs",
         "strip_boilerplate_docs",
         "lm_perplexity_scores",
+        # r09 additions (VERDICT r08 #8): the r8 text debutantes are
+        # exactly what a 50x-documents corpus stresses — the 4-level
+        # backoff LM (four hash aggregates over the gram stream) and the
+        # full-tier NFC normalization choke point (Arrow UDF, map-only)
+        "lm_backoff4_scores",
+        "normalize_text_docs",
     )
     out: dict = {"dir": sf5_dir, "factor_vs_sf1": 5, "queries": {}, "ratio_vs_sf1": {}}
     for name in heavy:
@@ -803,6 +812,8 @@ def _bench_sf5_rehearsal(spark, sf_dir: str) -> dict:
             "dedup_url_normalized",
             "incremental_dedup_two_batches",
             "lm_perplexity_scores",
+            "lm_backoff4_scores",
+            "normalize_text_docs",
         ],
     )
     out["correctness_all_green"] = all(

@@ -331,35 +331,38 @@ def _with_adc_score(
     code_col: str = "pq_code",
     norm_col: str = "vnorm",
 ):
-    """IP-ADC score with the LUT attached as a BROADCAST 1-row array
-    column instead of an M x ksub literal expression: the literal form
-    (``_ip_adc_score``) pays Catalyst analysis + Janino codegen for 512
-    Literal nodes on EVERY probe — the dominant share of the probe's
+    """IP-ADC score with EVERY query-dependent value riding a BROADCAST
+    1-row parameter table instead of literal expressions: the literal
+    form (``_ip_adc_score``) pays Catalyst analysis + Janino codegen for
+    M*ksub Literal nodes (plus a per-cell CASE and a dim-length query
+    array downstream) on EVERY probe — the dominant share of the probe's
     fixed per-query cost at local bench scale (VERDICT r08 #1c). Here the
-    plan carries one small broadcast and M ``element_at`` terms whose
-    values are identical doubles in the identical summation order, so
-    scores are bit-for-bit the same (pinned by pytest). Returns
-    ``(cand_with_lut, score_column)``."""
+    plan carries one tiny broadcast with three array columns —
+    ``_adc_lut`` (flat M*ksub LUT), ``_qc_arr`` (dot(q, centroid_c) for
+    every cell, indexed by list_id), ``_qv`` (the query itself, for the
+    refine's exact cosine) — and the generated code is QUERY-INDEPENDENT:
+    successive probes with different vectors reuse the same compiled
+    class (Janino cache hit), paying only data, not compilation. Values
+    are identical doubles in the identical summation order as the
+    literal form, so scores are bit-for-bit the same (pinned by pytest).
+    Returns ``(cand_with_params, score_column)``."""
     spark = cand.sparkSession
     ksub = len(books[0])
-    lut_df = spark.createDataFrame(
-        [(_lut_flat(books, query_vec),)], "_adc_lut array<double>"
+    qc_arr = [
+        _math.fsum(q * cc for q, cc in zip(query_vec, c)) for c in centroids
+    ]
+    param_df = spark.createDataFrame(
+        [(_lut_flat(books, query_vec), qc_arr, [float(x) for x in query_vec])],
+        "_adc_lut array<double>, _qc_arr array<double>, _qv array<double>",
     )
-    cand2 = cand.crossJoin(F.broadcast(lut_df))
+    cand2 = cand.crossJoin(F.broadcast(param_df))
     ip = None
     for sub in range(len(books)):
         term = F.element_at(
             F.col("_adc_lut"), F.lit(sub * ksub) + F.col(code_col)[sub] + 1
         )
         ip = term if ip is None else ip + term
-    qcent = None
-    for c in probes:
-        scalar = F.lit(_math.fsum(q * cc for q, cc in zip(query_vec, centroids[c])))
-        qcent = (
-            F.when(F.col("list_id") == c, scalar)
-            if qcent is None
-            else qcent.when(F.col("list_id") == c, scalar)
-        )
+    qcent = F.element_at(F.col("_qc_arr"), F.col("list_id") + 1)
     score = (qcent + ip) / F.greatest(F.col(norm_col), F.lit(1e-30))
     return cand2, score
 
@@ -377,19 +380,27 @@ def _adc_refine_topk(
     ``k * refine_factor`` by approximated cosine -> exact cosine re-rank
     from ``vec_col``. ``cand`` must carry (list_id, id, code, norm,
     vector); column pruning keeps the vector bytes untouched until the
-    broadcast-joined refine."""
+    broadcast-joined refine. When ``cand`` carries the broadcast ``_qv``
+    parameter column (``_with_adc_score``) the exact cosine uses it —
+    keeping the generated code query-independent; otherwise the query
+    rides as a literal array (the inline/backcompat path)."""
     approx = (
         cand.select(id_col, score.alias("adc_score"))
         .orderBy(F.col("adc_score").desc(), F.col(id_col).asc())
         .limit(k * refine_factor)
     )
-    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    if "_qv" in cand.columns:
+        qexpr = F.col("_qv")
+        refine_cols = [id_col, vec_col, "_qv"]
+    else:
+        qexpr = F.array(*[F.lit(float(x)) for x in query_vec])
+        refine_cols = [id_col, vec_col]
     return (
-        cand.select(id_col, vec_col)
+        cand.select(*refine_cols)
         .join(F.broadcast(approx), id_col)
         .select(
             id_col,
-            F.round(cosine(F.col(vec_col), qlit), 6).alias("cos_sim"),
+            F.round(cosine(F.col(vec_col), qexpr), 6).alias("cos_sim"),
         )
         .orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
         .limit(k)

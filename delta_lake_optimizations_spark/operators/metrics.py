@@ -1128,3 +1128,103 @@ def knn_join_ivf_matches_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_mismatch"),
     )
+
+
+@query(
+    "ann_batch_matches_singles",
+    tags=("similarity", "approx", "index", "batch", "metric"),
+    oracle="""
+        SELECT family, CAST(0 AS BIGINT) AS n_mismatch
+        FROM (VALUES ('bruteforce'), ('ivf'), ('ivfpq')) AS t(family)
+        ORDER BY family
+    """,
+)
+def ann_batch_matches_singles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BATCHED probe paths (VERDICT r08 #1b — one plan scoring Q
+    queries, per-query fixed costs amortized) must return, per query,
+    EXACTLY what the single-query probes return: brute
+    ``topk_cosine_batch`` vs ``topk_cosine``, IVF
+    ``ann_topk_batch_from_ivf`` vs ``ann_topk_from_ivf_index``, IVF-PQ
+    ``ann_topk_batch_from_ivfpq`` vs ``ann_topk_from_ivfpq_index`` — all
+    at identical dials over the first 6 corpus vectors. n_mismatch
+    counts (qid, id, score) triples present on exactly one side of a
+    full outer join; a nonzero means a scoring divergence (the batch ADC
+    LUT drifting from the literal path), a broken probe map, or a
+    tie-break difference in the two top-k reductions."""
+    from delta_lake_optimizations_spark.operators.ivf import (
+        _cached_ivf_index,
+        ann_topk_batch_from_ivf,
+        ann_topk_from_ivf_index,
+    )
+    from delta_lake_optimizations_spark.operators.ivfpq import (
+        _cached_ivfpq_index,
+        ann_topk_batch_from_ivfpq,
+        ann_topk_from_ivfpq_index,
+    )
+    from delta_lake_optimizations_spark.operators.similarity import (
+        topk_cosine,
+        topk_cosine_batch,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < 6).collect()
+    ]
+    ivf_t = _cached_ivf_index(spark, sf_dir, nlist=8)
+    pq_t = _cached_ivfpq_index(spark, sf_dir, nlist=8, m=4, ksub=16)
+
+    def singles(fn):
+        out = None
+        for qid, qv in qs:
+            one = fn(qv).select(
+                F.lit(qid).alias("qid"), "vec_id", "cos_sim"
+            )
+            out = one if out is None else out.unionByName(one)
+        return out
+
+    pairs = [
+        (
+            "bruteforce",
+            topk_cosine_batch(emb, qs, k=10),
+            singles(lambda qv: topk_cosine(emb, qv, k=10)),
+        ),
+        (
+            "ivf",
+            ann_topk_batch_from_ivf(ivf_t, qs, k=10, nprobe=3),
+            singles(lambda qv: ann_topk_from_ivf_index(ivf_t, qv, k=10, nprobe=3)),
+        ),
+        (
+            "ivfpq",
+            ann_topk_batch_from_ivfpq(pq_t, qs, k=10, nprobe=3, refine_factor=4),
+            singles(
+                lambda qv: ann_topk_from_ivfpq_index(
+                    pq_t, qv, k=10, nprobe=3, refine_factor=4
+                )
+            ),
+        ),
+    ]
+    out = None
+    for family, batch, single in pairs:
+        b = batch.select("qid", "vec_id", "cos_sim")
+        s = single.select(
+            F.col("qid").alias("_q2"),
+            F.col("vec_id").alias("_v2"),
+            F.col("cos_sim").alias("_c2"),
+        )
+        joined = b.join(
+            s,
+            (F.col("qid") == F.col("_q2"))
+            & (F.col("vec_id") == F.col("_v2"))
+            & (F.col("cos_sim") == F.col("_c2")),
+            "full",
+        ).agg(
+            F.lit(family).alias("family"),
+            F.sum(
+                F.when(F.col("qid").isNull() | F.col("_q2").isNull(), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_mismatch"),
+        )
+        out = joined if out is None else out.unionByName(joined)
+    return out.orderBy("family")

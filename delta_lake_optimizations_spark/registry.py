@@ -77,12 +77,24 @@ _QUERY_MODULES = (
 # paragraph debutantes (48/50 green, 2 by-design rows-only); r07 the
 # IVF-PQ family, BPE trio, trigram backoff LM, IVF k-NN join pair
 # (46/50 green, 4 by-design rows-only with adjacent oracle twins).
-# Round 8 (this window): the SEVEN r8 debutantes get their first driver
+# Round 9 (this window): the THREE r9 debutantes get their first driver
+# rows — the perceptual-hash image near-dup over the PNG fixture corpus
+# (ground-truth duplicate-map oracle), the TRAINED quality classifier
+# (oracle restates the full scoring pass from the stored weights
+# sidecar), and the batched-ANN equality twin (batch probes must match
+# the single-query probes per family). The seven r8 debutantes
+# re-verify on their second row; the byte-level BPE rework re-verifies
+# through the in-window BPE trio. Rotated out for the three:
+# url_domain_profile + url_blocklist_filter (r06 family reps with r7+r8
+# green rows; url_normalize_docs + dedup_url_normalized keep the family
+# in-window) and approx_percentile_error_by_flag (sketch-error metric,
+# green r8 + earlier; the percentile family keeps group_percentiles).
+# Round 8: the SEVEN r8 debutantes got their first driver
 # rows — the replication-proof dedup scale path + its survivor-set
 # equality twin, the 4-gram backoff LM, the Unicode-normalization
 # parity probe + mixed-form dedup story, and the indexed embedding
 # decontamination + its unthresholded equality twin; the nine r7
-# debutantes re-verify on their second row (established pattern).
+# debutantes re-verified on their second row (established pattern).
 # Rotated out for the seven: ann_lsh_topk_sharded_ranked +
 # knn_join_sharded_indexed (rows-only entries that got their r7 row;
 # their oracle twins knn_join_sharded_matches_inline +
@@ -100,8 +112,17 @@ _QUERY_MODULES = (
 # driver row across all recorded rounds.
 DRIVER_WINDOW = 50
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # NEW round 8: the replication-proof near-dup SCALE path (rows-only)
-    # + its oracle-backed survivor-set equality twin
+    # NEW round 9: image near-dup (stdlib PNG pixel decode -> aHash ->
+    # Hamming banding; oracle = the fixture corpus's ground-truth
+    # duplicate map), trained quality classifier (GD-as-aggregates fit;
+    # oracle restates scoring from the stored weights), and the batch-
+    # probe equality twin (brute/IVF/IVF-PQ batch == singles)
+    "image_phash_near_dup",
+    "quality_classifier_trained",
+    "ann_batch_matches_singles",
+    # r8 debutantes re-verified (second driver row): the replication-
+    # proof near-dup SCALE path (rows-only) + its oracle-backed
+    # survivor-set equality twin
     "dedup_minhash_scaled",
     "minhash_scaled_matches_pairwise",
     # NEW round 8: 4-gram stupid-backoff LM (full cascade restated in the
@@ -133,8 +154,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ann_lsh_ranked_recall",
     "url_normalize_docs",
     "dedup_url_normalized",
-    "url_domain_profile",
-    "url_blocklist_filter",
     "incremental_dedup_two_batches",
     # rows-only entries (metric twins adjacent, established pattern)
     "knn_join_sharded_matches_inline",
@@ -145,7 +164,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # approximate operators)
     "knn_join_ivf_recall",
     "multimodal_real_media_decode",
-    "approx_percentile_error_by_flag",
     # r06 debutantes re-verified: VARIANT rollup; graph family now led
     # by the r8 SCALE path (exact collapse -> gram edges over reps -> CC,
     # full vertex parity); the uncomposed dedup_components_ngram stays in
