@@ -138,16 +138,55 @@ def decode_assets(assets: DataFrame) -> DataFrame:
 RESIZE_SCHEMA = "doc_id bigint, mime string, width int, height int, payload binary"
 
 
+def _png_resize(payload: bytes, max_side: int) -> tuple[int, int, bytes] | None:
+    """REAL resize for PNG payloads: stdlib pixel decode -> per-channel
+    box-average downscale -> deterministic PNG re-encode. Returns None
+    for non-PNG bytes (caller falls back)."""
+    import zlib
+
+    import numpy as np
+
+    from delta_lake_optimizations_spark.operators.imagehash import (
+        _box_resize,
+        png_decode,
+        png_encode,
+    )
+
+    try:
+        w, h, nch, pix = png_decode(bytes(payload))
+    except (ValueError, zlib.error):
+        return None
+    scale = min(1.0, max_side / max(w, h))
+    nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+    if (nw, nh) == (w, h):
+        return w, h, bytes(payload)
+    a = np.frombuffer(pix, dtype=np.uint8).reshape(h, w, nch).astype(np.float64)
+    out = np.zeros((nh, nw, nch), dtype=np.float64)
+    for c in range(nch):
+        out[:, :, c] = _box_resize(a[:, :, c], nw, nh)
+    resized = np.clip(np.rint(out), 0, 255).astype(np.uint8)
+    return nw, nh, png_encode(nw, nh, nch, resized.tobytes())
+
+
 def resize_assets(decoded_assets: DataFrame, max_side: int = 32) -> DataFrame:
-    """STUB resize: scales the fake dimensions to fit ``max_side`` and
-    truncates the payload proportionally — stands in for a real
-    interpolating resize; the batch shape (binary in, binary out, fixed
-    schema) is exactly what a PIL/opencv implementation drops into."""
+    """Resize to fit ``max_side``: REAL pixel resize for PNG payloads
+    (stdlib decode -> box-average -> re-encode, ``_png_resize``); other
+    formats keep the deterministic fallback (fake dims, truncated
+    payload) until a codec exists — the batch shape (binary in, binary
+    out, fixed schema) is exactly what a PIL/opencv implementation
+    drops into."""
 
     def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ws, hs, payloads = [], [], []
             for p in pdf["payload"]:
+                real = _png_resize(p, max_side)
+                if real is not None:
+                    nw, nh, data = real
+                    ws.append(nw)
+                    hs.append(nh)
+                    payloads.append(bytearray(data))
+                    continue
                 w, h = _fake_decode(p)
                 scale = min(1.0, max_side / max(w, h))
                 nw, nh = max(1, int(w * scale)), max(1, int(h * scale))

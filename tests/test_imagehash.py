@@ -205,3 +205,38 @@ def test_multimodal_decode_cascade_uses_png_pixels(spark):
 
 from pyspark.sql.functions import length as F_length  # noqa: E402
 from pyspark.sql.functions import lit as F_lit  # noqa: E402
+
+
+def test_resize_assets_real_png_path(spark):
+    """resize_assets does a REAL pixel resize for PNGs: output is a
+    decodable PNG at the scaled dimensions whose pixels equal the
+    driver-side box-average of the source."""
+    import numpy as np
+
+    from delta_lake_optimizations_spark.operators.imagehash import (
+        _box_resize,
+    )
+    from delta_lake_optimizations_spark.operators.multimodal import (
+        resize_assets,
+    )
+
+    assets = (
+        synthetic_image_assets(spark)
+        .withColumn("mime", F_lit("image/png"))
+        .limit(2)
+    )
+    got = {r["doc_id"]: r for r in resize_assets(assets, max_side=8).collect()}
+    for doc_id, r in got.items():
+        assert (r["width"], r["height"]) == (8, 8)
+        w, h, nch, pix = png_decode(bytes(r["payload"]))
+        assert (w, h, nch) == (8, 8, 1)
+        src = _fixture_pixels(100 + doc_id).astype(np.float64)
+        want = np.clip(np.rint(_box_resize(src, 8, 8)), 0, 255).astype(np.uint8)
+        assert pix == want.tobytes()
+    # non-PNG payloads keep the deterministic fallback (no crash)
+    junk = spark.createDataFrame(
+        [(7, bytearray(b"opaque bytes here"), "application/octet-stream")],
+        "doc_id long, payload binary, mime string",
+    )
+    out = resize_assets(junk, max_side=8).collect()
+    assert len(out) == 1 and out[0]["width"] >= 1
