@@ -1,0 +1,233 @@
+"""Audio fingerprint near-dup (SURVEY §2.9 X4 audio leg — the WAV
+analogue of ``imagehash``'s PNG move): PCM sample decode with NOTHING
+but the standard library (RIFF chunk walk + ``struct`` int16 frames),
+a 64-bit energy-envelope fingerprint, and Hamming-banded near-dup
+pairing reusing the image side's band scheme verbatim.
+
+Why this fingerprint: per-window RMS energy thresholded at the MEDIAN is
+invariant to uniform gain (volume) changes and robust to low-level noise
+— re-encoded/re-mastered copies of the same recording collapse, distinct
+recordings don't (margins pinned by pytest on the fixture corpus). It is
+the simplest member of the public acoustic-fingerprint family
+(Haitsma-Kalker 2002's energy-band signs are the canonical reference);
+the banding/pairing plumbing is codec- and fingerprint-agnostic, so a
+spectral variant drops in without touching the pair path.
+
+Scale shape (100 TB): decode+fingerprint is one Arrow-batched
+``mapInPandas`` pass (map-only, no exchange); pairing reuses
+``imagehash.phash_near_pairs`` — 16-bit band buckets, equi-join, exact
+``bit_count(xor)`` tail, no cross join anywhere.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from delta_lake_optimizations_spark.registry import query
+
+
+def wav_decode(data: bytes) -> tuple[int, int, list[int]]:
+    """Decode a 16-bit PCM WAV with only the stdlib: RIFF chunk walk for
+    ``fmt `` (format 1 = PCM, 16-bit) and ``data`` (interleaved LE int16
+    frames). Returns ``(sample_rate, channels, samples)`` with samples
+    channel-interleaved. Raises ``ValueError`` for non-WAV bytes or
+    non-PCM-16 encodings."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos = 12
+    rate = channels = bits = fmt = None
+    frames: bytes | None = None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        ln = int.from_bytes(data[pos + 4 : pos + 8], "little")
+        body = data[pos + 8 : pos + 8 + ln]
+        pos += 8 + ln + (ln & 1)  # chunks are word-aligned
+        if cid == b"fmt ":
+            fmt, channels, rate = struct.unpack("<HHI", body[:8])
+            bits = struct.unpack("<H", body[14:16])[0]
+        elif cid == b"data":
+            frames = body
+    if rate is None or frames is None:
+        raise ValueError("WAV without fmt/data chunks")
+    if fmt != 1 or bits != 16:
+        raise ValueError(f"unsupported WAV encoding (fmt={fmt}, bits={bits})")
+    n = len(frames) // 2
+    samples = list(struct.unpack(f"<{n}h", frames[: n * 2]))
+    return rate, channels, samples
+
+
+def wav_encode(rate: int, channels: int, samples: list[int]) -> bytes:
+    """Minimal deterministic 16-bit PCM WAV writer — round-trips the
+    decoder and builds the fixture corpus."""
+    frames = struct.pack(f"<{len(samples)}h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, channels, rate,
+                      rate * channels * 2, channels * 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+        + b"data" + len(frames).to_bytes(4, "little") + frames
+    )
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def audio_fingerprint64(samples: list[int], n_windows: int = 64) -> int:
+    """64-bit energy-envelope fingerprint: split the sample stream into
+    ``n_windows`` equal windows, bit i set where window i's RMS energy
+    beats the MEDIAN window energy — gain-invariant (uniform scaling
+    moves every energy and the median identically) and noise-robust."""
+    import numpy as np
+
+    a = np.asarray(samples, dtype=np.float64)
+    if a.size == 0:
+        return 0
+    edges = (np.arange(n_windows + 1) * a.size) // n_windows
+    energy = np.array(
+        [
+            math.sqrt(float(np.mean(np.square(a[edges[i] : edges[i + 1]]))))
+            if edges[i + 1] > edges[i]
+            else 0.0
+            for i in range(n_windows)
+        ]
+    )
+    med = float(np.median(energy))
+    v = 0
+    for i, e in enumerate(energy):
+        if e > med:
+            v |= 1 << i
+    return v - (1 << 64) if v >= 1 << 63 else v  # signed long for Spark
+
+
+AUDIO_FP_SCHEMA = (
+    "doc_id bigint, sample_rate int, n_samples bigint, fingerprint bigint, "
+    "decoder string"
+)
+
+
+def audio_fingerprints(assets: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Arrow-batched decode+fingerprint over a binary payload column:
+    PCM-16 WAV bytes get the real path; anything else yields NULL with
+    ``decoder='none'`` (total on mixed corpora, like ``image_hashes``)."""
+
+    def fp_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rates, counts, fps, dec = [], [], [], []
+            for p in pdf["payload"]:
+                try:
+                    rate, _ch, samples = wav_decode(bytes(p))
+                    rates.append(rate)
+                    counts.append(len(samples))
+                    fps.append(audio_fingerprint64(samples))
+                    dec.append("wav-pcm")
+                except (ValueError, struct.error):
+                    rates.append(None)
+                    counts.append(None)
+                    fps.append(None)
+                    dec.append("none")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "sample_rate": pd.array(rates, dtype="Int32"),
+                    "n_samples": pd.array(counts, dtype="Int64"),
+                    "fingerprint": pd.array(fps, dtype="Int64"),
+                    "decoder": dec,
+                }
+            )
+
+    return assets.mapInPandas(fp_batches, schema=AUDIO_FP_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic fixture corpus with a KNOWN duplicate map (the image
+# pattern): base clips are seeded sine mixtures with distinct envelope
+# rhythms; near-dups are gain-scaled / lightly-noised re-encodes.
+# ---------------------------------------------------------------------------
+
+_RATE = 8000
+_N = 8000  # 1 second
+
+
+def _fixture_samples(seed: int) -> list[int]:
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    t = np.arange(_N) / _RATE
+    f1, f2 = rng.uniform(200, 1200, size=2)
+    # distinct amplitude rhythm per clip: seeded on/off envelope
+    env_rate = rng.uniform(2.0, 9.0)
+    phase = rng.uniform(0, 2 * np.pi)
+    env = 0.55 + 0.45 * np.sign(np.sin(2 * np.pi * env_rate * t + phase))
+    wave = env * (0.6 * np.sin(2 * np.pi * f1 * t) + 0.4 * np.sin(2 * np.pi * f2 * t))
+    return [int(x) for x in np.clip(wave * 12000, -32768, 32767)]
+
+
+def synthetic_audio_assets(spark: SparkSession) -> DataFrame:
+    """9 WAV clips: 3 bases, 3 perturbed copies (half gain on one; +2%
+    uniform noise on another; byte re-encode on the third), 3 unrelated.
+    Ground truth: (0,3), (1,4), (2,5) are the only near-dup pairs."""
+    import numpy as np
+
+    clips = {i: _fixture_samples(seed=40 + i) for i in range(3)}
+    # 3: base 0 at half volume (gain invariance)
+    clips[3] = [int(x * 0.5) for x in clips[0]]
+    # 4: base 1 with 2% noise
+    rng = np.random.default_rng(11)
+    a1 = np.asarray(clips[1], dtype=np.float64)
+    clips[4] = [
+        int(x)
+        for x in np.clip(a1 + rng.normal(0, 0.02 * 12000, a1.size), -32768, 32767)
+    ]
+    # 5: base 2 re-encoded verbatim
+    clips[5] = list(clips[2])
+    for i in range(6, 9):
+        clips[i] = _fixture_samples(seed=90 + i)
+    from pyspark.sql import types as T
+
+    rows = [
+        (i, bytearray(wav_encode(_RATE, 1, clips[i]))) for i in sorted(clips)
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+@query(
+    "audio_fingerprint_near_dup",
+    tags=("multimodal", "dedup", "audio", "llm-pipeline"),
+    oracle="""
+        SELECT clip_a, clip_b
+        FROM (VALUES
+            (CAST(0 AS BIGINT), CAST(3 AS BIGINT)),
+            (CAST(1 AS BIGINT), CAST(4 AS BIGINT)),
+            (CAST(2 AS BIGINT), CAST(5 AS BIGINT))
+        ) AS t(clip_a, clip_b)
+    """,
+)
+def audio_fingerprint_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup over the deterministic WAV fixture corpus: stdlib
+    PCM decode -> energy-envelope fingerprint -> 16-bit-band candidate
+    join (the image/simhash scheme) -> Hamming <= 6. The oracle is the
+    corpus's ground-truth duplicate map; independent of ``sf_dir`` by
+    design — codec+fingerprint conformance, not corpus analysis."""
+    from delta_lake_optimizations_spark.operators.imagehash import (
+        phash_near_pairs,
+    )
+
+    assets = synthetic_audio_assets(spark)
+    fps = audio_fingerprints(assets)
+    return (
+        phash_near_pairs(fps, max_hamming=6, hash_col="fingerprint")
+        .select(
+            F.col("img_a").alias("clip_a"), F.col("img_b").alias("clip_b")
+        )
+        .orderBy("clip_a", "clip_b")
+    )

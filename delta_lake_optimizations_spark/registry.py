@@ -51,6 +51,7 @@ _QUERY_MODULES = (
     "delta_lake_optimizations_spark.operators.sampling",
     "delta_lake_optimizations_spark.operators.multimodal",
     "delta_lake_optimizations_spark.operators.imagehash",
+    "delta_lake_optimizations_spark.operators.audiofp",
     "delta_lake_optimizations_spark.operators.decontam",
     "delta_lake_optimizations_spark.operators.packing",
     "delta_lake_optimizations_spark.operators.bpe",
@@ -81,14 +82,18 @@ _QUERY_MODULES = (
 # rows — the perceptual-hash image near-dup over the PNG fixture corpus
 # (ground-truth duplicate-map oracle), the TRAINED quality classifier
 # (oracle restates the full scoring pass from the stored weights
-# sidecar), and the batched-ANN equality twin (batch probes must match
-# the single-query probes per family). The seven r8 debutantes
+# sidecar), the batched-ANN equality twin (batch probes must match
+# the single-query probes per family), and the audio-fingerprint
+# near-dup (stdlib WAV PCM decode + energy-envelope signature,
+# ground-truth duplicate-map oracle). The seven r8 debutantes
 # re-verify on their second row; the byte-level BPE rework re-verifies
 # through the in-window BPE trio. Rotated out for the three:
 # url_domain_profile + url_blocklist_filter (r06 family reps with r7+r8
 # green rows; url_normalize_docs + dedup_url_normalized keep the family
-# in-window) and approx_percentile_error_by_flag (sketch-error metric,
-# green r8 + earlier; the percentile family keeps group_percentiles).
+# in-window), approx_percentile_error_by_flag (sketch-error metric,
+# green r8 + earlier; the percentile family keeps group_percentiles),
+# and pagerank_mass_conservation (green r8; the graph family keeps
+# dedup_components_scaled, the stronger vertex-parity form).
 # Round 8: the SEVEN r8 debutantes got their first driver
 # rows — the replication-proof dedup scale path + its survivor-set
 # equality twin, the 4-gram backoff LM, the Unicode-normalization
@@ -118,6 +123,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # oracle restates scoring from the stored weights), and the batch-
     # probe equality twin (brute/IVF/IVF-PQ batch == singles)
     "image_phash_near_dup",
+    "audio_fingerprint_near_dup",
     "quality_classifier_trained",
     "ann_batch_matches_singles",
     # r8 debutantes re-verified (second driver row): the replication-
@@ -170,7 +176,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # the local oracle gate (r6+r7 driver rows)
     "variant_props_rollup",
     "dedup_components_scaled",
-    "pagerank_mass_conservation",
     # regression watches (bench medians under observation this round)
     "pipeline_curate_documents",
     "events_tumbling_window",
