@@ -584,6 +584,79 @@ def _bench_ann_index(spark, n_vectors: int = 100_000, dim: int = 64) -> dict:
     return out
 
 
+def _bench_media_dedup(spark, n_images: int = 20_000) -> dict:
+    """Image near-dup at corpus scale: 20k synthetic PNGs (8x8 seeded
+    binary pattern upscaled to 32x32 + pixel noise — every id ending in
+    9 is a perturbed copy of its block base, 2000 ground-truth dup
+    pairs), pushed through the FULL path: distributed PNG encode ->
+    GraftTable of binary payloads -> stdlib pixel decode + aHash
+    (Arrow-batched mapInPandas) -> 16-bit Hamming banding -> pairs.
+    Measures the decode+hash+pair wall clock and checks the found pairs
+    against construction ground truth (recall + strays). The map-only
+    hash pass and the banded pair join are the 100 TB shape — nothing
+    here is quadratic or driver-bound."""
+    import shutil
+    import tempfile
+
+    from delta_lake_optimizations_spark.table import GraftTable
+
+    root = tempfile.mkdtemp(prefix="bench_media_")
+    out: dict = {"n_images": n_images}
+    try:
+        def gen_batches(batches):
+            import numpy as np
+            import pandas as pd
+
+            from delta_lake_optimizations_spark.operators.imagehash import (
+                png_encode,
+            )
+
+            for pdf in batches:
+                payloads = []
+                for i in pdf["id"]:
+                    i = int(i)
+                    base = i - 9 if i % 10 == 9 else i
+                    rng = np.random.default_rng(base)
+                    pat = rng.integers(0, 2, size=(8, 8)) * 176 + 40
+                    img = np.kron(pat, np.ones((4, 4))).astype(np.float64)
+                    noise_rng = np.random.default_rng(10_000_019 + i)
+                    img = np.clip(
+                        img + noise_rng.normal(0, 8, img.shape), 0, 255
+                    ).astype(np.uint8)
+                    payloads.append(bytearray(png_encode(32, 32, 1, img.tobytes())))
+                yield pd.DataFrame({"doc_id": pdf["id"], "payload": payloads})
+
+        gen = spark.range(n_images).mapInPandas(
+            gen_batches, schema="doc_id bigint, payload binary"
+        )
+        t0 = time.perf_counter()
+        tb = GraftTable(spark, os.path.join(root, "imgs"))
+        tb.write(gen.repartition(32))
+        out["generate_write_sec"] = round(time.perf_counter() - t0, 4)
+
+        from delta_lake_optimizations_spark.operators.imagehash import (
+            image_hashes,
+            phash_near_pairs,
+        )
+
+        t0 = time.perf_counter()
+        pairs = phash_near_pairs(
+            image_hashes(tb.load()), max_hamming=6
+        ).collect()
+        out["hash_and_pair_sec"] = round(time.perf_counter() - t0, 4)
+        found = {(r["img_a"], r["img_b"]) for r in pairs}
+        expected = {
+            (i - 9, i) for i in range(n_images) if i % 10 == 9
+        }
+        out["pairs_expected"] = len(expected)
+        out["pairs_found"] = len(found)
+        out["dup_recall"] = round(len(found & expected) / len(expected), 4)
+        out["stray_pairs"] = len(found - expected)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def _bench_sf1_rehearsal(spark, sf_dir: str, sf01_timings: dict[str, float]) -> dict:
     """VERDICT r03 #7: run the headline suite + MinHash dedup at 10x the
     bench corpus ("sf1", generated once under /tmp with referentially
@@ -891,6 +964,7 @@ def main() -> None:
     parser.add_argument("--workshop-rows", type=int, default=5_000_000)
     parser.add_argument("--workshop-files", type=int, default=400)
     parser.add_argument("--no-ann-index", action="store_true")
+    parser.add_argument("--no-media-dedup", action="store_true")
     parser.add_argument("--no-sf1", action="store_true")
     parser.add_argument("--no-sf5", action="store_true")
     parser.add_argument("--no-sf5-tpch", action="store_true")
@@ -960,6 +1034,7 @@ def main() -> None:
         else None
     )
     ann_index = _bench_ann_index(spark) if not args.no_ann_index else None
+    media_dedup = _bench_media_dedup(spark) if not args.no_media_dedup else None
     # sf1 rehearsal only at the driver's bench scale (generating 10x of a
     # tiny sf would prove nothing about scaling)
     sf1 = (
@@ -991,6 +1066,7 @@ def main() -> None:
         "maintenance": maintenance,
         "workshop_scale": workshop,
         "ann_index": ann_index,
+        "media_dedup": media_dedup,
         "sf1": sf1,
         "sf5": sf5,
         "sf5_tpch": sf5_tpch,
@@ -1062,6 +1138,8 @@ def main() -> None:
                 )
                 if k in s
             }
+    if media_dedup is not None:
+        compact["media_dedup"] = media_dedup
     if sf1 is not None:
         compact["sf1"] = {
             "total_sec": sf1["total_sec"],
