@@ -186,6 +186,7 @@ def _gram_rows(
     n: int,
     keep: tuple[str, ...] = (),
     short_gram: bool = True,
+    keep_pos: bool = False,
 ) -> DataFrame:
     """Word n-grams as ROWS (``_id, _gram``), built with posexplode +
     window ``lead`` instead of the ``transform``/``slice`` higher-order
@@ -228,7 +229,8 @@ def _gram_rows(
         # docs with fewer than n tokens contribute their single short
         # gram (token_ngrams semantics); span-profile callers drop it
         cond = cond | (F.col("_pos") == 0)
-    return leads.filter(cond).select("_id", *keep, "_gram")
+    pos_cols = ("_pos",) if keep_pos else ()
+    return leads.filter(cond).select("_id", *keep, *pos_cols, "_gram")
 
 
 def minhash_signatures(
@@ -808,6 +810,145 @@ def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-repeated 8-token-shingle profile per document."""
     documents = load_table(spark, sf_dir, "documents")
     return repeated_span_profile(documents, "doc_id", "text", k=8)
+
+
+def remove_repeated_spans(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8
+) -> DataFrame:
+    """Exact repeated-span REMOVAL at token granularity — the removal
+    step of Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    Models Better"), approximated at k-shingle granularity: the paper
+    removes every >=50-token span that appears twice in the corpus; here
+    every k-token shingle occurring more than once corpus-wide keeps only
+    its FIRST occurrence (minimum ``(doc_id, position)``), and all tokens
+    covered by a non-canonical occurrence are dropped. Overlapping hits
+    merge naturally: coverage is the union of ``[p, p+k)`` over every
+    removal start, so a long duplicated passage is removed as one
+    maximal span. Finer-grained than ``dedup_chunks_rewrite`` (which only
+    sees chunk-ALIGNED duplicates) and a rewrite rather than a flag
+    (unlike ``repeated_span_profile``).
+
+    Output: ``(id_col, clean_text, n_kept, n_removed)`` — every input
+    document surfaces, fully-duplicated ones with ``clean_text=''``
+    (the caller's length gates decide their fate, the paragraph-dedup
+    contract).
+
+    100 TB design: shingles are md5-hashed before the shuffle (fixed
+    width); the repeat-count + canonical-occurrence aggregate is ONE
+    hash aggregate with map-side combine (skew-immune on hot shingles —
+    no window over the shingle key); coverage expansion is doc-local;
+    the kept-token anti-join and reassembly shuffle by doc id. A
+    mega-hot shingle concentrates its occurrence rows at the join back,
+    which is the irreducible output of marking those positions.
+    """
+    sh = _gram_rows(
+        df, id_col, text_col, k, short_gram=False, keep_pos=True
+    ).select(
+        F.col("_id").alias(id_col),
+        F.col("_pos").alias("_p"),
+        F.md5("_gram").alias("_h"),
+    )
+    firsts = sh.groupBy("_h").agg(
+        F.count(F.lit(1)).alias("_c"),
+        F.min(F.struct(F.col(id_col), F.col("_p"))).alias("_first"),
+    )
+    starts = (
+        sh.join(firsts.filter(F.col("_c") > 1), "_h")
+        .filter(
+            (F.col(id_col) != F.col(f"_first.{id_col}"))
+            | (F.col("_p") != F.col("_first._p"))
+        )
+        .select(id_col, "_p")
+    )
+    covered = starts.select(
+        id_col,
+        F.explode(F.sequence(F.col("_p"), F.col("_p") + F.lit(k - 1))).alias(
+            "_q"
+        ),
+    ).distinct()
+    toks = tokenize(F.coalesce(F.col(text_col), F.lit("")))
+    tokens = df.select(
+        F.col(id_col), F.posexplode(toks).alias("_q", "_tok")
+    )
+    kept = tokens.join(covered, [id_col, "_q"], "left_anti")
+    kept_agg = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_q", "_tok"))),
+                lambda s: s["_tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("_n_kept"),
+    )
+    sizes = df.select(F.col(id_col), F.size(toks).alias("_n"))
+    return sizes.join(kept_agg, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        F.coalesce(F.col("_n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
+        (F.col("_n") - F.coalesce(F.col("_n_kept"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_removed"),
+    )
+
+
+@query(
+    "dedup_remove_repeated_spans",
+    tags=("dedup", "text", "llm-pipeline"),
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id,
+                   string_split_regex(lower(trim(text)), '\\s+') AS t
+            FROM documents
+        ),
+        pos AS (
+            SELECT doc_id, t,
+                   unnest(range(greatest(len(t) - 7, 0))) AS p
+            FROM toks
+        ),
+        sh AS (
+            SELECT doc_id, p,
+                   md5(array_to_string(t[CAST(p+1 AS INT):CAST(p+8 AS INT)], ' ')) AS h
+            FROM pos
+        ),
+        marked AS (
+            SELECT doc_id, p,
+                   ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, p) AS rn,
+                   COUNT(*) OVER (PARTITION BY h) AS c
+            FROM sh
+        ),
+        covered AS (
+            SELECT DISTINCT doc_id, unnest(range(p, p + 8)) AS q
+            FROM marked WHERE c > 1 AND rn > 1
+        ),
+        tokens AS (
+            SELECT doc_id, unnest(range(len(t))) AS q, unnest(t) AS tok
+            FROM toks
+        ),
+        kept AS (
+            SELECT tk.doc_id, tk.q, tk.tok
+            FROM tokens tk LEFT JOIN covered c
+              ON tk.doc_id = c.doc_id AND tk.q = c.q
+            WHERE c.q IS NULL
+        ),
+        kept_agg AS (
+            SELECT doc_id,
+                   string_agg(tok, ' ' ORDER BY q) AS clean_text,
+                   COUNT(*) AS n_kept
+            FROM kept GROUP BY doc_id
+        )
+        SELECT tt.doc_id,
+               COALESCE(ka.clean_text, '') AS clean_text,
+               CAST(COALESCE(ka.n_kept, 0) AS BIGINT) AS n_kept,
+               CAST(len(tt.t) - COALESCE(ka.n_kept, 0) AS BIGINT) AS n_removed
+        FROM toks tt LEFT JOIN kept_agg ka USING (doc_id)
+    """,
+)
+def dedup_remove_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rewrite the corpus with every non-canonical repeated 8-token span
+    removed; oracle restates the full mark/cover/reassemble cascade."""
+    documents = load_table(spark, sf_dir, "documents")
+    return remove_repeated_spans(documents, "doc_id", "text", k=8)
 
 
 def dedup_chunks_rewrite(

@@ -61,6 +61,7 @@ _QUERY_MODULES = (
     "delta_lake_optimizations_spark.operators.heavyhitters",
     "delta_lake_optimizations_spark.operators.lsh_index",
     "delta_lake_optimizations_spark.operators.webcure",
+    "delta_lake_optimizations_spark.operators.htmlextract",
     "delta_lake_optimizations_spark.operators.incremental_dedup",
     "delta_lake_optimizations_spark.operators.lm_quality",
     "delta_lake_optimizations_spark.operators.paragraphs",
