@@ -142,6 +142,287 @@ def png_encode(width: int, height: int, channels: int, pixels: bytes) -> bytes:
     return _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", comp) + chunk(b"IEND", b"")
 
 
+def bmp_decode(data: bytes) -> tuple[int, int, int, bytes]:
+    """Decode an uncompressed (BI_RGB) 24/32-bpp BMP to RGB(A) pixels
+    using only ``struct``: BITMAPFILEHEADER ('BM', pixel-array offset at
+    byte 10), BITMAPINFOHEADER (width/height i32, bpp u16, compression
+    u32), rows stored bottom-up (top-down when height < 0) and padded to
+    4 bytes, samples in BGR(A) order. Returns ``(w, h, nch, pixels)``
+    with pixels top-down RGB(A) — the same contract as ``png_decode``."""
+    if len(data) < 54 or data[:2] != b"BM":
+        raise ValueError("not a BMP")
+    pix_off = struct.unpack_from("<I", data, 10)[0]
+    dib = struct.unpack_from("<I", data, 14)[0]
+    if dib < 40:
+        raise ValueError("unsupported BMP DIB header")
+    w, h_raw = struct.unpack_from("<ii", data, 18)
+    bpp = struct.unpack_from("<H", data, 28)[0]
+    comp = struct.unpack_from("<I", data, 30)[0]
+    if comp != 0 or bpp not in (24, 32) or w <= 0 or h_raw == 0:
+        raise ValueError("unsupported BMP variant")
+    top_down = h_raw < 0
+    h = -h_raw if top_down else h_raw
+    nch = bpp // 8
+    stride = (w * nch + 3) & ~3
+    if len(data) < pix_off + stride * h:
+        raise ValueError("truncated BMP")
+    out = bytearray(w * h * nch)
+    for row in range(h):
+        src_row = row if top_down else h - 1 - row
+        base = pix_off + src_row * stride
+        dst = row * w * nch
+        for x in range(w):
+            s = base + x * nch
+            out[dst] = data[s + 2]          # R <- B position
+            out[dst + 1] = data[s + 1]      # G
+            out[dst + 2] = data[s]          # B <- R position
+            if nch == 4:
+                out[dst + 3] = data[s + 3]  # A
+            dst += nch
+    return w, h, nch, bytes(out)
+
+
+def bmp_encode(width: int, height: int, channels: int, pixels: bytes) -> bytes:
+    """24-bpp BI_RGB BMP from top-down RGB or grayscale pixels (the
+    ``bmp_decode`` inverse for RGB input)."""
+    if channels not in (1, 3):
+        raise ValueError("bmp_encode supports 1 or 3 channels")
+    stride = (width * 3 + 3) & ~3
+    pad = b"\x00" * (stride - width * 3)
+    rows = []
+    for row in range(height - 1, -1, -1):  # bottom-up
+        base = row * width * channels
+        line = bytearray()
+        for x in range(width):
+            s = base + x * channels
+            if channels == 1:
+                v = pixels[s]
+                line += bytes((v, v, v))
+            else:
+                line += bytes((pixels[s + 2], pixels[s + 1], pixels[s]))
+        rows.append(bytes(line) + pad)
+    body = b"".join(rows)
+    file_size = 54 + len(body)
+    header = b"BM" + struct.pack("<IHHI", file_size, 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                      len(body), 2835, 2835, 0, 0)
+    return header + dib + body
+
+
+def _gif_deinterlace(rows: list[bytes], h: int) -> list[bytes]:
+    """Undo GIF interlacing: decoded row order is passes of every-8th,
+    every-8th-offset-4, every-4th-offset-2, every-2nd-offset-1."""
+    order = (
+        list(range(0, h, 8))
+        + list(range(4, h, 8))
+        + list(range(2, h, 4))
+        + list(range(1, h, 2))
+    )
+    out: list[bytes] = [b""] * h
+    for src, dst in zip(rows, order):
+        out[dst] = src
+    return out
+
+
+def gif_decode(data: bytes) -> tuple[int, int, int, bytes]:
+    """Decode the first frame of a GIF87a/89a to RGB pixels using only
+    the stdlib: logical-screen descriptor -> color tables -> LZW
+    decompress (variable code width, clear/EOI, KwKwK rule) ->
+    de-interlace -> palette expansion. Returns ``(w, h, 3, pixels)``."""
+    if len(data) < 13 or data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    packed = data[10]
+    pos = 13
+    gct = b""
+    if packed & 0x80:
+        n = 3 * (2 << (packed & 0x07))
+        gct = data[pos : pos + n]
+        pos += n
+    # walk blocks to the first image descriptor
+    while pos < len(data):
+        b0 = data[pos]
+        if b0 == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < len(data) and data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+        elif b0 == 0x2C:
+            break
+        elif b0 == 0x3B:
+            raise ValueError("GIF has no image data")
+        else:
+            raise ValueError("corrupt GIF block stream")
+    if pos >= len(data) or data[pos] != 0x2C:
+        raise ValueError("truncated GIF")
+    _, _, w, h, ipacked = struct.unpack_from("<HHHHB", data, pos + 1)
+    pos += 10
+    table = gct
+    if ipacked & 0x80:
+        n = 3 * (2 << (ipacked & 0x07))
+        table = data[pos : pos + n]
+        pos += n
+    if not table:
+        raise ValueError("GIF has no color table")
+    interlaced = bool(ipacked & 0x40)
+    mcs = data[pos]
+    pos += 1
+    # concatenate the data sub-blocks
+    lz = bytearray()
+    while pos < len(data) and data[pos] != 0:
+        n = data[pos]
+        lz += data[pos + 1 : pos + 1 + n]
+        pos += 1 + n
+    # LZW decode, LSB-first bit stream
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    width = mcs + 1
+    dic: list[bytes] = [bytes((i,)) for i in range(clear)] + [b"", b""]
+    acc = nbits = biti = 0
+    prev: bytes | None = None
+    out = bytearray()
+    while True:
+        while nbits < width:
+            if biti >= len(lz):
+                code = eoi
+                break
+            acc |= lz[biti] << nbits
+            biti += 1
+            nbits += 8
+        else:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+        if code == eoi:
+            break
+        if code == clear:
+            dic = dic[: clear + 2]
+            width = mcs + 1
+            prev = None
+            continue
+        if prev is None:
+            entry = dic[code]
+        elif code < len(dic):
+            entry = dic[code]
+            dic.append(prev + entry[:1])
+        elif code == len(dic):  # KwKwK
+            entry = prev + prev[:1]
+            dic.append(entry)
+        else:
+            raise ValueError("corrupt GIF LZW stream")
+        out += entry
+        prev = entry
+        if len(dic) == (1 << width) and width < 12:
+            width += 1
+    if len(out) < w * h:
+        raise ValueError("truncated GIF pixel data")
+    rows = [bytes(out[r * w : (r + 1) * w]) for r in range(h)]
+    if interlaced:
+        rows = _gif_deinterlace(rows, h)
+    ncolors = len(table) // 3
+    rgb = bytearray(w * h * 3)
+    i = 0
+    for row in rows:
+        for idx in row:
+            if idx >= ncolors:
+                idx = 0
+            rgb[i : i + 3] = table[idx * 3 : idx * 3 + 3]
+            i += 3
+    return w, h, 3, bytes(rgb)
+
+
+def gif_encode(width: int, height: int, channels: int, pixels: bytes) -> bytes:
+    """GIF89a from top-down grayscale or RGB pixels with <= 256 distinct
+    colors (exact palette — raises otherwise). Pixel data uses the
+    public "uncompressed GIF" LZW form: literal root codes only, with a
+    CLEAR emitted before the decoder's table would force a code-width
+    increase — decodable by any conformant LZW decoder, sidestepping
+    encoder/decoder width-bump off-by-one hazards entirely."""
+    if channels not in (1, 3):
+        raise ValueError("gif_encode supports 1 or 3 channels")
+    npix = width * height
+    colors: dict[bytes, int] = {}
+    idx = bytearray(npix)
+    for i in range(npix):
+        s = i * channels
+        c = (
+            bytes((pixels[s],)) * 3
+            if channels == 1
+            else bytes(pixels[s : s + 3])
+        )
+        j = colors.get(c)
+        if j is None:
+            j = len(colors)
+            if j == 256:
+                raise ValueError("gif_encode: more than 256 distinct colors")
+            colors[c] = j
+        idx[i] = j
+    depth = max(1, (len(colors) - 1).bit_length())
+    table = b"".join(colors) + b"\x00" * 3 * ((1 << depth) - len(colors))
+    mcs = max(2, depth)
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    cw = mcs + 1
+    # bit-pack: CLEAR, then at most (2^mcs - 2) literals per CLEAR so the
+    # decoder's table (which starts at 2^mcs + 2 and grows by one per
+    # literal after the first) never reaches 2^(mcs+1) and the code
+    # width never leaves mcs+1 (see decoder widen rule)
+    acc = nbits = 0
+    packed = bytearray()
+
+    def put(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += cw
+        while nbits >= 8:
+            packed.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    budget = 0
+    for px in idx:
+        if budget == 0:
+            put(clear)
+            budget = (1 << mcs) - 2
+        put(px)
+        budget -= 1
+    put(eoi)
+    if nbits:
+        packed.append(acc & 0xFF)
+    subs = bytearray()
+    for i in range(0, len(packed), 255):
+        chunk = packed[i : i + 255]
+        subs.append(len(chunk))
+        subs += chunk
+    subs.append(0)
+    lsd_packed = 0x80 | ((depth - 1) << 4) | (depth - 1)
+    return (
+        b"GIF89a"
+        + struct.pack("<HHBBB", width, height, lsd_packed, 0, 0)
+        + table
+        + b"\x2C"
+        + struct.pack("<HHHHB", 0, 0, width, height, 0)
+        + bytes((mcs,))
+        + bytes(subs)
+        + b"\x3B"
+    )
+
+
+def pixel_decode(data: bytes) -> tuple[int, int, int, bytes, str]:
+    """Stdlib pixel-decode cascade: PNG (zlib+unfilter) -> BMP -> GIF
+    (LZW). Returns ``(w, h, nch, pixels, decoder)``; raises ValueError
+    when no codec matches — callers decide fallback policy."""
+    try:
+        w, h, nch, pix = png_decode(data)
+        return w, h, nch, pix, "png-zlib"
+    except (ValueError, zlib.error):
+        pass
+    try:
+        w, h, nch, pix = bmp_decode(data)
+        return w, h, nch, pix, "bmp-stdlib"
+    except ValueError:
+        pass
+    w, h, nch, pix = gif_decode(data)
+    return w, h, nch, pix, "gif-lzw"
+
+
 def _grayscale(w: int, h: int, nch: int, pixels: bytes):
     import numpy as np
 
@@ -202,22 +483,24 @@ IMAGE_HASH_SCHEMA = (
 
 
 def image_hashes(assets: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Arrow-batched decode+hash over a binary payload column: PNG bytes
-    get the REAL pixel path (stdlib decode above); anything else yields
-    NULL hashes with ``decoder='none'`` (filter on it downstream) —
-    the pipeline stays total on mixed corpora."""
+    """Arrow-batched decode+hash over a binary payload column: PNG, BMP
+    and GIF bytes get the REAL pixel path (stdlib cascade above — the
+    hashes are computed from pixels, so the SAME picture saved in
+    different containers collapses); anything else yields NULL hashes
+    with ``decoder='none'`` (filter on it downstream) — the pipeline
+    stays total on mixed corpora."""
 
     def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ws, hs, ah, dh, dec = [], [], [], [], []
             for p in pdf["payload"]:
                 try:
-                    w, h, nch, pix = png_decode(bytes(p))
+                    w, h, nch, pix, codec = pixel_decode(bytes(p))
                     ws.append(w)
                     hs.append(h)
                     ah.append(ahash64(w, h, nch, pix))
                     dh.append(dhash64(w, h, nch, pix))
-                    dec.append("png-zlib")
+                    dec.append(codec)
                 except (ValueError, zlib.error):
                     ws.append(None)
                     hs.append(None)
@@ -380,6 +663,65 @@ def image_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus analysis. Distinct-image pairs measure Hamming >= 20 at these
     dials (pinned by pytest), so the threshold has wide margin both ways."""
     assets = synthetic_image_assets(spark)
+    hashes = image_hashes(assets)
+    return (
+        phash_near_pairs(hashes, max_hamming=6)
+        .select("img_a", "img_b")
+        .orderBy("img_a", "img_b")
+    )
+
+
+def cross_format_image_assets(spark: SparkSession) -> DataFrame:
+    """9 assets: 3 distinct base images (seeds 100..102), each saved as
+    PNG, BMP and GIF — SAME pixels, three containers. doc_id = 10*base
+    + fmt (0=png, 1=bmp, 2=gif). Ground truth: the three encodings of a
+    base are mutual near-dups (Hamming 0 — the pixels are identical);
+    different bases never pair (Hamming >= 20 at these fixture dials)."""
+    n = _FIXTURE_SIZE
+    rows = []
+    for i in range(3):
+        g = _fixture_pixels(seed=100 + i).tobytes()
+        rows.append((10 * i + 0, bytearray(png_encode(n, n, 1, g))))
+        rows.append((10 * i + 1, bytearray(bmp_encode(n, n, 1, g))))
+        rows.append((10 * i + 2, bytearray(gif_encode(n, n, 1, g))))
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+@query(
+    "image_cross_format_near_dup",
+    tags=("multimodal", "dedup", "image", "llm-pipeline"),
+    oracle="""
+        SELECT img_a, img_b
+        FROM (VALUES
+            (CAST(0 AS BIGINT), CAST(1 AS BIGINT)),
+            (CAST(0 AS BIGINT), CAST(2 AS BIGINT)),
+            (CAST(1 AS BIGINT), CAST(2 AS BIGINT)),
+            (CAST(10 AS BIGINT), CAST(11 AS BIGINT)),
+            (CAST(10 AS BIGINT), CAST(12 AS BIGINT)),
+            (CAST(11 AS BIGINT), CAST(12 AS BIGINT)),
+            (CAST(20 AS BIGINT), CAST(21 AS BIGINT)),
+            (CAST(20 AS BIGINT), CAST(22 AS BIGINT)),
+            (CAST(21 AS BIGINT), CAST(22 AS BIGINT))
+        ) AS t(img_a, img_b)
+    """,
+)
+def image_cross_format_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-CONTAINER image near-dup: the same picture saved as PNG,
+    BMP and GIF must collapse, because the hashes are computed from
+    decoded PIXELS (stdlib codec cascade), not from payload bytes —
+    the property a multimodal training pipeline actually needs (the
+    same image recirculates across the web in different containers).
+    Oracle = the corpus's ground-truth duplicate map; independent of
+    ``sf_dir`` by design (codec+hash conformance, not corpus analysis)."""
+    assets = cross_format_image_assets(spark)
     hashes = image_hashes(assets)
     return (
         phash_near_pairs(hashes, max_hamming=6)

@@ -84,18 +84,18 @@ def _decode_dims(payload: bytes | None) -> tuple[int | None, int | None, str]:
                 return int(img.width), int(img.height), "pil"
         except Exception:
             pass  # not an image PIL knows — fall through
-    # PNG needs no media library at all: stdlib zlib + unfilter decodes
-    # REAL pixels (operators/imagehash.py — also the perceptual-hash
-    # near-dup path), closing the r08 "no pixel access" gap for PNG
+    # PNG/BMP/GIF need no media library at all: the stdlib pixel cascade
+    # (operators/imagehash.py — also the perceptual-hash near-dup path)
+    # decodes REAL pixels, closing the r08 "no pixel access" gap
     import zlib as _zlib
 
-    from delta_lake_optimizations_spark.operators.imagehash import png_decode
+    from delta_lake_optimizations_spark.operators.imagehash import pixel_decode
 
     try:
-        w, h, _nch, _pix = png_decode(b)
-        return int(w), int(h), "png-zlib"
+        w, h, _nch, _pix, codec = pixel_decode(b)
+        return int(w), int(h), codec
     except (ValueError, _zlib.error):
-        pass  # not a PNG this decoder handles — fall through
+        pass  # no stdlib codec matches — fall through
     from delta_lake_optimizations_spark.operators.mediaprobe import probe_media
 
     probed = probe_media(b)

@@ -127,6 +127,23 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "audio_fingerprint_near_dup",
     "quality_classifier_trained",
     "ann_batch_matches_singles",
+    # NEW round 9 (mid-round additions, oracle-backed): HTML -> text
+    # extraction (synthetic page built identically in the oracle, full
+    # strip/decode/collapse cascade value-checked) and the Lee et al.
+    # repeated-span REMOVAL rewrite (first-occurrence-wins coverage
+    # union, full cascade restated in DuckDB). Rotated out for them:
+    # dedup_ngram_jaccard (r1/r2 + sf1 greens; the dedup family keeps
+    # seven stronger in-window reps incl. the new span removal) and
+    # column_stats_summary (r2+r8 greens; stats family pytest-covered).
+    "html_extract_text",
+    "dedup_remove_repeated_spans",
+    # NEW round 9 (mid-round, oracle-backed): cross-CONTAINER image
+    # near-dup — the same pixels saved as PNG/BMP/GIF must collapse,
+    # proving the hashes ride decoded pixels (stdlib BMP + GIF-LZW
+    # codecs new this round), not payload bytes. Rotated out for it:
+    # boilerplate_segments_profile (r6-r8 greens; the paragraph family
+    # keeps paragraph_dedup_docs + strip_boilerplate_docs in-window).
+    "image_cross_format_near_dup",
     # r8 debutantes re-verified (second driver row): the replication-
     # proof near-dup SCALE path (rows-only) + its oracle-backed
     # survivor-set equality twin
@@ -185,16 +202,11 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_repeated_spans",
     "bm25_keyword_search",
     "quality_classifier_scores",
-    # proven greens re-verified: family representatives keeping the window
-    # full
-    "dedup_ngram_jaccard",
     # r06 debutantes re-verified: dataset card + the paragraph family
     "corpus_datacard",
     "paragraph_dedup_docs",
-    "boilerplate_segments_profile",
     "strip_boilerplate_docs",
     "decontam_ngram_overlap",
-    "column_stats_summary",
     "group_percentiles",
     "window_topk_per_group",
     "q1_pricing_summary",

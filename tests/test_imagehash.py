@@ -240,3 +240,119 @@ def test_resize_assets_real_png_path(spark):
     )
     out = resize_assets(junk, max_side=8).collect()
     assert len(out) == 1 and out[0]["width"] >= 1
+
+
+# ---------------------------------------------------------------------------
+# BMP / GIF stdlib codecs (round 9): round trips, width-budget edge,
+# interlace, committed-fixture decode, cross-format hash identity.
+# ---------------------------------------------------------------------------
+
+
+def test_bmp_roundtrip_gray_and_rgb():
+    import numpy as np
+
+    from delta_lake_optimizations_spark.operators.imagehash import (
+        bmp_decode,
+        bmp_encode,
+    )
+
+    rng = np.random.default_rng(3)
+    g = rng.integers(0, 256, size=(13, 7), dtype=np.uint8)
+    w, h, nch, pix = bmp_decode(bmp_encode(7, 13, 1, g.tobytes()))
+    a = np.frombuffer(pix, np.uint8).reshape(h, w, nch)
+    assert (w, h, nch) == (7, 13, 3)
+    assert (a == g[:, :, None]).all()  # gray replicated to RGB
+
+    rgb = rng.integers(0, 256, size=(5, 9, 3), dtype=np.uint8)
+    w, h, nch, pix = bmp_decode(bmp_encode(9, 5, 3, rgb.tobytes()))
+    assert np.frombuffer(pix, np.uint8).reshape(5, 9, 3).tolist() == rgb.tolist()
+
+
+def test_gif_roundtrip_and_palette_bound():
+    import numpy as np
+
+    import pytest
+
+    from delta_lake_optimizations_spark.operators.imagehash import (
+        gif_decode,
+        gif_encode,
+    )
+
+    rng = np.random.default_rng(4)
+    # 300+ pixels with a small palette: forces multiple CLEAR segments
+    # (the width-budget edge the encoder must never cross)
+    pal = rng.integers(0, 256, size=(5, 3), dtype=np.uint8)
+    idx = rng.integers(0, 5, size=(20, 17))
+    rgb = pal[idx].astype(np.uint8)
+    w, h, nch, pix = gif_decode(gif_encode(17, 20, 3, rgb.tobytes()))
+    assert (w, h, nch) == (17, 20, 3)
+    assert np.frombuffer(pix, np.uint8).reshape(20, 17, 3).tolist() == rgb.tolist()
+
+    # exactly 256 distinct colors is fine; 257 refuses
+    g256 = np.arange(256, dtype=np.uint8).reshape(16, 16)
+    gif_decode(gif_encode(16, 16, 1, g256.tobytes()))
+    many = np.zeros((17, 16, 3), dtype=np.uint8)
+    many[:, :, 0] = np.arange(17 * 16).reshape(17, 16) % 256
+    many[:, :, 1] = np.arange(17 * 16).reshape(17, 16) // 256
+    with pytest.raises(ValueError, match="256"):
+        gif_encode(16, 17, 3, many.tobytes())
+
+
+def test_gif_deinterlace_order():
+    from delta_lake_optimizations_spark.operators.imagehash import (
+        _gif_deinterlace,
+    )
+
+    rows = [bytes([i]) for i in range(10)]
+    # decoded (pass) order for h=10: 0,8 | 4 | 2,6 | 1,3,5,7,9
+    out = _gif_deinterlace(rows, 10)
+    # verify via the inverse: position p of original row r
+    order = (
+        list(range(0, 10, 8))
+        + list(range(4, 10, 8))
+        + list(range(2, 10, 4))
+        + list(range(1, 10, 2))
+    )
+    expect = [b""] * 10
+    for src, dst in zip(rows, order):
+        expect[dst] = src
+    assert out == expect
+
+
+def test_committed_fixture_pixel_decode():
+    from delta_lake_optimizations_spark.operators.imagehash import pixel_decode
+
+    import os
+
+    media = os.path.join(os.path.dirname(__file__), "fixtures", "media")
+    w, h, nch, _pix, codec = pixel_decode(
+        open(os.path.join(media, "tiny.bmp"), "rb").read()
+    )
+    assert (w, h, codec) == (6, 3, "bmp-stdlib")
+    w, h, nch, _pix, codec = pixel_decode(
+        open(os.path.join(media, "tiny.gif"), "rb").read()
+    )
+    assert (w, h, codec) == (5, 4, "gif-lzw")
+
+
+def test_cross_format_hash_identity():
+    """The same pixels through PNG, BMP and GIF containers must produce
+    IDENTICAL perceptual hashes — the property the cross-format near-dup
+    query's ground truth rests on."""
+    from delta_lake_optimizations_spark.operators.imagehash import (
+        _fixture_pixels,
+        ahash64,
+        bmp_encode,
+        dhash64,
+        gif_encode,
+        pixel_decode,
+        png_encode,
+    )
+
+    g = _fixture_pixels(seed=100).tobytes()
+    n = 32
+    hashes = set()
+    for enc in (png_encode, bmp_encode, gif_encode):
+        w, h, nch, pix, _codec = pixel_decode(enc(n, n, 1, g))
+        hashes.add((ahash64(w, h, nch, pix), dhash64(w, h, nch, pix)))
+    assert len(hashes) == 1, hashes
