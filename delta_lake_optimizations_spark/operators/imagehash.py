@@ -224,55 +224,9 @@ def _gif_deinterlace(rows: list[bytes], h: int) -> list[bytes]:
     return out
 
 
-def gif_decode(data: bytes) -> tuple[int, int, int, bytes]:
-    """Decode the first frame of a GIF87a/89a to RGB pixels using only
-    the stdlib: logical-screen descriptor -> color tables -> LZW
-    decompress (variable code width, clear/EOI, KwKwK rule) ->
-    de-interlace -> palette expansion. Returns ``(w, h, 3, pixels)``."""
-    if len(data) < 13 or data[:6] not in (b"GIF87a", b"GIF89a"):
-        raise ValueError("not a GIF")
-    packed = data[10]
-    pos = 13
-    gct = b""
-    if packed & 0x80:
-        n = 3 * (2 << (packed & 0x07))
-        gct = data[pos : pos + n]
-        pos += n
-    # walk blocks to the first image descriptor
-    while pos < len(data):
-        b0 = data[pos]
-        if b0 == 0x21:  # extension: label + sub-blocks
-            pos += 2
-            while pos < len(data) and data[pos] != 0:
-                pos += 1 + data[pos]
-            pos += 1
-        elif b0 == 0x2C:
-            break
-        elif b0 == 0x3B:
-            raise ValueError("GIF has no image data")
-        else:
-            raise ValueError("corrupt GIF block stream")
-    if pos >= len(data) or data[pos] != 0x2C:
-        raise ValueError("truncated GIF")
-    _, _, w, h, ipacked = struct.unpack_from("<HHHHB", data, pos + 1)
-    pos += 10
-    table = gct
-    if ipacked & 0x80:
-        n = 3 * (2 << (ipacked & 0x07))
-        table = data[pos : pos + n]
-        pos += n
-    if not table:
-        raise ValueError("GIF has no color table")
-    interlaced = bool(ipacked & 0x40)
-    mcs = data[pos]
-    pos += 1
-    # concatenate the data sub-blocks
-    lz = bytearray()
-    while pos < len(data) and data[pos] != 0:
-        n = data[pos]
-        lz += data[pos + 1 : pos + 1 + n]
-        pos += 1 + n
-    # LZW decode, LSB-first bit stream
+def _gif_lzw_decode(lz: bytes, mcs: int) -> bytearray:
+    """GIF LZW decompress, LSB-first bit stream: variable code width,
+    clear/EOI, KwKwK rule, width bump when the table hits 2^width."""
     clear, eoi = 1 << mcs, (1 << mcs) + 1
     width = mcs + 1
     dic: list[bytes] = [bytes((i,)) for i in range(clear)] + [b"", b""]
@@ -312,97 +266,192 @@ def gif_decode(data: bytes) -> tuple[int, int, int, bytes]:
         prev = entry
         if len(dic) == (1 << width) and width < 12:
             width += 1
-    if len(out) < w * h:
-        raise ValueError("truncated GIF pixel data")
-    rows = [bytes(out[r * w : (r + 1) * w]) for r in range(h)]
-    if interlaced:
-        rows = _gif_deinterlace(rows, h)
-    ncolors = len(table) // 3
-    rgb = bytearray(w * h * 3)
-    i = 0
-    for row in rows:
-        for idx in row:
-            if idx >= ncolors:
-                idx = 0
-            rgb[i : i + 3] = table[idx * 3 : idx * 3 + 3]
-            i += 3
-    return w, h, 3, bytes(rgb)
+    return out
 
 
-def gif_encode(width: int, height: int, channels: int, pixels: bytes) -> bytes:
-    """GIF89a from top-down grayscale or RGB pixels with <= 256 distinct
-    colors (exact palette — raises otherwise). Pixel data uses the
-    public "uncompressed GIF" LZW form: literal root codes only, with a
-    CLEAR emitted before the decoder's table would force a code-width
-    increase — decodable by any conformant LZW decoder, sidestepping
-    encoder/decoder width-bump off-by-one hazards entirely."""
+def gif_decode_frames(
+    data: bytes, max_frames: int | None = None
+) -> tuple[int, int, list[bytes]]:
+    """Decode EVERY frame of a GIF87a/89a to full-canvas RGB using only
+    the stdlib: logical-screen descriptor -> color tables -> per-frame
+    LZW -> de-interlace -> sub-rectangle composition onto the running
+    canvas (disposal "do not dispose" semantics; graphic-control
+    transparency honored) -> palette expansion. Returns
+    ``(w, h, [rgb_bytes, ...])`` — animated GIF is the one video-ish
+    container decodable from scratch, so it carries the video
+    frame-sampling and near-dup paths (operators/videodedup.py)."""
+    if len(data) < 13 or data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    cw, ch = struct.unpack_from("<HH", data, 6)
+    packed = data[10]
+    pos = 13
+    gct = b""
+    if packed & 0x80:
+        n = 3 * (2 << (packed & 0x07))
+        gct = data[pos : pos + n]
+        pos += n
+    canvas = bytearray(cw * ch)  # palette indexes, background = 0
+    trans: int | None = None
+    frames: list[bytes] = []
+    while pos < len(data):
+        b0 = data[pos]
+        if b0 == 0x21:  # extension: label + sub-blocks
+            label = data[pos + 1] if pos + 1 < len(data) else 0
+            pos += 2
+            if label == 0xF9 and pos < len(data) and data[pos] >= 4:
+                gce_packed = data[pos + 1]
+                if gce_packed & 0x01:
+                    trans = data[pos + 4]
+            while pos < len(data) and data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+        elif b0 == 0x2C:
+            fx, fy, fw, fh, ipacked = struct.unpack_from("<HHHHB", data, pos + 1)
+            pos += 10
+            table = gct
+            if ipacked & 0x80:
+                n = 3 * (2 << (ipacked & 0x07))
+                table = data[pos : pos + n]
+                pos += n
+            if not table:
+                raise ValueError("GIF has no color table")
+            interlaced = bool(ipacked & 0x40)
+            mcs = data[pos]
+            pos += 1
+            lz = bytearray()
+            while pos < len(data) and data[pos] != 0:
+                n = data[pos]
+                lz += data[pos + 1 : pos + 1 + n]
+                pos += 1 + n
+            pos += 1  # block terminator
+            out = _gif_lzw_decode(bytes(lz), mcs)
+            if len(out) < fw * fh:
+                raise ValueError("truncated GIF pixel data")
+            rows = [bytes(out[r * fw : (r + 1) * fw]) for r in range(fh)]
+            if interlaced:
+                rows = _gif_deinterlace(rows, fh)
+            if fx + fw > cw or fy + fh > ch:
+                raise ValueError("GIF frame exceeds canvas")
+            for r, row in enumerate(rows):
+                base = (fy + r) * cw + fx
+                if trans is None:
+                    canvas[base : base + fw] = row
+                else:
+                    for x, idx in enumerate(row):
+                        if idx != trans:
+                            canvas[base + x] = idx
+            ncolors = len(table) // 3
+            rgb = bytearray(cw * ch * 3)
+            for i, idx in enumerate(canvas):
+                if idx >= ncolors:
+                    idx = 0
+                rgb[i * 3 : i * 3 + 3] = table[idx * 3 : idx * 3 + 3]
+            frames.append(bytes(rgb))
+            trans = None
+            if max_frames is not None and len(frames) >= max_frames:
+                return cw, ch, frames
+        elif b0 == 0x3B:
+            break
+        else:
+            raise ValueError("corrupt GIF block stream")
+    if not frames:
+        raise ValueError("GIF has no image data")
+    return cw, ch, frames
+
+
+def gif_decode(data: bytes) -> tuple[int, int, int, bytes]:
+    """Decode the first frame of a GIF87a/89a to RGB pixels (the
+    single-image contract matching ``png_decode``/``bmp_decode``)."""
+    w, h, frames = gif_decode_frames(data, max_frames=1)
+    return w, h, 3, frames[0]
+
+
+def gif_encode_frames(
+    width: int, height: int, channels: int, frames: list[bytes]
+) -> bytes:
+    """GIF89a (animated when ``len(frames) > 1``) from top-down grayscale
+    or RGB frames sharing <= 256 distinct colors total (exact palette —
+    raises otherwise). Pixel data uses the public "uncompressed GIF" LZW
+    form: literal root codes only, with a CLEAR emitted before the
+    decoder's table would force a code-width increase — decodable by any
+    conformant LZW decoder, sidestepping encoder/decoder width-bump
+    off-by-one hazards entirely."""
     if channels not in (1, 3):
         raise ValueError("gif_encode supports 1 or 3 channels")
+    if not frames:
+        raise ValueError("gif_encode_frames needs at least one frame")
     npix = width * height
     colors: dict[bytes, int] = {}
-    idx = bytearray(npix)
-    for i in range(npix):
-        s = i * channels
-        c = (
-            bytes((pixels[s],)) * 3
-            if channels == 1
-            else bytes(pixels[s : s + 3])
-        )
-        j = colors.get(c)
-        if j is None:
-            j = len(colors)
-            if j == 256:
-                raise ValueError("gif_encode: more than 256 distinct colors")
-            colors[c] = j
-        idx[i] = j
+    indexed: list[bytearray] = []
+    for pixels in frames:
+        idx = bytearray(npix)
+        for i in range(npix):
+            s = i * channels
+            c = (
+                bytes((pixels[s],)) * 3
+                if channels == 1
+                else bytes(pixels[s : s + 3])
+            )
+            j = colors.get(c)
+            if j is None:
+                j = len(colors)
+                if j == 256:
+                    raise ValueError(
+                        "gif_encode: more than 256 distinct colors"
+                    )
+                colors[c] = j
+            idx[i] = j
+        indexed.append(idx)
     depth = max(1, (len(colors) - 1).bit_length())
     table = b"".join(colors) + b"\x00" * 3 * ((1 << depth) - len(colors))
     mcs = max(2, depth)
     clear, eoi = 1 << mcs, (1 << mcs) + 1
     cw = mcs + 1
-    # bit-pack: CLEAR, then at most (2^mcs - 2) literals per CLEAR so the
-    # decoder's table (which starts at 2^mcs + 2 and grows by one per
-    # literal after the first) never reaches 2^(mcs+1) and the code
-    # width never leaves mcs+1 (see decoder widen rule)
-    acc = nbits = 0
-    packed = bytearray()
-
-    def put(code: int) -> None:
-        nonlocal acc, nbits
-        acc |= code << nbits
-        nbits += cw
-        while nbits >= 8:
-            packed.append(acc & 0xFF)
-            acc >>= 8
-            nbits -= 8
-
-    budget = 0
-    for px in idx:
-        if budget == 0:
-            put(clear)
-            budget = (1 << mcs) - 2
-        put(px)
-        budget -= 1
-    put(eoi)
-    if nbits:
-        packed.append(acc & 0xFF)
-    subs = bytearray()
-    for i in range(0, len(packed), 255):
-        chunk = packed[i : i + 255]
-        subs.append(len(chunk))
-        subs += chunk
-    subs.append(0)
     lsd_packed = 0x80 | ((depth - 1) << 4) | (depth - 1)
-    return (
-        b"GIF89a"
-        + struct.pack("<HHBBB", width, height, lsd_packed, 0, 0)
-        + table
-        + b"\x2C"
-        + struct.pack("<HHHHB", 0, 0, width, height, 0)
-        + bytes((mcs,))
-        + bytes(subs)
-        + b"\x3B"
+    out = bytearray(
+        b"GIF89a" + struct.pack("<HHBBB", width, height, lsd_packed, 0, 0) + table
     )
+    for idx in indexed:
+        # bit-pack: CLEAR, then at most (2^mcs - 2) literals per CLEAR so
+        # the decoder's table (which starts at 2^mcs + 2 and grows by one
+        # per literal after the first) never reaches 2^(mcs+1) and the
+        # code width never leaves mcs+1 (see decoder widen rule)
+        acc = nbits = 0
+        packed = bytearray()
+
+        def put(code: int) -> None:
+            nonlocal acc, nbits
+            acc |= code << nbits
+            nbits += cw
+            while nbits >= 8:
+                packed.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+
+        budget = 0
+        for px in idx:
+            if budget == 0:
+                put(clear)
+                budget = (1 << mcs) - 2
+            put(px)
+            budget -= 1
+        put(eoi)
+        if nbits:
+            packed.append(acc & 0xFF)
+        out += b"\x2C" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+        out.append(mcs)
+        for i in range(0, len(packed), 255):
+            chunk = packed[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+    out += b"\x3B"
+    return bytes(out)
+
+
+def gif_encode(width: int, height: int, channels: int, pixels: bytes) -> bytes:
+    """Single-frame GIF89a (see :func:`gif_encode_frames`)."""
+    return gif_encode_frames(width, height, channels, [pixels])
 
 
 def pixel_decode(data: bytes) -> tuple[int, int, int, bytes, str]:

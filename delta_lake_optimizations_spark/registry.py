@@ -51,6 +51,7 @@ _QUERY_MODULES = (
     "delta_lake_optimizations_spark.operators.sampling",
     "delta_lake_optimizations_spark.operators.multimodal",
     "delta_lake_optimizations_spark.operators.imagehash",
+    "delta_lake_optimizations_spark.operators.videodedup",
     "delta_lake_optimizations_spark.operators.audiofp",
     "delta_lake_optimizations_spark.operators.decontam",
     "delta_lake_optimizations_spark.operators.packing",
@@ -144,6 +145,13 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # boilerplate_segments_profile (r6-r8 greens; the paragraph family
     # keeps paragraph_dedup_docs + strip_boilerplate_docs in-window).
     "image_cross_format_near_dup",
+    # NEW round 9 (mid-round, oracle-backed): video near-dup over
+    # animated GIFs — stdlib multi-frame decode, per-frame aHash,
+    # banded frame-pair candidates, clip pairs covering >= half the
+    # shorter clip; ground truth includes a TRIMMED copy. Rotated out:
+    # decontam_ngram_overlap (r3-r8 greens; the decontam family keeps
+    # the indexed pair + broadcast twin in-window).
+    "video_gif_near_dup",
     # r8 debutantes re-verified (second driver row): the replication-
     # proof near-dup SCALE path (rows-only) + its oracle-backed
     # survivor-set equality twin
@@ -206,7 +214,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "corpus_datacard",
     "paragraph_dedup_docs",
     "strip_boilerplate_docs",
-    "decontam_ngram_overlap",
     "group_percentiles",
     "window_topk_per_group",
     "q1_pricing_summary",
