@@ -456,8 +456,9 @@ def gif_encode(width: int, height: int, channels: int, pixels: bytes) -> bytes:
 
 def pixel_decode(data: bytes) -> tuple[int, int, int, bytes, str]:
     """Stdlib pixel-decode cascade: PNG (zlib+unfilter) -> BMP -> GIF
-    (LZW). Returns ``(w, h, nch, pixels, decoder)``; raises ValueError
-    when no codec matches — callers decide fallback policy."""
+    (LZW) -> baseline JPEG (Huffman+IDCT, ``operators/jpegcodec.py``).
+    Returns ``(w, h, nch, pixels, decoder)``; raises ValueError when no
+    codec matches — callers decide fallback policy."""
     try:
         w, h, nch, pix = png_decode(data)
         return w, h, nch, pix, "png-zlib"
@@ -468,8 +469,15 @@ def pixel_decode(data: bytes) -> tuple[int, int, int, bytes, str]:
         return w, h, nch, pix, "bmp-stdlib"
     except ValueError:
         pass
-    w, h, nch, pix = gif_decode(data)
-    return w, h, nch, pix, "gif-lzw"
+    try:
+        w, h, nch, pix = gif_decode(data)
+        return w, h, nch, pix, "gif-lzw"
+    except (ValueError, zlib.error):
+        pass
+    from delta_lake_optimizations_spark.operators.jpegcodec import jpeg_decode
+
+    w, h, nch, pix = jpeg_decode(data)
+    return w, h, nch, pix, "jpeg-stdlib"
 
 
 def _grayscale(w: int, h: int, nch: int, pixels: bytes):
@@ -721,11 +729,15 @@ def image_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def cross_format_image_assets(spark: SparkSession) -> DataFrame:
-    """9 assets: 3 distinct base images (seeds 100..102), each saved as
-    PNG, BMP and GIF — SAME pixels, three containers. doc_id = 10*base
-    + fmt (0=png, 1=bmp, 2=gif). Ground truth: the three encodings of a
-    base are mutual near-dups (Hamming 0 — the pixels are identical);
-    different bases never pair (Hamming >= 20 at these fixture dials)."""
+    """12 assets: 3 distinct base images (seeds 100..102), each saved as
+    PNG, BMP, GIF and baseline JPEG (q=90) — SAME picture, four
+    containers, one of them LOSSY. doc_id = 10*base + fmt (0=png,
+    1=bmp, 2=gif, 3=jpeg). Ground truth: the four encodings of a base
+    are mutual near-dups (lossless trio at Hamming 0; JPEG within the
+    hash's tolerance); different bases never pair (Hamming >= 20 at
+    these fixture dials)."""
+    from delta_lake_optimizations_spark.operators.jpegcodec import jpeg_encode
+
     n = _FIXTURE_SIZE
     rows = []
     for i in range(3):
@@ -733,6 +745,7 @@ def cross_format_image_assets(spark: SparkSession) -> DataFrame:
         rows.append((10 * i + 0, bytearray(png_encode(n, n, 1, g))))
         rows.append((10 * i + 1, bytearray(bmp_encode(n, n, 1, g))))
         rows.append((10 * i + 2, bytearray(gif_encode(n, n, 1, g))))
+        rows.append((10 * i + 3, bytearray(jpeg_encode(n, n, 1, g, quality=90))))
     from pyspark.sql import types as T
 
     schema = T.StructType(
@@ -748,28 +761,25 @@ def cross_format_image_assets(spark: SparkSession) -> DataFrame:
     "image_cross_format_near_dup",
     tags=("multimodal", "dedup", "image", "llm-pipeline"),
     oracle="""
-        SELECT img_a, img_b
-        FROM (VALUES
-            (CAST(0 AS BIGINT), CAST(1 AS BIGINT)),
-            (CAST(0 AS BIGINT), CAST(2 AS BIGINT)),
-            (CAST(1 AS BIGINT), CAST(2 AS BIGINT)),
-            (CAST(10 AS BIGINT), CAST(11 AS BIGINT)),
-            (CAST(10 AS BIGINT), CAST(12 AS BIGINT)),
-            (CAST(11 AS BIGINT), CAST(12 AS BIGINT)),
-            (CAST(20 AS BIGINT), CAST(21 AS BIGINT)),
-            (CAST(20 AS BIGINT), CAST(22 AS BIGINT)),
-            (CAST(21 AS BIGINT), CAST(22 AS BIGINT))
-        ) AS t(img_a, img_b)
+        WITH fmt(f) AS (SELECT unnest(range(4))),
+        base(b) AS (SELECT unnest(range(3)))
+        SELECT CAST(10 * b + a.f AS BIGINT) AS img_a,
+               CAST(10 * b + c.f AS BIGINT) AS img_b
+        FROM base, fmt a, fmt c
+        WHERE a.f < c.f
+        ORDER BY img_a, img_b
     """,
 )
 def image_cross_format_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-CONTAINER image near-dup: the same picture saved as PNG,
-    BMP and GIF must collapse, because the hashes are computed from
-    decoded PIXELS (stdlib codec cascade), not from payload bytes —
-    the property a multimodal training pipeline actually needs (the
-    same image recirculates across the web in different containers).
-    Oracle = the corpus's ground-truth duplicate map; independent of
-    ``sf_dir`` by design (codec+hash conformance, not corpus analysis)."""
+    BMP, GIF and (lossy) baseline JPEG must collapse, because the
+    hashes are computed from decoded PIXELS (stdlib codec cascade),
+    not from payload bytes — the property a multimodal training
+    pipeline actually needs (the same image recirculates across the
+    web in different containers and across the lossy boundary).
+    Oracle = the corpus's ground-truth duplicate map (all format pairs
+    within each base — 18 pairs); independent of ``sf_dir`` by design
+    (codec+hash conformance, not corpus analysis)."""
     assets = cross_format_image_assets(spark)
     hashes = image_hashes(assets)
     return (

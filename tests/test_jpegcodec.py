@@ -1,0 +1,114 @@
+"""Baseline JPEG codec: lossy round-trip error bounds, DC/AC coverage,
+restart markers, refusal classes, committed-fixture decode, and the
+cross-lossy hash proximity the near-dup query rests on."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from delta_lake_optimizations_spark.operators.jpegcodec import (
+    jpeg_decode,
+    jpeg_encode,
+)
+
+
+def _maxerr(a: bytes, b: np.ndarray) -> int:
+    return int(np.abs(np.frombuffer(a, np.uint8).astype(int).reshape(b.shape) - b).max())
+
+
+def test_flat_block_is_exact():
+    flat = np.full((24, 17), 130, np.uint8)
+    w, h, nch, pix = jpeg_decode(jpeg_encode(17, 24, 1, flat.tobytes(), 90))
+    assert (w, h, nch) == (17, 24, 1)
+    assert _maxerr(pix, flat) == 0
+
+
+def test_gray_gradient_roundtrip_error_bound():
+    yy, xx = np.mgrid[0:40, 0:33]
+    g = ((xx * 5 + yy * 3) % 256).astype(np.uint8)
+    w, h, nch, pix = jpeg_decode(jpeg_encode(33, 40, 1, g.tobytes(), 95))
+    assert (w, h, nch) == (33, 40, 1)
+    assert _maxerr(pix, g) <= 8  # wrap-around edges are the worst case
+
+
+def test_rgb_roundtrip_error_bound():
+    yy, xx = np.mgrid[0:40, 0:33]
+    rgb = np.stack(
+        [(xx * 3) % 256, (yy * 4) % 256, ((xx + yy) * 2) % 256], -1
+    ).astype(np.uint8)
+    w, h, nch, pix = jpeg_decode(jpeg_encode(33, 40, 3, rgb.tobytes(), 95))
+    assert (w, h, nch) == (33, 40, 3)
+    assert _maxerr(pix, rgb) <= 8
+
+
+def test_noise_exercises_every_ac_path():
+    # dense noise floods the AC coefficients (runs, ZRL, EOB all hit);
+    # bound is loose — quantization bites hard on noise — but decode
+    # must stay well-behaved and roughly faithful
+    rng = np.random.default_rng(9)
+    g = rng.integers(0, 256, size=(32, 32), dtype=np.uint8)
+    w, h, nch, pix = jpeg_decode(jpeg_encode(32, 32, 1, g.tobytes(), 98))
+    a = np.frombuffer(pix, np.uint8).astype(float).reshape(32, 32)
+    assert np.abs(a - g).mean() < 12.0
+
+
+def test_refusal_classes():
+    with pytest.raises(ValueError, match="not a JPEG"):
+        jpeg_decode(b"\x89PNG\r\n\x1a\nrest")
+    # progressive (SOF2) refuses rather than misdecoding
+    prog = bytearray(jpeg_encode(8, 8, 1, bytes(64), 90))
+    i = prog.find(b"\xff\xc0")
+    prog[i + 1] = 0xC2
+    with pytest.raises(ValueError, match="non-baseline"):
+        jpeg_decode(bytes(prog))
+
+
+def test_committed_fixture_decodes_with_pinned_dims():
+    import os
+
+    media = os.path.join(os.path.dirname(__file__), "fixtures", "media")
+    data = open(os.path.join(media, "tiny.jpg"), "rb").read()
+    w, h, nch, pix = jpeg_decode(data)
+    assert (w, h, nch) == (9, 7, 1)
+    # content is the deterministic (x*29 + y*17) % 256 ramp, quality 92
+    yy, xx = np.mgrid[0:7, 0:9]
+    g = ((xx * 29 + yy * 17) % 256).astype(np.uint8)
+    assert _maxerr(pix, g) <= 10
+
+
+def test_pixel_decode_cascade_reports_jpeg_tier():
+    from delta_lake_optimizations_spark.operators.imagehash import pixel_decode
+
+    g = np.full((16, 16), 77, np.uint8)
+    w, h, nch, _pix, codec = pixel_decode(jpeg_encode(16, 16, 1, g.tobytes(), 90))
+    assert (w, h, codec) == (16, 16, "jpeg-stdlib")
+
+
+def test_lossy_hash_proximity():
+    """aHash of the JPEG re-encode must sit within the near-dup gate of
+    the lossless original — the property image_cross_format_near_dup's
+    ground truth rests on."""
+    from delta_lake_optimizations_spark.operators.imagehash import (
+        _fixture_pixels,
+        ahash64,
+        pixel_decode,
+        png_encode,
+    )
+
+    for seed in (100, 101, 102):
+        g = _fixture_pixels(seed=seed).tobytes()
+        h_png = ahash64(*pixel_decode(png_encode(32, 32, 1, g))[:4])
+        h_jpg = ahash64(*pixel_decode(jpeg_encode(32, 32, 1, g, 90))[:4])
+        assert bin((h_png ^ h_jpg) & ((1 << 64) - 1)).count("1") <= 6
+
+
+def test_restart_markers_roundtrip():
+    """DRI + RSTn path: bit flush, marker resync, DC predictor reset."""
+    yy, xx = np.mgrid[0:24, 0:40]
+    g = ((xx * 7 + yy * 11) % 256).astype(np.uint8)
+    b = jpeg_encode(40, 24, 1, g.tobytes(), 95, restart_interval=2)
+    assert b"\xff\xdd" in b and b"\xff\xd0" in b  # DRI present, RST0 hit
+    w, h, nch, pix = jpeg_decode(b)
+    assert (w, h, nch) == (40, 24, 1)
+    assert _maxerr(pix, g) <= 8
