@@ -37,12 +37,14 @@ def word_ngrams(text_col: Column, n: int) -> Column:
 
 
 def _word_gram_rows(
-    df: DataFrame, id_col: str, text_col: str, n: int
+    df: DataFrame, id_col: str, text_col: str, n: int, keep_pos: bool = False
 ) -> DataFrame:
     """``word_ngrams`` as ROWS via posexplode + window lead — identical
     gram strings (same single-space tokenizer, full n-grams only, none
     for short docs) without the interpreted transform/slice cost per gram
-    (the dedup._gram_rows lesson: ~10x on the corpus-wide explode)."""
+    (the dedup._gram_rows lesson: ~10x on the corpus-wide explode).
+    ``keep_pos`` adds the gram's 0-based start position as ``_p`` (the
+    span-decontamination path needs it)."""
     from pyspark.sql import Window
 
     toks = df.select(
@@ -52,13 +54,15 @@ def _word_gram_rows(
     w = Window.partitionBy("_id").orderBy("_pos")
     leads = toks.select(
         "_id",
+        "_pos",
         F.concat_ws(
             " ", "_t0", *[F.lead("_t0", j).over(w) for j in range(1, n)]
         ).alias("gram"),
         F.lead("_t0", n - 1).over(w).alias("_full"),
     )
+    pos_cols = [F.col("_pos").alias("_p")] if keep_pos else []
     return leads.filter(F.col("_full").isNotNull()).select(
-        F.col("_id").alias(id_col), "gram"
+        F.col("_id").alias(id_col), *pos_cols, "gram"
     )
 
 
@@ -104,6 +108,102 @@ def decontaminate(
         .select(id_col)
     )
     return corpus.join(F.broadcast(bad), id_col, "left_anti")
+
+
+def decontaminate_spans(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """SURGICAL decontamination: instead of dropping whole documents
+    (:func:`decontaminate`), cut only the contaminated SPANS — every
+    corpus position whose word n-gram appears anywhere in the benchmark
+    is removed, overlapping hits merging into maximal spans, and the
+    document reassembles from the surviving tokens (the span-level
+    cleanup the big-lab pipelines describe: a long document quoting one
+    benchmark question loses the quote, not its other 50 pages).
+
+    Output: ``(id_col, clean_text, n_kept, n_removed)`` — every corpus
+    document surfaces, fully-contaminated ones with ``clean_text=''``.
+
+    100 TB shape: the benchmark gram set is broadcast (eval suites are
+    tiny by definition) so marking is a map-side join over the gram
+    stream; coverage union + reassembly shuffle by doc id only (the
+    shared ``dedup.drop_covered_tokens`` tail)."""
+    from delta_lake_optimizations_spark.operators.dedup import (
+        drop_covered_tokens,
+    )
+
+    b_grams = (
+        benchmark.select(F.explode(word_ngrams(F.col(text_col), n)).alias("gram"))
+        .distinct()
+    )
+    starts = _word_gram_rows(corpus, id_col, text_col, n, keep_pos=True).join(
+        F.broadcast(b_grams), "gram"
+    ).select(id_col, "_p")
+    return drop_covered_tokens(
+        corpus, id_col, F.split(F.col(text_col), " "), starts, n
+    )
+
+
+@query(
+    "decontam_remove_spans",
+    tags=("text", "decontam", "llm-pipeline"),
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+        ),
+        bench AS (
+            SELECT DISTINCT array_to_string(list_slice(ts, i, i + 3), ' ') AS gram
+            FROM tok, UNNEST(generate_series(1, len(ts) - 3)) AS t(i)
+            WHERE doc_id % 25 = 0
+        ),
+        train AS (SELECT doc_id, ts FROM tok WHERE doc_id % 25 <> 0),
+        pos AS (
+            SELECT doc_id, i,
+                   array_to_string(list_slice(ts, i, i + 3), ' ') AS gram
+            FROM train, UNNEST(generate_series(1, len(ts) - 3)) AS t(i)
+        ),
+        starts AS (SELECT p.doc_id, p.i FROM pos p JOIN bench b USING (gram)),
+        covered AS (
+            SELECT DISTINCT doc_id, unnest(range(i - 1, i + 3)) AS q
+            FROM starts
+        ),
+        tokens AS (
+            SELECT doc_id, unnest(range(len(ts))) AS q, unnest(ts) AS tok
+            FROM train
+        ),
+        kept AS (
+            SELECT tk.doc_id, tk.q, tk.tok
+            FROM tokens tk LEFT JOIN covered c
+              ON tk.doc_id = c.doc_id AND tk.q = c.q
+            WHERE c.q IS NULL
+        ),
+        kept_agg AS (
+            SELECT doc_id,
+                   string_agg(tok, ' ' ORDER BY q) AS clean_text,
+                   COUNT(*) AS n_kept
+            FROM kept GROUP BY doc_id
+        )
+        SELECT tr.doc_id,
+               COALESCE(ka.clean_text, '') AS clean_text,
+               CAST(COALESCE(ka.n_kept, 0) AS BIGINT) AS n_kept,
+               CAST(len(tr.ts) - COALESCE(ka.n_kept, 0) AS BIGINT) AS n_removed
+        FROM train tr LEFT JOIN kept_agg ka USING (doc_id)
+    """,
+)
+def decontam_remove_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surgically remove every word 4-gram span shared with the
+    (synthetic) benchmark slice ``doc_id % 25 == 0`` from the training
+    slice; oracle restates the full mark/cover/reassemble cascade.
+    4-grams suit this short-doc tiny-vocab corpus; production uses 8-13
+    (the operator parameter)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 25 == 0)
+    train = docs.filter(F.col("doc_id") % 25 != 0)
+    return decontaminate_spans(train, bench, n=4)
 
 
 @query(

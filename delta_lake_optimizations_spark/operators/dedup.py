@@ -860,13 +860,29 @@ def remove_repeated_spans(
         )
         .select(id_col, "_p")
     )
+    toks = tokenize(F.coalesce(F.col(text_col), F.lit("")))
+    return drop_covered_tokens(df, id_col, toks, starts, k)
+
+
+def drop_covered_tokens(
+    df: DataFrame, id_col: str, toks: Column, starts: DataFrame, k: int
+) -> DataFrame:
+    """Shared span-removal tail: given removal STARTS ``(id_col, _p)``
+    (0-based token positions, each covering ``[p, p+k)``), drop every
+    covered token and reassemble ``(id_col, clean_text, n_kept,
+    n_removed)`` — every input document surfaces, fully-covered ones
+    with ``clean_text=''``. ``toks`` is the caller's token-array
+    expression (callers differ: repeated-span dedup uses the normalized
+    ``tokenize``, span decontamination uses decontam's single-space
+    split — coverage semantics are tokenizer-agnostic). Coverage
+    expansion is doc-local; the anti-join and reassembly shuffle by
+    doc id only."""
     covered = starts.select(
         id_col,
         F.explode(F.sequence(F.col("_p"), F.col("_p") + F.lit(k - 1))).alias(
             "_q"
         ),
     ).distinct()
-    toks = tokenize(F.coalesce(F.col(text_col), F.lit("")))
     tokens = df.select(
         F.col(id_col), F.posexplode(toks).alias("_q", "_tok")
     )

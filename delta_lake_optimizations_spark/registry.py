@@ -152,6 +152,14 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # decontam_ngram_overlap (r3-r8 greens; the decontam family keeps
     # the indexed pair + broadcast twin in-window).
     "video_gif_near_dup",
+    # NEW round 9 (mid-round, oracle-backed): SURGICAL span-level
+    # decontamination — contaminated spans are cut, not whole docs
+    # (broadcast benchmark grams -> coverage union -> reassembly via
+    # the shared drop_covered_tokens tail). Rotated out:
+    # knn_join_ivf_recall (r7/r8 greens; the k-NN join family keeps
+    # its equality twin knn_join_ivf_matches_inline in-window and the
+    # recall family keeps ann_ivfpq_recall).
+    "decontam_remove_spans",
     # r8 debutantes re-verified (second driver row): the replication-
     # proof near-dup SCALE path (rows-only) + its oracle-backed
     # survivor-set equality twin
@@ -194,7 +202,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ann_ivf_indexed_matches_inline",
     # metric-family greens held in the window (oracle-backed twins of the
     # approximate operators)
-    "knn_join_ivf_recall",
     "multimodal_real_media_decode",
     # r06 debutantes re-verified: VARIANT rollup; graph family now led
     # by the r8 SCALE path (exact collapse -> gram edges over reps -> CC,

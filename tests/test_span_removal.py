@@ -67,3 +67,69 @@ def test_canonical_is_min_doc_then_position(spark):
 def test_remove_repeated_spans_oracle_parity(spark, duck):
     qd = _DEFS["dedup_remove_repeated_spans"]
     compare_spark_duckdb(qd.fn(spark, SF_DIR), duck, qd.oracle)
+
+
+# ---------------------------------------------------------------------------
+# Surgical span decontamination (decontam.decontaminate_spans): the
+# benchmark's grams are cut from the corpus, not whole documents.
+# ---------------------------------------------------------------------------
+
+
+def _run_decontam(spark, corpus, bench, n):
+    from delta_lake_optimizations_spark.operators.decontam import (
+        decontaminate_spans,
+    )
+
+    c = spark.createDataFrame(corpus, "doc_id int, text string")
+    b = spark.createDataFrame(bench, "doc_id int, text string")
+    return {
+        r["doc_id"]: r
+        for r in decontaminate_spans(c, b, n=n).collect()
+    }
+
+
+def test_contaminated_span_cut_rest_survives(spark):
+    rows = _run_decontam(
+        spark,
+        [(1, "intro words the secret answer here tail words")],
+        [(100, "padding the secret answer here padding2")],
+        n=4,
+    )
+    # "the secret answer here" (one 4-gram span) is cut; context stays
+    assert rows[1]["clean_text"] == "intro words tail words"
+    assert rows[1]["n_removed"] == 4
+
+
+def test_whole_doc_contaminated_surfaces_empty(spark):
+    rows = _run_decontam(
+        spark, [(1, "a b c d")], [(100, "x a b c d y")], n=4
+    )
+    assert rows[1]["clean_text"] == "" and rows[1]["n_kept"] == 0
+
+
+def test_clean_doc_untouched_and_total(spark):
+    rows = _run_decontam(
+        spark,
+        [(1, "p q r s t"), (2, "a b")],
+        [(100, "u v w x y z")],
+        n=4,
+    )
+    assert rows[1]["clean_text"] == "p q r s t"
+    assert rows[2]["clean_text"] == "a b"  # shorter than n: no grams, kept
+
+
+def test_overlapping_benchmark_hits_merge(spark):
+    # two overlapping contaminated 3-gram starts cover one maximal span
+    rows = _run_decontam(
+        spark,
+        [(1, "z1 m n o p z2")],
+        [(100, "m n o"), (101, "n o p")],
+        n=3,
+    )
+    assert rows[1]["clean_text"] == "z1 z2"
+    assert rows[1]["n_removed"] == 4
+
+
+def test_decontam_remove_spans_oracle_parity(spark, duck):
+    qd = _DEFS["decontam_remove_spans"]
+    compare_spark_duckdb(qd.fn(spark, SF_DIR), duck, qd.oracle)
