@@ -745,6 +745,14 @@ def _bench_sf1_rehearsal(spark, sf_dir: str, sf01_timings: dict[str, float]) -> 
         "lm_backoff4_scores",
         "normalize_text_docs",
         "dedup_normalized_forms",
+        # r9 mid-round additions: HTML extraction (map-only — the oracle
+        # restates the full strip/decode/collapse cascade on the 10x
+        # corpus), the Lee-et-al repeated-span removal rewrite, and the
+        # surgical span decontamination (both full-cascade oracles; the
+        # 10x corpus has real cross-replica duplication to exercise)
+        "html_extract_text",
+        "dedup_remove_repeated_spans",
+        "decontam_remove_spans",
         # NOT in this list: decontam_embedding_matches_broadcast — the
         # twin pins indexed==broadcast EQUALITY, which holds (and is
         # driver-checked) at sf0.01's geometry; on the replica-shifted
@@ -809,6 +817,13 @@ def _bench_sf5_rehearsal(spark, sf_dir: str) -> dict:
         # full-tier NFC normalization choke point (Arrow UDF, map-only)
         "lm_backoff4_scores",
         "normalize_text_docs",
+        # r9 mid-round additions: repeated-span removal (the shingle
+        # aggregate + coverage union is exactly what 50x documents
+        # stress) and HTML extraction (map-only — its ratio should sit
+        # near the scan ratio, pinning that the regex cascade stays
+        # embarrassingly parallel)
+        "dedup_remove_repeated_spans",
+        "html_extract_text",
     )
     out: dict = {"dir": sf5_dir, "factor_vs_sf1": 5, "queries": {}, "ratio_vs_sf1": {}}
     for name in heavy:
@@ -887,6 +902,7 @@ def _bench_sf5_rehearsal(spark, sf_dir: str) -> dict:
             "lm_perplexity_scores",
             "lm_backoff4_scores",
             "normalize_text_docs",
+            "html_extract_text",
         ],
     )
     out["correctness_all_green"] = all(
