@@ -155,3 +155,49 @@ def test_ingest_recipe_end_to_end(spark, duck, tmp_path):
         F.min("pack_offset").alias("o")
     )
     assert all(r["o"] == 0 for r in first_packs.collect())
+
+
+def test_html_recrawl_dedups_after_extraction_stage(spark, tmp_path):
+    """Stage-0 composition (r9): the same page arriving once as plain
+    text and once as RAW HTML must admit exactly once — extraction
+    (htmlextract) recovers the visible text, normalization canonicalizes
+    it, and the FingerprintStore then sees an already-admitted
+    fingerprint. Without the extraction stage every HTML re-crawl would
+    pass dedup as a 'new' document (the markup differs even when the
+    page does not)."""
+    from delta_lake_optimizations_spark.catalog import load_table
+    from delta_lake_optimizations_spark.operators.htmlextract import (
+        extract_documents,
+    )
+    from delta_lake_optimizations_spark.operators.incremental_dedup import (
+        FingerprintStore,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    store = FingerprintStore(spark, str(tmp_path / "fp_store"))
+
+    kept1 = store.ingest(docs, "plain")
+    assert kept1.count() > 0
+
+    # the re-crawl: same pages, now wrapped in markup whose only visible
+    # content is the original text (script/style/comment are invisible)
+    pages = docs.select(
+        (F.col("doc_id") + 5_000_000).alias("doc_id"),
+        F.concat(
+            F.lit('<html><head><style>p{x:1}</style>'
+                  '<script>if (a < b) { t("x"); }</script></head>'
+                  "<body><!-- re-crawl --><p>"),
+            F.col("text"),
+            F.lit("</p></body></html>"),
+        ).alias("page"),
+    )
+    extracted = extract_documents(pages, "page").select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    kept2 = store.ingest(extracted, "html-recrawl")
+    assert kept2.count() == 0, "every extracted re-crawl must dedup away"
+
+    # control: WITHOUT extraction the raw markup defeats dedup
+    raw = pages.select("doc_id", F.col("page").alias("text"))
+    kept3 = store.ingest(raw, "html-raw-control")
+    assert kept3.count() == pages.count()

@@ -309,3 +309,51 @@ def test_minhash_scaled_no_cartesian(spark):
     df = _DEFS["dedup_minhash_scaled"].fn(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_partitioned_join_gets_dynamic_partition_pruning(spark, tmp_path):
+    """A dim-filtered join over a partition_by= GraftTable must carry a
+    dynamicpruning PartitionFilter — at 100 TB this is the difference
+    between scanning the whole fact and scanning the joined partitions
+    only (Spark inserts it because the partitioned load exposes a real
+    hive layout to the planner; this guard pins that our table format
+    keeps that property)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from delta_lake_optimizations_spark.table.graft_table import GraftTable
+
+    fact = spark.range(20000).select(
+        F.col("id"),
+        F.element_at(
+            F.array(*[F.lit(c) for c in ["US", "DE", "FR", "JP", "BR"]]),
+            (F.col("id") % 5 + 1).cast("int"),
+        ).alias("country"),
+        (F.col("id") % 97).cast("double").alias("amt"),
+    )
+    t = GraftTable(spark, os.path.join(str(tmp_path), "fact_dpp"))
+    t.write(fact, partition_by=["country"])
+    dim = spark.createDataFrame(
+        [("US", "americas"), ("BR", "americas"), ("DE", "emea"),
+         ("FR", "emea"), ("JP", "apac")],
+        "country string, region string",
+    )
+    joined = (
+        t.load()
+        .join(dim.filter(F.col("region") == "americas"), "country")
+        .groupBy("country")
+        .agg(F.sum("amt").alias("s"))
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), "DPP missing from fact scan"
+    # and the pruned plan still computes the right answer
+    got = {r["country"]: r["s"] for r in joined.collect()}
+    want = {
+        r["country"]: r["s"]
+        for r in fact.filter(F.col("country").isin("US", "BR"))
+        .groupBy("country")
+        .agg(F.sum("amt").alias("s"))
+        .collect()
+    }
+    assert got == want
