@@ -143,9 +143,11 @@ def decontaminate_spans(
     starts = _word_gram_rows(corpus, id_col, text_col, n, keep_pos=True).join(
         F.broadcast(b_grams), "gram"
     ).select(id_col, "_p")
-    return drop_covered_tokens(
-        corpus, id_col, F.split(F.col(text_col), " "), starts, n
-    )
+    # NULL text behaves like '' so the totality contract holds (the
+    # remove_repeated_spans convention): without the coalesce, size()
+    # of a NULL array makes n_removed NULL instead of 0
+    toks = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+    return drop_covered_tokens(corpus, id_col, toks, starts, n)
 
 
 @query(

@@ -34,6 +34,26 @@ from delta_lake_optimizations_spark.registry import query
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
+#: dimension sanity cap for ALL stdlib decoders: buffers are allocated
+#: from header-claimed dimensions, so a 25-byte hostile payload claiming
+#: 65535x65535 would otherwise OOM the executor before any pixel data is
+#: read (review finding). 64M pixels = 192 MB RGB — far above any real
+#: training-corpus image, far below executor memory.
+_MAX_PIXELS = 1 << 26
+
+#: everything a malformed payload can raise out of the stdlib decoders
+#: (struct.unpack on truncated headers, LZW/Huffman table lookups on
+#: corrupt streams, numpy reshapes on short buffers) — the mapInPandas
+#: totality handlers catch THIS, not just ValueError (review finding:
+#: one truncated GIF in a crawl batch must yield decoder='none', not
+#: kill the job).
+DECODE_ERRORS = (ValueError, zlib.error, struct.error, KeyError, IndexError)
+
+
+def _check_dims(w: int, h: int) -> None:
+    if w <= 0 or h <= 0 or w * h > _MAX_PIXELS:
+        raise ValueError(f"implausible image dimensions {w}x{h}")
+
 
 def png_decode(data: bytes) -> tuple[int, int, int, bytes]:
     """Decode an 8-bit, non-interlaced PNG to raw pixels using only the
@@ -73,6 +93,7 @@ def png_decode(data: bytes) -> tuple[int, int, int, bytes]:
         raise ValueError("Adam7-interlaced PNG unsupported")
     if color not in _CHANNELS:
         raise ValueError(f"unsupported PNG color type {color}")
+    _check_dims(width, height)
     nch = _CHANNELS[color]
     raw = zlib.decompress(bytes(idat))
     stride = width * nch
@@ -112,7 +133,10 @@ def png_decode(data: bytes) -> tuple[int, int, int, bytes]:
         if plte is None:
             raise ValueError("paletted PNG without PLTE")
         rgb = bytearray(width * height * 3)
+        ncolors = len(plte) // 3
         for i, idx in enumerate(out):
+            if idx >= ncolors:
+                raise ValueError("PNG palette index out of range")
             rgb[i * 3 : i * 3 + 3] = plte[idx * 3 : idx * 3 + 3]
         return width, height, 3, bytes(rgb)
     return width, height, nch, bytes(out)
@@ -162,6 +186,7 @@ def bmp_decode(data: bytes) -> tuple[int, int, int, bytes]:
         raise ValueError("unsupported BMP variant")
     top_down = h_raw < 0
     h = -h_raw if top_down else h_raw
+    _check_dims(w, h)
     nch = bpp // 8
     stride = (w * nch + 3) & ~3
     if len(data) < pix_off + stride * h:
@@ -283,6 +308,7 @@ def gif_decode_frames(
     if len(data) < 13 or data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF")
     cw, ch = struct.unpack_from("<HH", data, 6)
+    _check_dims(cw, ch)
     packed = data[10]
     pos = 13
     gct = b""
@@ -290,7 +316,9 @@ def gif_decode_frames(
         n = 3 * (2 << (packed & 0x07))
         gct = data[pos : pos + n]
         pos += n
-    canvas = bytearray(cw * ch)  # palette indexes, background = 0
+    canvas = bytearray(cw * ch * 3)  # RESOLVED RGB (review finding: an
+    # index canvas re-mapped through the CURRENT frame's color table
+    # would recolor pixels painted by earlier frames whose table differs)
     trans: int | None = None
     frames: list[bytes] = []
     while pos < len(data):
@@ -332,21 +360,18 @@ def gif_decode_frames(
                 rows = _gif_deinterlace(rows, fh)
             if fx + fw > cw or fy + fh > ch:
                 raise ValueError("GIF frame exceeds canvas")
-            for r, row in enumerate(rows):
-                base = (fy + r) * cw + fx
-                if trans is None:
-                    canvas[base : base + fw] = row
-                else:
-                    for x, idx in enumerate(row):
-                        if idx != trans:
-                            canvas[base + x] = idx
             ncolors = len(table) // 3
-            rgb = bytearray(cw * ch * 3)
-            for i, idx in enumerate(canvas):
-                if idx >= ncolors:
-                    idx = 0
-                rgb[i * 3 : i * 3 + 3] = table[idx * 3 : idx * 3 + 3]
-            frames.append(bytes(rgb))
+            for r, row in enumerate(rows):
+                base = ((fy + r) * cw + fx) * 3
+                for x, idx in enumerate(row):
+                    if idx == trans:
+                        continue
+                    if idx >= ncolors:
+                        idx = 0
+                    canvas[base + 3 * x : base + 3 * x + 3] = table[
+                        idx * 3 : idx * 3 + 3
+                    ]
+            frames.append(bytes(canvas))
             trans = None
             if max_frames is not None and len(frames) >= max_frames:
                 return cw, ch, frames
@@ -462,17 +487,17 @@ def pixel_decode(data: bytes) -> tuple[int, int, int, bytes, str]:
     try:
         w, h, nch, pix = png_decode(data)
         return w, h, nch, pix, "png-zlib"
-    except (ValueError, zlib.error):
+    except DECODE_ERRORS:
         pass
     try:
         w, h, nch, pix = bmp_decode(data)
         return w, h, nch, pix, "bmp-stdlib"
-    except ValueError:
+    except DECODE_ERRORS:
         pass
     try:
         w, h, nch, pix = gif_decode(data)
         return w, h, nch, pix, "gif-lzw"
-    except (ValueError, zlib.error):
+    except DECODE_ERRORS:
         pass
     from delta_lake_optimizations_spark.operators.jpegcodec import jpeg_decode
 
@@ -551,19 +576,22 @@ def image_hashes(assets: DataFrame, id_col: str = "doc_id") -> DataFrame:
         for pdf in batches:
             ws, hs, ah, dh, dec = [], [], [], [], []
             for p in pdf["payload"]:
+                # compute EVERYTHING before appending: a decode error
+                # mid-row must not leave the column lists misaligned
+                # (review finding — short-pixel buffers raise inside
+                # ahash64 after dims were already appended)
                 try:
                     w, h, nch, pix, codec = pixel_decode(bytes(p))
-                    ws.append(w)
-                    hs.append(h)
-                    ah.append(ahash64(w, h, nch, pix))
-                    dh.append(dhash64(w, h, nch, pix))
-                    dec.append(codec)
-                except (ValueError, zlib.error):
-                    ws.append(None)
-                    hs.append(None)
-                    ah.append(None)
-                    dh.append(None)
-                    dec.append("none")
+                    a64 = ahash64(w, h, nch, pix)
+                    d64 = dhash64(w, h, nch, pix)
+                    row = (w, h, a64, d64, codec)
+                except DECODE_ERRORS:
+                    row = (None, None, None, None, "none")
+                ws.append(row[0])
+                hs.append(row[1])
+                ah.append(row[2])
+                dh.append(row[3])
+                dec.append(row[4])
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
@@ -576,6 +604,46 @@ def image_hashes(assets: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return assets.mapInPandas(hash_batches, schema=IMAGE_HASH_SCHEMA)
+
+
+def banded_candidates(
+    sigs: DataFrame,
+    id_col: str = "_id",
+    sig_col: str = "_sig",
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
+    """Shared 16-bit-band candidate scheme (SimHash/image/video): each
+    64-bit signature explodes into four 16-bit bands (pigeonhole: pairs
+    within Hamming 3 always share a band), candidates equi-join on
+    (band_idx, band_val) with ``id < id2``, deduped per (id[, carry],
+    id2[, carry2]). One definition so the image and video paths cannot
+    silently diverge (review finding). ``carry`` columns ride along on
+    both sides with a ``2`` suffix."""
+    cols = [id_col, sig_col, *carry]
+    chunks = sigs.select(
+        *cols,
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col(sig_col), 16 * c).bitwiseAND(F.lit(0xFFFF))
+                    for c in range(4)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    right = chunks.select(
+        *[F.col(c).alias(f"{c}2") for c in cols],
+        F.col("band_idx").alias("band_idx2"),
+        F.col("band_val").alias("band_val2"),
+    )
+    cand = chunks.join(
+        right,
+        (F.col("band_idx") == F.col("band_idx2"))
+        & (F.col("band_val") == F.col("band_val2"))
+        & (F.col(id_col) < F.col(f"{id_col}2")),
+    ).select(*cols, *[f"{c}2" for c in cols])
+    keys = [id_col, *carry, f"{id_col}2", *[f"{c}2" for c in carry]]
+    return cand.dropDuplicates(keys)
 
 
 def phash_near_pairs(
@@ -592,34 +660,7 @@ def phash_near_pairs(
     sigs = hashes.filter(F.col(hash_col).isNotNull()).select(
         F.col(id_col).alias("_id"), F.col(hash_col).alias("_sig")
     )
-    chunks = sigs.select(
-        "_id",
-        "_sig",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftright(F.col("_sig"), 16 * c).bitwiseAND(F.lit(0xFFFF))
-                    for c in range(4)
-                ]
-            )
-        ).alias("band_idx", "band_val"),
-    )
-    right = chunks.select(
-        F.col("_id").alias("_id2"),
-        F.col("_sig").alias("_sig2"),
-        F.col("band_idx").alias("band_idx2"),
-        F.col("band_val").alias("band_val2"),
-    )
-    cand = (
-        chunks.join(
-            right,
-            (F.col("band_idx") == F.col("band_idx2"))
-            & (F.col("band_val") == F.col("band_val2"))
-            & (F.col("_id") < F.col("_id2")),
-        )
-        .select("_id", "_id2", "_sig", "_sig2")
-        .dropDuplicates(["_id", "_id2"])
-    )
+    cand = banded_candidates(sigs)
     hamming = F.bit_count(F.col("_sig").bitwiseXOR(F.col("_sig2")))
     return (
         cand.withColumn("hamming", hamming.cast("int"))

@@ -225,6 +225,8 @@ def jpeg_decode(data: bytes) -> tuple[int, int, int, bytes]:
             if prec != 8:
                 raise ValueError("unsupported JPEG precision")
             h, w = struct.unpack_from(">HH", body, 1)
+            if w <= 0 or h <= 0 or w * h > (1 << 26):
+                raise ValueError(f"implausible JPEG dimensions {w}x{h}")
             nc = body[5]
             comps = []
             for c in range(nc):

@@ -26,7 +26,6 @@ Scale shape (100 TB):
 
 from __future__ import annotations
 
-import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -34,8 +33,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from delta_lake_optimizations_spark.operators.imagehash import (
+    DECODE_ERRORS,
     _fixture_pixels,
     ahash64,
+    banded_candidates,
     gif_decode_frames,
     gif_encode_frames,
 )
@@ -65,7 +66,7 @@ def video_frame_hashes(
             for vid, p in zip(pdf[id_col], pdf["payload"]):
                 try:
                     w, h, frames = gif_decode_frames(bytes(p))
-                except (ValueError, zlib.error):
+                except DECODE_ERRORS:
                     ids.append(vid)
                     fidx.append(None)
                     nfr.append(None)
@@ -116,37 +117,8 @@ def video_near_pairs(
         F.col("n_frames").alias("_nf"),
         F.col("ahash").alias("_sig"),
     )
-    chunks = sigs.select(
-        "_vid",
-        "_fidx",
-        "_nf",
-        "_sig",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftright(F.col("_sig"), 16 * c).bitwiseAND(F.lit(0xFFFF))
-                    for c in range(4)
-                ]
-            )
-        ).alias("band_idx", "band_val"),
-    )
-    right = chunks.select(
-        F.col("_vid").alias("_vid2"),
-        F.col("_fidx").alias("_fidx2"),
-        F.col("_nf").alias("_nf2"),
-        F.col("_sig").alias("_sig2"),
-        F.col("band_idx").alias("band_idx2"),
-        F.col("band_val").alias("band_val2"),
-    )
-    cand = (
-        chunks.join(
-            right,
-            (F.col("band_idx") == F.col("band_idx2"))
-            & (F.col("band_val") == F.col("band_val2"))
-            & (F.col("_vid") < F.col("_vid2")),
-        )
-        .select("_vid", "_fidx", "_nf", "_sig", "_vid2", "_fidx2", "_nf2", "_sig2")
-        .dropDuplicates(["_vid", "_fidx", "_vid2", "_fidx2"])
+    cand = banded_candidates(
+        sigs, id_col="_vid", sig_col="_sig", carry=("_fidx", "_nf")
     )
     hamming = F.bit_count(F.col("_sig").bitwiseXOR(F.col("_sig2")))
     matched = cand.filter(hamming <= F.lit(max_hamming))

@@ -356,3 +356,112 @@ def test_cross_format_hash_identity():
         w, h, nch, pix, _codec = pixel_decode(enc(n, n, 1, g))
         hashes.add((ahash64(w, h, nch, pix), dhash64(w, h, nch, pix)))
     assert len(hashes) == 1, hashes
+
+
+# ---------------------------------------------------------------------------
+# Malformed-input totality (review findings): truncated/hostile payloads
+# must yield decoder='none' rows, never kill the task.
+# ---------------------------------------------------------------------------
+
+_HOSTILE = [
+    b"GIF89a" + b"\x05\x00\x04\x00\x00\x00\x00" + b"\x2c\x00\x00",  # trunc desc
+    b"\xff\xd8\xff\xc0\x00\x03\x08",  # truncated SOF
+    b"\xff\xd8\xff\xc0\x00\x0b\x08\x00\x07\x00\x09\x01\x01\x11\x00"
+    b"\xff\xda\x00\x08\x01\x01\x00\x00\x3f\x00\xab\xcd",  # SOS without DHT
+    b"GIF89a\xff\xff\xff\xff\x00\x00\x00",  # 65535x65535 claimed canvas
+    b"BM" + b"\x00" * 60,  # zero-dim BMP
+    b"\x89PNG\r\n\x1a\nrubbish",  # PNG sig, garbage body
+]
+
+
+def test_hostile_payloads_raise_decode_errors_not_crash():
+    from delta_lake_optimizations_spark.operators.imagehash import (
+        DECODE_ERRORS,
+        pixel_decode,
+    )
+
+    import pytest
+
+    for payload in _HOSTILE:
+        with pytest.raises(DECODE_ERRORS):
+            pixel_decode(payload)
+
+
+def test_image_hashes_total_on_hostile_corpus(spark):
+    import pyspark.sql.types as T
+
+    from delta_lake_optimizations_spark.operators.imagehash import (
+        _fixture_pixels,
+        image_hashes,
+        png_encode,
+    )
+
+    rows = [(i, bytearray(p)) for i, p in enumerate(_HOSTILE)]
+    rows.append((99, bytearray(png_encode(32, 32, 1, _fixture_pixels(1).tobytes()))))
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    out = {r["doc_id"]: r for r in image_hashes(spark.createDataFrame(rows, schema)).collect()}
+    assert len(out) == len(_HOSTILE) + 1
+    for i in range(len(_HOSTILE)):
+        assert out[i]["decoder"] == "none" and out[i]["ahash"] is None
+    assert out[99]["decoder"] == "png-zlib" and out[99]["ahash"] is not None
+
+
+def test_video_frame_hashes_total_on_hostile_corpus(spark):
+    import pyspark.sql.types as T
+
+    from delta_lake_optimizations_spark.operators.videodedup import (
+        video_frame_hashes,
+    )
+
+    rows = [(i, bytearray(p)) for i, p in enumerate(_HOSTILE)]
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    out = video_frame_hashes(spark.createDataFrame(rows, schema)).collect()
+    assert len(out) == len(_HOSTILE)
+    assert all(r["decoder"] == "none" and r["ahash"] is None for r in out)
+
+
+def test_gif_local_color_table_does_not_recolor_prior_frames():
+    """Frame 2 carries a LOCAL color table and covers a sub-rectangle;
+    the untouched region must keep frame 1's global-table colors."""
+    import struct as _struct
+
+    import numpy as np
+
+    from delta_lake_optimizations_spark.operators.imagehash import (
+        gif_decode_frames,
+        gif_encode_frames,
+    )
+
+    # frame 1: 4x2 full canvas, two global colors (indexes 0,1)
+    f1 = np.array([[0, 0, 10, 10], [0, 0, 10, 10]], np.uint8)
+    base = gif_encode_frames(4, 2, 1, [f1.tobytes()])
+    assert base.endswith(b"\x3b")
+    body = bytearray(base[:-1])  # strip trailer
+    # frame 2: 1x1 sub-rectangle at (0,0) with a LOCAL 2-entry table
+    # whose index 0 is RED — encoded as literal LZW (mcs=2)
+    lct = bytes((255, 0, 0, 0, 255, 0)) + b"\x00" * (3 * 2)  # pad to 4
+    mcs = 2
+    # codes: CLEAR(4), literal 0, EOI(5) at width 3, LSB-first
+    bits = (4) | (0 << 3) | (5 << 6)
+    lzw = _struct.pack("<H", bits)[:2]
+    body += b"\x2c" + _struct.pack("<HHHHB", 0, 0, 1, 1, 0x80 | 1)
+    body += lct + bytes((mcs,)) + bytes((len(lzw),)) + lzw + b"\x00"
+    body += b"\x3b"
+    w, h, frames = gif_decode_frames(bytes(body))
+    assert len(frames) == 2
+    a2 = np.frombuffer(frames[1], np.uint8).reshape(2, 4, 3)
+    assert a2[0, 0].tolist() == [255, 0, 0]  # painted via the LOCAL table
+    # region untouched by frame 2 keeps frame 1's GLOBAL colors
+    a1 = np.frombuffer(frames[0], np.uint8).reshape(2, 4, 3)
+    assert a2[1, 3].tolist() == a1[1, 3].tolist()
+    assert a2[0, 1].tolist() == a1[0, 1].tolist()

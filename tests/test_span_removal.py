@@ -133,3 +133,25 @@ def test_overlapping_benchmark_hits_merge(spark):
 def test_decontam_remove_spans_oracle_parity(spark, duck):
     qd = _DEFS["decontam_remove_spans"]
     compare_spark_duckdb(qd.fn(spark, SF_DIR), duck, qd.oracle)
+
+
+def test_decontam_null_text_totality(spark):
+    """NULL text behaves like '' — the totality contract (review
+    finding: without the coalesce, n_removed came back NULL)."""
+    from delta_lake_optimizations_spark.operators.decontam import (
+        decontaminate_spans,
+    )
+
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.IntegerType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    c = spark.createDataFrame([(1, None), (2, "a b c d")], schema)
+    b = spark.createDataFrame([(9, "x y z w")], schema)
+    rows = {r["doc_id"]: r for r in decontaminate_spans(c, b, n=4).collect()}
+    assert rows[1]["n_kept"] is not None and rows[1]["n_removed"] is not None
+    assert rows[2]["clean_text"] == "a b c d"
