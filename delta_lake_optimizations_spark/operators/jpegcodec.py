@@ -25,7 +25,8 @@ Why it matters for the pipeline: JPEG is the dominant web image
 container; with this module the perceptual-hash near-dup stack
 (``operators/imagehash.py``) hashes REAL pixels for PNG, BMP, GIF and
 JPEG — the same picture recirculating across ALL four collapses, even
-across the lossy boundary (pinned by ``image_lossy_near_dup``).
+across the lossy boundary (pinned by ``image_cross_format_near_dup``
+and ``tests/test_jpegcodec.py::test_lossy_hash_proximity``).
 """
 
 from __future__ import annotations
