@@ -392,13 +392,19 @@ def jpeg_encode(
     pixels: bytes,
     quality: int = 90,
     restart_interval: int = 0,
+    subsampling: str = "444",
 ) -> bytes:
-    """Baseline JPEG from top-down gray or RGB pixels (4:4:4, flat
-    Huffman; ``restart_interval`` > 0 emits DRI + RSTn markers every N
-    MCUs). Lossy by nature — exists for decoder conformance testing
+    """Baseline JPEG from top-down gray or RGB pixels (flat Huffman;
+    ``restart_interval`` > 0 emits DRI + RSTn markers every N MCUs;
+    ``subsampling='420'`` box-averages chroma 2x2 and interleaves
+    16x16-pixel MCUs — the layout most web JPEGs use, and the encoder
+    path that exercises the decoder's multi-block-per-MCU sampling
+    logic). Lossy by nature — exists for decoder conformance testing
     and for building mixed-container fixture corpora."""
     if channels not in (1, 3):
         raise ValueError("jpeg_encode supports 1 or 3 channels")
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
     a = np.frombuffer(pixels, np.uint8).reshape(height, width, channels).astype(
         np.float64
     )
@@ -416,14 +422,33 @@ def jpeg_encode(
         _quality_scale(_Q_LUM, quality),
         _quality_scale(_Q_CHROM, quality),
     ][: max(qids) + 1]
-    bh, bw = -(-height // 8), -(-width // 8)
+    if channels == 3 and subsampling == "420":
+        samp = [(2, 2), (1, 1), (1, 1)]
+    else:
+        samp = [(1, 1)] * len(chans)
+    hmax = max(hs for hs, _ in samp)
+    vmax = max(vs for _, vs in samp)
+    mcux, mcuy = -(-width // (8 * hmax)), -(-height // (8 * vmax))
+
+    def _pad_edge(ch: np.ndarray, th: int, tw: int) -> np.ndarray:
+        p = np.empty((th, tw))
+        h0, w0 = ch.shape
+        p[:h0, :w0] = ch
+        p[h0:, :w0] = ch[-1:, :]  # edge-replicate padding
+        p[:, w0:] = p[:, w0 - 1 : w0]
+        return p
+
     padded = []
-    for ch in chans:
-        p = np.empty((bh * 8, bw * 8))
-        p[:height, :width] = ch
-        p[height:, :width] = ch[-1:, :]  # edge-replicate padding
-        p[:, width:] = p[:, width - 1 : width]
-        padded.append(p)
+    for ci, ch in enumerate(chans):
+        hs, vs = samp[ci]
+        ry, rx = vmax // vs, hmax // hs
+        if ry > 1 or rx > 1:
+            # 2x2 box-average chroma downsample (pad to the factor first)
+            full = _pad_edge(ch, -(-height // ry) * ry, -(-width // rx) * rx)
+            ch = full.reshape(
+                full.shape[0] // ry, ry, full.shape[1] // rx, rx
+            ).mean(axis=(1, 3))
+        padded.append(_pad_edge(ch, mcuy * vs * 8, mcux * hs * 8))
 
     dc_bits, dc_vals = _flat_table(_DC_SYMS, 5)
     ac_bits, ac_vals = _flat_table(_AC_SYMS, 8)
@@ -434,9 +459,41 @@ def jpeg_encode(
 
     wtr = _BitWriter()
     preds = [0] * len(chans)
+
+    def emit_block(ch: np.ndarray, ci: int, y0: int, x0: int) -> None:
+        block = ch[y0 : y0 + 8, x0 : x0 + 8] - 128.0
+        coeff = _DCT_M @ block @ _DCT_M.T
+        qz = np.round(coeff / qtabs[qids[ci]]).astype(np.int64)
+        zz = qz.reshape(-1)[_ZIGZAG]
+        diff = int(zz[0]) - preds[ci]
+        preds[ci] = int(zz[0])
+        size = _size_of(diff)
+        ln, code = dc_enc[size]
+        wtr.bits(code, ln)
+        if size:
+            wtr.bits(diff if diff >= 0 else diff + (1 << size) - 1, size)
+        run = 0
+        for k in range(1, 64):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                ln, code = ac_enc[0xF0]
+                wtr.bits(code, ln)
+                run -= 16
+            size = _size_of(v)
+            ln, code = ac_enc[(run << 4) | size]
+            wtr.bits(code, ln)
+            wtr.bits(v if v >= 0 else v + (1 << size) - 1, size)
+            run = 0
+        if run:
+            ln, code = ac_enc[0x00]
+            wtr.bits(code, ln)
+
     mcu_count = 0
-    for by in range(bh):
-        for bx in range(bw):
+    for my in range(mcuy):
+        for mx in range(mcux):
             if (
                 restart_interval
                 and mcu_count
@@ -449,35 +506,12 @@ def jpeg_encode(
                 preds = [0] * len(chans)
             mcu_count += 1
             for ci, ch in enumerate(padded):
-                block = ch[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
-                coeff = _DCT_M @ block @ _DCT_M.T
-                qz = np.round(coeff / qtabs[qids[ci]]).astype(np.int64)
-                zz = qz.reshape(-1)[_ZIGZAG]
-                diff = int(zz[0]) - preds[ci]
-                preds[ci] = int(zz[0])
-                size = _size_of(diff)
-                ln, code = dc_enc[size]
-                wtr.bits(code, ln)
-                if size:
-                    wtr.bits(diff if diff >= 0 else diff + (1 << size) - 1, size)
-                run = 0
-                for k in range(1, 64):
-                    v = int(zz[k])
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        ln, code = ac_enc[0xF0]
-                        wtr.bits(code, ln)
-                        run -= 16
-                    size = _size_of(v)
-                    ln, code = ac_enc[(run << 4) | size]
-                    wtr.bits(code, ln)
-                    wtr.bits(v if v >= 0 else v + (1 << size) - 1, size)
-                    run = 0
-                if run:
-                    ln, code = ac_enc[0x00]
-                    wtr.bits(code, ln)
+                hs, vs = samp[ci]
+                for by in range(vs):
+                    for bx in range(hs):
+                        emit_block(
+                            ch, ci, (my * vs + by) * 8, (mx * hs + bx) * 8
+                        )
     wtr.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
@@ -489,7 +523,8 @@ def jpeg_encode(
         out += seg(0xDB, bytes((tid,)) + zz)
     sof = struct.pack(">BHHB", 8, height, width, len(chans))
     for ci in range(len(chans)):
-        sof += bytes((ci + 1, 0x11, qids[ci]))
+        hs, vs = samp[ci]
+        sof += bytes((ci + 1, (hs << 4) | vs, qids[ci]))
     out += seg(0xC0, sof)
     out += seg(0xC4, bytes((0x00,)) + bytes(dc_bits) + bytes(dc_vals))
     out += seg(0xC4, bytes((0x10,)) + bytes(ac_bits) + bytes(ac_vals))

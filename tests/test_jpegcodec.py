@@ -112,3 +112,33 @@ def test_restart_markers_roundtrip():
     w, h, nch, pix = jpeg_decode(b)
     assert (w, h, nch) == (40, 24, 1)
     assert _maxerr(pix, g) <= 8
+
+
+def test_420_chroma_subsampling_roundtrip():
+    """4:2:0 exercises the decoder's multi-block-per-MCU sampling +
+    chroma-upsample path (the layout most web JPEGs use); error bound
+    reflects expected chroma loss on a color gradient."""
+    yy, xx = np.mgrid[0:40, 0:33]
+    rgb = np.stack(
+        [(xx * 3) % 256, (yy * 4) % 256, ((xx + yy) * 2) % 256], -1
+    ).astype(np.uint8)
+    b = jpeg_encode(33, 40, 3, rgb.tobytes(), 95, subsampling="420")
+    w, h, nch, pix = jpeg_decode(b)
+    assert (w, h, nch) == (33, 40, 3)
+    a = np.frombuffer(pix, np.uint8).astype(float).reshape(40, 33, 3)
+    assert np.abs(a - rgb).mean() < 2.0 and np.abs(a - rgb).max() <= 12
+    # the stream really is subsampled: Y component advertises 2x2
+    sof = b.find(b"\xff\xc0")
+    assert b[sof + 11] == 0x22 and b[sof + 14] == 0x11
+
+
+def test_420_with_restarts_and_odd_dims():
+    yy, xx = np.mgrid[0:37, 0:29]
+    g = np.stack([((xx * 7) % 200) + 20] * 3, -1).astype(np.uint8)
+    b = jpeg_encode(
+        29, 37, 3, g.tobytes(), 92, restart_interval=2, subsampling="420"
+    )
+    w, h, nch, pix = jpeg_decode(b)
+    assert (w, h, nch) == (29, 37, 3)
+    a = np.frombuffer(pix, np.uint8).astype(float).reshape(37, 29, 3)
+    assert np.abs(a - g).mean() < 1.5
