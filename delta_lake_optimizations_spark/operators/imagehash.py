@@ -300,8 +300,9 @@ def gif_decode_frames(
     """Decode EVERY frame of a GIF87a/89a to full-canvas RGB using only
     the stdlib: logical-screen descriptor -> color tables -> per-frame
     LZW -> de-interlace -> sub-rectangle composition onto the running
-    canvas (disposal "do not dispose" semantics; graphic-control
-    transparency honored) -> palette expansion. Returns
+    canvas (graphic-control disposal methods 0/1 "do not dispose" and
+    2 "restore to background" honored; transparency honored) ->
+    palette expansion. Returns
     ``(w, h, [rgb_bytes, ...])`` — animated GIF is the one video-ish
     container decodable from scratch, so it carries the video
     frame-sampling and near-dup paths (operators/videodedup.py)."""
@@ -319,7 +320,14 @@ def gif_decode_frames(
     canvas = bytearray(cw * ch * 3)  # RESOLVED RGB (review finding: an
     # index canvas re-mapped through the CURRENT frame's color table
     # would recolor pixels painted by earlier frames whose table differs)
+    bg_index = data[11]
+    bg_rgb = (
+        bytes(gct[bg_index * 3 : bg_index * 3 + 3])
+        if gct and bg_index * 3 + 3 <= len(gct)
+        else b"\x00\x00\x00"
+    )
     trans: int | None = None
+    disposal = 0
     frames: list[bytes] = []
     while pos < len(data):
         b0 = data[pos]
@@ -330,6 +338,7 @@ def gif_decode_frames(
                 gce_packed = data[pos + 1]
                 if gce_packed & 0x01:
                     trans = data[pos + 4]
+                disposal = (gce_packed >> 2) & 0x07
             while pos < len(data) and data[pos] != 0:
                 pos += 1 + data[pos]
             pos += 1
@@ -372,7 +381,14 @@ def gif_decode_frames(
                         idx * 3 : idx * 3 + 3
                     ]
             frames.append(bytes(canvas))
+            if disposal == 2:
+                # restore-to-background: the NEXT frame composes onto
+                # the frame's rect filled with the background color
+                for r in range(fh):
+                    base = ((fy + r) * cw + fx) * 3
+                    canvas[base : base + fw * 3] = bg_rgb * fw
             trans = None
+            disposal = 0
             if max_frames is not None and len(frames) >= max_frames:
                 return cw, ch, frames
         elif b0 == 0x3B:

@@ -160,6 +160,13 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # its equality twin knn_join_ivf_matches_inline in-window and the
     # recall family keeps ann_ivfpq_recall).
     "decontam_remove_spans",
+    # NEW round 9 (mid-round, oracle-backed): SPECTRAL audio near-dup —
+    # FFT band-activity fingerprint (frequency content) beside the
+    # envelope form (amplitude rhythm); ground-truth oracle over a
+    # spectrally-rich non-stationary fixture corpus. Rotated out:
+    # quality_classifier_scores (r5-r8 greens; the quality family keeps
+    # the strictly-stronger TRAINED variant in-window).
+    "audio_spectral_near_dup",
     # r8 debutantes re-verified (second driver row): the replication-
     # proof near-dup SCALE path (rows-only) + its oracle-backed
     # survivor-set equality twin
@@ -216,7 +223,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # r05 gram-path rework re-verification (shared token_ngrams fast path)
     "dedup_repeated_spans",
     "bm25_keyword_search",
-    "quality_classifier_scores",
     # r06 debutantes re-verified: dataset card + the paragraph family
     "corpus_datacard",
     "paragraph_dedup_docs",

@@ -110,3 +110,87 @@ def test_fingerprint_noise_robustness():
         int(x) for x in np.clip(base + rng.normal(0, 600, base.size), -32768, 32767)
     ]
     assert _ham(f0, audio_fingerprint64(noisy)) <= 3
+
+
+# ---------------------------------------------------------------------------
+# Spectral fingerprint (round 9): margins per duplicate class, rhythm-vs-
+# frequency complementarity, totality, and oracle parity.
+# ---------------------------------------------------------------------------
+
+
+def _sham(a: int, b: int) -> int:
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+def test_spectral_margins_per_class():
+    import itertools
+
+    import numpy as np
+
+    from delta_lake_optimizations_spark.operators.audiofp import (
+        _RATE,
+        _rich_fixture_samples,
+        spectral_fingerprint64,
+    )
+
+    clips = {i: _rich_fixture_samples(seed=700 + i) for i in range(3)}
+    clips[3] = [int(x * 0.5) for x in clips[0]]
+    rng = np.random.default_rng(5)
+    a1 = np.asarray(clips[1], float)
+    clips[4] = [
+        int(x) for x in np.clip(a1 + rng.normal(0, 220, a1.size), -32768, 32767)
+    ]
+    clips[5] = list(clips[2])
+    for i in range(6, 9):
+        clips[i] = _rich_fixture_samples(seed=1700 + 31 * i)
+    fp = {i: spectral_fingerprint64(s, _RATE) for i, s in clips.items()}
+    for a, b in [(0, 3), (1, 4), (2, 5)]:
+        assert _sham(fp[a], fp[b]) <= 2, (a, b)
+    for a, b in itertools.combinations(range(9), 2):
+        if (a, b) not in [(0, 3), (1, 4), (2, 5)]:
+            assert _sham(fp[a], fp[b]) >= 14, (a, b)
+
+
+def test_spectral_and_envelope_are_complementary():
+    """A clip with the SAME amplitude rhythm but different frequencies
+    fools the envelope fingerprint and not the spectral one."""
+    import numpy as np
+
+    from delta_lake_optimizations_spark.operators.audiofp import (
+        _RATE,
+        audio_fingerprint64,
+        spectral_fingerprint64,
+    )
+
+    n = 8000
+    t = np.arange(n) / _RATE
+    env = 0.55 + 0.45 * np.sign(np.sin(2 * np.pi * 4.0 * t))
+    a = [int(x) for x in env * np.sin(2 * np.pi * 300 * t) * 11000]
+    b = [int(x) for x in env * np.sin(2 * np.pi * 2400 * t) * 11000]
+    assert _sham(audio_fingerprint64(a), audio_fingerprint64(b)) <= 6
+    assert _sham(
+        spectral_fingerprint64(a, _RATE), spectral_fingerprint64(b, _RATE)
+    ) >= 8
+
+
+def test_audio_fingerprints_carries_both_columns(spark):
+    from delta_lake_optimizations_spark.operators.audiofp import (
+        audio_fingerprints,
+        synthetic_spectral_audio_assets,
+    )
+
+    rows = audio_fingerprints(synthetic_spectral_audio_assets(spark)).collect()
+    assert all(
+        r["fingerprint"] is not None and r["spectral_fp"] is not None
+        for r in rows
+    )
+    assert all(r["decoder"] == "wav-pcm" for r in rows)
+
+
+def test_audio_spectral_near_dup_oracle_parity(spark, duck):
+    from delta_lake_optimizations_spark.registry import registry
+
+    from .conftest import SF_DIR, compare_spark_duckdb
+
+    qd = registry()["audio_spectral_near_dup"]
+    compare_spark_duckdb(qd.fn(spark, SF_DIR), duck, qd.oracle)

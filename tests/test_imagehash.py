@@ -465,3 +465,42 @@ def test_gif_local_color_table_does_not_recolor_prior_frames():
     a1 = np.frombuffer(frames[0], np.uint8).reshape(2, 4, 3)
     assert a2[1, 3].tolist() == a1[1, 3].tolist()
     assert a2[0, 1].tolist() == a1[0, 1].tolist()
+
+
+def test_gif_disposal_restore_to_background():
+    """A frame whose GCE declares disposal method 2 is erased to the
+    background color before the next frame composes — a later partial
+    frame must not inherit its pixels."""
+    import struct as _struct
+
+    import numpy as np
+
+    from delta_lake_optimizations_spark.operators.imagehash import (
+        gif_decode_frames,
+        gif_encode_frames,
+    )
+
+    # base single-frame GIF: 4x2, colors idx0 (=background) and idx1
+    f1 = np.array([[0, 1, 1, 0], [1, 1, 1, 1]], np.uint8) * 9
+    base = gif_encode_frames(4, 2, 1, [f1.tobytes()])
+    body = bytearray(base[:-1])
+    # inject a GCE with disposal=2 BEFORE the (only) image descriptor
+    img_at = body.find(b"\x2c")
+    gce = b"\x21\xf9\x04" + bytes(((2 << 2),)) + b"\x00\x00\x00\x00"
+    body[img_at:img_at] = gce
+    # second frame: 1x1 rect at (3,1) painting index 1
+    mcs = 2
+    bits = (4) | (1 << 3) | (5 << 6)  # CLEAR, literal 1, EOI at width 3
+    lzw = _struct.pack("<H", bits)[:2]
+    body += b"\x2c" + _struct.pack("<HHHHB", 3, 1, 1, 1, 0)
+    body += bytes((mcs,)) + bytes((len(lzw),)) + lzw + b"\x00" + b"\x3b"
+    w, h, frames = gif_decode_frames(bytes(body))
+    assert len(frames) == 2
+    a1 = np.frombuffer(frames[0], np.uint8).reshape(2, 4, 3)
+    a2 = np.frombuffer(frames[1], np.uint8).reshape(2, 4, 3)
+    # frame 1 rendered normally
+    assert (a1[0, 1] != a1[0, 0]).any()
+    # frame 2: everything except its own 1x1 rect restored to background
+    bg = a1[0, 0].tolist()  # index 0 IS the background color here
+    assert a2[0, 1].tolist() == bg and a2[1, 0].tolist() == bg
+    assert a2[1, 3].tolist() == a1[0, 1].tolist()  # its own painted pixel
