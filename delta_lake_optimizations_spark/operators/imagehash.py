@@ -622,27 +622,51 @@ def image_hashes(assets: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return assets.mapInPandas(hash_batches, schema=IMAGE_HASH_SCHEMA)
 
 
+def bands_for_hamming(max_hamming: int) -> int:
+    """Smallest power-of-two band count whose pigeonhole bound covers
+    ``max_hamming`` (n bands of 64/n bits guarantee any pair within
+    Hamming n-1 shares a band). ADVICE r9: the fixed 4x16 scheme only
+    guaranteed recall for Hamming <= 3 while the near-dup queries filter
+    at 6 — a pair with one flipped bit per band was silently droppable."""
+    for n in (2, 4, 8, 16):
+        if n - 1 >= max_hamming:
+            return n
+    raise ValueError(f"max_hamming {max_hamming} needs bands narrower than 4 bits")
+
+
 def banded_candidates(
     sigs: DataFrame,
     id_col: str = "_id",
     sig_col: str = "_sig",
     carry: tuple[str, ...] = (),
+    n_bands: int = 4,
 ) -> DataFrame:
-    """Shared 16-bit-band candidate scheme (SimHash/image/video): each
-    64-bit signature explodes into four 16-bit bands (pigeonhole: pairs
-    within Hamming 3 always share a band), candidates equi-join on
-    (band_idx, band_val) with ``id < id2``, deduped per (id[, carry],
-    id2[, carry2]). One definition so the image and video paths cannot
-    silently diverge (review finding). ``carry`` columns ride along on
-    both sides with a ``2`` suffix."""
+    """Shared banded candidate scheme (SimHash/image/video): each 64-bit
+    signature explodes into ``n_bands`` equal bands (pigeonhole: pairs
+    within Hamming ``n_bands - 1`` always share a band), candidates
+    equi-join on (band_idx, band_val) with ``id < id2``, deduped per
+    (id[, carry], id2[, carry2]). One definition so the image and video
+    paths cannot silently diverge (review finding). ``carry`` columns
+    ride along on both sides with a ``2`` suffix.
+
+    Scale tradeoff: narrower bands = guaranteed recall at a larger
+    Hamming radius but more random band collisions (expected candidate
+    volume ~ n_bands * N^2 / 2^(64/n_bands)). At billion-image scale
+    prefer n_bands=4 (16-bit bands) with max_hamming <= 3, or a longer
+    signature; n_bands=8 (the ADVICE r9 recall fix for the
+    max_hamming=6 queries) is the right dial up to ~10M items."""
+    if 64 % n_bands:
+        raise ValueError("n_bands must divide 64")
+    width = 64 // n_bands
+    mask = (1 << width) - 1
     cols = [id_col, sig_col, *carry]
     chunks = sigs.select(
         *cols,
         F.posexplode(
             F.array(
                 *[
-                    F.shiftright(F.col(sig_col), 16 * c).bitwiseAND(F.lit(0xFFFF))
-                    for c in range(4)
+                    F.shiftright(F.col(sig_col), width * c).bitwiseAND(F.lit(mask))
+                    for c in range(n_bands)
                 ]
             )
         ).alias("band_idx", "band_val"),
@@ -669,14 +693,17 @@ def phash_near_pairs(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Near-dup image pairs by perceptual-hash Hamming distance, blocked
-    on 16-bit bands — the identical candidate scheme as the text side's
-    ``simhash_near_pairs`` (dedup.py): pigeonhole guarantees pairs within
-    Hamming 3 share a band; equi-join on (band_idx, band_val), then the
-    exact ``bit_count(xor)`` filter. No cross join at any scale."""
+    on equal-width bands (same candidate scheme as the text side's
+    ``simhash_near_pairs``, dedup.py): the band count adapts to
+    ``max_hamming`` (``bands_for_hamming``) so pigeonhole GUARANTEES any
+    pair within the filter radius shares a band — no silent recall gap
+    between the candidate stage and the exact ``bit_count(xor)`` filter
+    (ADVICE r9). Equi-join on (band_idx, band_val); no cross join at any
+    scale."""
     sigs = hashes.filter(F.col(hash_col).isNotNull()).select(
         F.col(id_col).alias("_id"), F.col(hash_col).alias("_sig")
     )
-    cand = banded_candidates(sigs)
+    cand = banded_candidates(sigs, n_bands=bands_for_hamming(max_hamming))
     hamming = F.bit_count(F.col("_sig").bitwiseXOR(F.col("_sig2")))
     return (
         cand.withColumn("hamming", hamming.cast("int"))

@@ -186,12 +186,21 @@ def jpeg_decode(data: bytes) -> tuple[int, int, int, bytes]:
     w = h = 0
     restart_interval = 0
     scan_pos = None
-    while pos + 4 <= len(data):
+    while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("corrupt JPEG marker stream")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         if marker == 0xD9:
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+            # TEM / RSTn / SOI: standalone markers, no length field
+            pos += 2
+            continue
+        if pos + 4 > len(data):
+            raise ValueError("truncated JPEG")
         seg_len = struct.unpack_from(">H", data, pos + 2)[0]
         body = data[pos + 4 : pos + 2 + seg_len]
         if marker == 0xDB:  # DQT

@@ -84,17 +84,22 @@ def _decode_dims(payload: bytes | None) -> tuple[int | None, int | None, str]:
                 return int(img.width), int(img.height), "pil"
         except Exception:
             pass  # not an image PIL knows — fall through
-    # PNG/BMP/GIF need no media library at all: the stdlib pixel cascade
-    # (operators/imagehash.py — also the perceptual-hash near-dup path)
-    # decodes REAL pixels, closing the r08 "no pixel access" gap
-    import zlib as _zlib
-
-    from delta_lake_optimizations_spark.operators.imagehash import pixel_decode
+    # PNG/BMP/GIF/JPEG need no media library at all: the stdlib pixel
+    # cascade (operators/imagehash.py — also the perceptual-hash near-dup
+    # path) decodes REAL pixels, closing the r08 "no pixel access" gap.
+    # Catch the cascade's FULL error set (DECODE_ERRORS includes
+    # struct.error/KeyError/IndexError from the jpeg tier on truncated
+    # payloads — ADVICE r9: (ValueError, zlib.error) alone let one
+    # malformed JPEG kill the whole mapInPandas task).
+    from delta_lake_optimizations_spark.operators.imagehash import (
+        DECODE_ERRORS,
+        pixel_decode,
+    )
 
     try:
         w, h, _nch, _pix, codec = pixel_decode(b)
         return int(w), int(h), codec
-    except (ValueError, _zlib.error):
+    except DECODE_ERRORS:
         pass  # no stdlib codec matches — fall through
     from delta_lake_optimizations_spark.operators.mediaprobe import probe_media
 
@@ -142,11 +147,10 @@ def _png_resize(payload: bytes, max_side: int) -> tuple[int, int, bytes] | None:
     """REAL resize for PNG payloads: stdlib pixel decode -> per-channel
     box-average downscale -> deterministic PNG re-encode. Returns None
     for non-PNG bytes (caller falls back)."""
-    import zlib
-
     import numpy as np
 
     from delta_lake_optimizations_spark.operators.imagehash import (
+        DECODE_ERRORS,
         _box_resize,
         png_decode,
         png_encode,
@@ -154,7 +158,7 @@ def _png_resize(payload: bytes, max_side: int) -> tuple[int, int, bytes] | None:
 
     try:
         w, h, nch, pix = png_decode(bytes(payload))
-    except (ValueError, zlib.error):
+    except DECODE_ERRORS:  # incl. struct.error on a truncated IHDR (ADVICE r9)
         return None
     scale = min(1.0, max_side / max(w, h))
     nw, nh = max(1, int(w * scale)), max(1, int(h * scale))

@@ -105,12 +105,18 @@ def video_near_pairs(
     min_match_frac: float = 0.5,
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Clip-level near-dup pairs: frames collide through 16-bit Hamming
-    bands (the image/SimHash candidate scheme), a frame PAIR matches at
-    Hamming <= ``max_hamming``, and a CLIP pair survives when matched
-    frames cover >= ``min_match_frac`` of the shorter clip's sampled
-    frames — trimmed or re-encoded copies collapse, clips sharing one
-    incidental frame do not."""
+    """Clip-level near-dup pairs: frames collide through Hamming bands
+    sized to ``max_hamming`` (the image/SimHash candidate scheme —
+    ``bands_for_hamming`` guarantees candidate recall at the filter
+    radius, ADVICE r9), a frame PAIR matches at Hamming <=
+    ``max_hamming``, and a CLIP pair survives when matched frames cover
+    >= ``min_match_frac`` of the shorter clip's sampled frames — trimmed
+    or re-encoded copies collapse, clips sharing one incidental frame do
+    not."""
+    from delta_lake_optimizations_spark.operators.imagehash import (
+        bands_for_hamming,
+    )
+
     sigs = frame_hashes.filter(F.col("ahash").isNotNull()).select(
         F.col(id_col).alias("_vid"),
         F.col("frame_idx").alias("_fidx"),
@@ -118,7 +124,8 @@ def video_near_pairs(
         F.col("ahash").alias("_sig"),
     )
     cand = banded_candidates(
-        sigs, id_col="_vid", sig_col="_sig", carry=("_fidx", "_nf")
+        sigs, id_col="_vid", sig_col="_sig", carry=("_fidx", "_nf"),
+        n_bands=bands_for_hamming(max_hamming),
     )
     hamming = F.bit_count(F.col("_sig").bitwiseXOR(F.col("_sig2")))
     matched = cand.filter(hamming <= F.lit(max_hamming))

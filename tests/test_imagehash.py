@@ -504,3 +504,33 @@ def test_gif_disposal_restore_to_background():
     bg = a1[0, 0].tolist()  # index 0 IS the background color here
     assert a2[0, 1].tolist() == bg and a2[1, 0].tolist() == bg
     assert a2[1, 3].tolist() == a1[0, 1].tolist()  # its own painted pixel
+
+
+def test_banded_candidates_recall_at_filter_radius(spark):
+    """ADVICE r9: a pair at Hamming 4-6 whose flipped bits land one per
+    16-bit band shared NO band under the fixed 4x16 scheme and was
+    silently dropped despite passing the max_hamming=6 filter. The band
+    count now adapts (bands_for_hamming) so pigeonhole covers the query
+    radius."""
+    from delta_lake_optimizations_spark.operators.imagehash import (
+        bands_for_hamming,
+    )
+
+    assert bands_for_hamming(3) == 4
+    assert bands_for_hamming(6) == 8
+    assert bands_for_hamming(7) == 8
+    # adversarial signature pair: Hamming 4, one flipped bit in each
+    # 16-bit band (bits 0, 16, 32, 48)
+    a = 0
+    b = (1 << 0) | (1 << 16) | (1 << 32) | (1 << 48)
+    hashes = spark.createDataFrame(
+        [(1, a), (2, b)], "doc_id long, ahash long"
+    )
+    got = phash_near_pairs(hashes, max_hamming=6).collect()
+    assert len(got) == 1 and got[0]["hamming"] == 4
+    # and a Hamming-8 pair stays excluded by the exact filter
+    c = b | (1 << 8) | (1 << 24) | (1 << 40) | (1 << 56)
+    hashes2 = spark.createDataFrame(
+        [(1, a), (2, c)], "doc_id long, ahash long"
+    )
+    assert phash_near_pairs(hashes2, max_hamming=6).count() == 0

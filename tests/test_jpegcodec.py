@@ -142,3 +142,18 @@ def test_420_with_restarts_and_odd_dims():
     assert (w, h, nch) == (29, 37, 3)
     a = np.frombuffer(pix, np.uint8).astype(float).reshape(37, 29, 3)
     assert np.abs(a - g).mean() < 1.5
+
+
+def test_fill_bytes_and_standalone_markers_in_header():
+    """ADVICE r9: T.81-legal fill bytes (repeated 0xFF before a marker)
+    and standalone TEM markers in the header walk must not derail the
+    segment parser — real-world baseline JPEGs use both."""
+    base = jpeg_encode(17, 9, 1, bytes(range(0, 153)), 90)
+    ref = jpeg_decode(base)
+    # inject two fill bytes + a TEM marker right after SOI
+    patched = base[:2] + b"\xff\xff\xff\x01" + base[2:]
+    assert jpeg_decode(patched) == ref
+    # fill bytes immediately before an existing segment marker deeper in
+    i = base.find(b"\xff\xc4")
+    patched2 = base[:i] + b"\xff" + base[i:]
+    assert jpeg_decode(patched2) == ref

@@ -128,3 +128,45 @@ def test_real_media_fixtures_use_real_decoder(spark):
     assert wav["detected"] == "audio/wav"
     assert wav["sample_rate"] == 8000 and wav["channels"] == 1
     assert wav["duration_ms"] == 250
+
+
+def test_decode_assets_hostile_truncated_payloads(spark):
+    """ADVICE r9 (high): truncated/corrupt media-prefixed payloads must
+    degrade to the fallback row, never kill the mapInPandas task — the
+    jpeg tier raises struct.error/IndexError which the old
+    (ValueError, zlib.error) handler let escape."""
+    hostile = [
+        (1, bytearray(b"\xff\xd8\xff\xc0\x00\x03\x08")),  # struct.error repro
+        (2, bytearray(b"\xff\xd8\xff\xc0\x00\x02")),  # IndexError repro
+        (3, bytearray(b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\x0dIHDR\x00\x00")),
+        (4, bytearray(b"GIF89a\x05")),  # truncated GIF header
+        (5, bytearray(b"BM\x06\x00")),  # truncated BMP header
+        (6, bytearray(b"\xff\xd8\xff\xdb\x00\x05\x00\x01\x02")),  # bad DQT
+    ]
+    assets = spark.createDataFrame(
+        [(i, p, "application/octet-stream", len(p)) for i, p in hostile],
+        "doc_id long, payload binary, mime string, n_bytes long",
+    )
+    out = {r["doc_id"]: r for r in decode_assets(assets).collect()}
+    assert len(out) == len(hostile)  # totality: every row survives
+    for i, _ in hostile:
+        assert out[i]["decoder"] == "fallback", out[i]
+
+
+def test_resize_assets_hostile_truncated_png(spark):
+    """ADVICE r9 (low): a truncated IHDR raises struct.error inside
+    png_decode — _png_resize must fall back to the non-PNG path rather
+    than kill the resize task."""
+    from delta_lake_optimizations_spark.operators.multimodal import resize_assets
+
+    assets = spark.createDataFrame(
+        [
+            (1, bytearray(b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\x0dIHDR\x00"), "x"),
+            (2, bytearray(b"plain bytes, no container"), "x"),
+        ],
+        "doc_id long, payload binary, mime string",
+    )
+    rows = resize_assets(assets, max_side=8).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert r["width"] >= 1 and r["height"] >= 1
