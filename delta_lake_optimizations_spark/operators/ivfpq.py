@@ -322,6 +322,22 @@ def _lut_flat(books: list[list[list[float]]], query_vec: list[float]) -> list[fl
     return flat
 
 
+def _const_darray(values: list[float]):
+    """ONE-node ``array<double>`` literal. ``F.lit(list)`` expands to
+    ``F.array`` of per-element Literal NODES in PySpark (832 nodes per
+    probe at production dials — slow analysis + query-dependent codegen,
+    the r08 #1c disease), and ``F.lit(ndarray)`` pays a py4j per-element
+    conversion (~0.1 s for 512 doubles). A single JSON string literal
+    crosses py4j in one call and Catalyst's ConstantFolding evaluates
+    the foldable ``from_json`` ONCE at optimization time into a
+    Literal(ArrayData) — zero runtime cost, query-INDEPENDENT generated
+    code (the array rides the codegen reference table). Bit-exact:
+    json.dumps emits shortest-round-trip reprs and Jackson parses them
+    back to the identical doubles (pinned by pytest). Finite values
+    only (NaN/Infinity are not JSON)."""
+    return F.from_json(F.lit(_json.dumps(values)), "array<double>")
+
+
 def _with_adc_score(
     cand: DataFrame,
     books: list[list[list[float]]],
@@ -331,31 +347,36 @@ def _with_adc_score(
     code_col: str = "pq_code",
     norm_col: str = "vnorm",
 ):
-    """IP-ADC score with EVERY query-dependent value riding a BROADCAST
-    1-row parameter table instead of literal expressions: the literal
-    form (``_ip_adc_score``) pays Catalyst analysis + Janino codegen for
-    M*ksub Literal nodes (plus a per-cell CASE and a dim-length query
-    array downstream) on EVERY probe — the dominant share of the probe's
-    fixed per-query cost at local bench scale (VERDICT r08 #1c). Here the
-    plan carries one tiny broadcast with three array columns —
-    ``_adc_lut`` (flat M*ksub LUT), ``_qc_arr`` (dot(q, centroid_c) for
-    every cell, indexed by list_id), ``_qv`` (the query itself, for the
-    refine's exact cosine) — and the generated code is QUERY-INDEPENDENT:
-    successive probes with different vectors reuse the same compiled
-    class (Janino cache hit), paying only data, not compilation. Values
-    are identical doubles in the identical summation order as the
-    literal form, so scores are bit-for-bit the same (pinned by pytest).
-    Returns ``(cand_with_params, score_column)``."""
-    spark = cand.sparkSession
+    """IP-ADC score with EVERY query-dependent value riding a single-node
+    ARRAY LITERAL per parameter instead of per-element literal
+    expressions or a parameter table. History of this choke point: the
+    original form (``_ip_adc_score``) paid Catalyst analysis + Janino
+    codegen for M*ksub individual Literal NODES on every probe (VERDICT
+    r08 #1c); the r8 fix moved the values onto a broadcast 1-row
+    parameter DataFrame — query-independent codegen, but the table was
+    built with ``createDataFrame`` (a PythonRDD), so EVERY probe paid a
+    Python-worker round trip + broadcast-build job just to ship ~7 KB
+    (measured ~0.4 s of the probe's ~1.0 s at the 800k bench — VERDICT
+    r09 #1). This form keeps both wins with neither cost: ``F.lit(list)``
+    makes ONE Literal node per parameter whose ArrayData rides the
+    generated code's reference array (``ctx.addReferenceObj``), so the
+    compiled class stays QUERY-INDEPENDENT (Janino cache hit) and the
+    plan has no join, no broadcast, no Python RDD — just a projection
+    over the pruned scan. Columns ``_adc_lut`` (flat M*ksub LUT),
+    ``_qc_arr`` (dot(q, centroid_c) per cell, indexed by list_id), and
+    ``_qv`` (the query itself, for the refine's exact cosine). Values
+    are identical doubles in the identical summation order as both
+    earlier forms, so scores are bit-for-bit the same (pinned by
+    pytest). Returns ``(cand_with_params, score_column)``."""
     ksub = len(books[0])
     qc_arr = [
         _math.fsum(q * cc for q, cc in zip(query_vec, c)) for c in centroids
     ]
-    param_df = spark.createDataFrame(
-        [(_lut_flat(books, query_vec), qc_arr, [float(x) for x in query_vec])],
-        "_adc_lut array<double>, _qc_arr array<double>, _qv array<double>",
+    cand2 = (
+        cand.withColumn("_adc_lut", _const_darray(_lut_flat(books, query_vec)))
+        .withColumn("_qc_arr", _const_darray(qc_arr))
+        .withColumn("_qv", _const_darray([float(x) for x in query_vec]))
     )
-    cand2 = cand.crossJoin(F.broadcast(param_df))
     ip = None
     for sub in range(len(books)):
         term = F.element_at(
@@ -378,27 +399,34 @@ def _adc_refine_topk(
 ) -> DataFrame:
     """Shared scoring tail: IP-ADC over the code + norm columns -> top
     ``k * refine_factor`` by approximated cosine -> exact cosine re-rank
-    from ``vec_col``. ``cand`` must carry (list_id, id, code, norm,
-    vector); column pruning keeps the vector bytes untouched until the
-    broadcast-joined refine. When ``cand`` carries the broadcast ``_qv``
-    parameter column (``_with_adc_score``) the exact cosine uses it —
-    keeping the generated code query-independent; otherwise the query
-    rides as a literal array (the inline/backcompat path)."""
-    approx = (
-        cand.select(id_col, score.alias("adc_score"))
+    from ``vec_col``, as ONE single-scan plan: the float vector rides
+    the per-partition ADC top-k heap (k*rf rows of dim doubles — bytes,
+    not a stage), so the shortlist arrives WITH its vectors and the
+    refine is a trivial k*rf-row re-sort. The earlier two-scan form
+    (ADC top-k -> broadcast-join the shortlist back against a second
+    pass over the probed cells) read the probed cells twice and paid a
+    broadcast-build job per probe — ~0.5 s of fixed latency that made
+    the single probe lose to an 0.64 s brute scan at the 800k bench
+    point (VERDICT r09 #1). Note the scan itself still reads the float
+    column for every probed row either way (the shortlist filter is not
+    parquet-pushable); the layout that avoids that read is the SQ8
+    refine (``refine='sq8'``). When ``cand`` carries the broadcast
+    ``_qv`` parameter column (``_with_adc_score``) the exact cosine
+    uses it — keeping the generated code query-independent; otherwise
+    the query rides as a literal array (the inline/backcompat path)."""
+    if "_qv" in cand.columns:
+        qexpr = F.col("_qv")
+        carry = [id_col, vec_col, "_qv"]
+    else:
+        qexpr = _const_darray([float(x) for x in query_vec])
+        carry = [id_col, vec_col]
+    shortlist = (
+        cand.select(*carry, score.alias("adc_score"))
         .orderBy(F.col("adc_score").desc(), F.col(id_col).asc())
         .limit(k * refine_factor)
     )
-    if "_qv" in cand.columns:
-        qexpr = F.col("_qv")
-        refine_cols = [id_col, vec_col, "_qv"]
-    else:
-        qexpr = F.array(*[F.lit(float(x)) for x in query_vec])
-        refine_cols = [id_col, vec_col]
     return (
-        cand.select(*refine_cols)
-        .join(F.broadcast(approx), id_col)
-        .select(
+        shortlist.select(
             id_col,
             F.round(cosine(F.col(vec_col), qexpr), 6).alias("cos_sim"),
         )
@@ -441,12 +469,7 @@ def ann_topk_from_ivfpq_index(
     const = _math.fsum(q * v for q, v in zip(query_vec, vmin)) + 128.5 * _math.fsum(
         qscale
     )
-    qscale_arr = F.array(*[F.lit(float(x)) for x in qscale])
-    approx = (
-        cand.select(id_col, score.alias("adc_score"))
-        .orderBy(F.col("adc_score").desc(), F.col(id_col).asc())
-        .limit(k * refine_factor)
-    )
+    qscale_arr = _const_darray([float(x) for x in qscale])
     sq8_dot = F.aggregate(
         F.zip_with(F.col("sq8"), qscale_arr, lambda c, s: c * s),
         F.lit(0.0),
@@ -457,10 +480,17 @@ def ann_topk_from_ivfpq_index(
     )
     # sq8 narrows the ADC's k*rf shortlist to k*4 (slack for quantization
     # swaps near the boundary — k alone measured recall 0.94 vs exact's
-    # 1.0 at the 800k bench; the exact tail below re-ranks the slack away)
+    # 1.0 at the 800k bench; the exact tail below re-ranks the slack
+    # away). The int8 column rides the per-partition ADC top-k heap
+    # (k*rf rows of dim bytes) so the whole shortlist is ONE scan of the
+    # warm columns — the earlier form re-scanned the probed cells and
+    # broadcast-joined the ADC shortlist back, a second pass + broadcast
+    # build whose fixed latency dominated the probe at the 800k bench
+    # (VERDICT r09 #1); the float column stays untouched either way.
     warm = (
-        cand.select(id_col, "sq8", "vnorm")
-        .join(F.broadcast(approx), id_col)
+        cand.select(id_col, "sq8", "vnorm", score.alias("adc_score"))
+        .orderBy(F.col("adc_score").desc(), F.col(id_col).asc())
+        .limit(k * refine_factor)
         .select(id_col, sq8_score.alias("_sq8"))
         .orderBy(F.col("_sq8").desc(), F.col(id_col).asc())
         .limit(k * 4)
@@ -469,7 +499,7 @@ def ann_topk_from_ivfpq_index(
     # an IN filter into the parquet scan instead of decoding the float
     # column for every probed row
     final_ids = [r[0] for r in warm.collect()]
-    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    qlit = _const_darray([float(x) for x in query_vec])
     if not final_ids:
         # empty shortlist (empty/tiny index, all-null cells): isin([]) is
         # version-dependent edge-case territory — return a typed empty

@@ -777,17 +777,26 @@ def knn_join_from_sharded(
     qvecs = queries.select(
         F.col(id_col).alias("_sid2"), F.col(vec_col).alias("_qv")
     )
+    # cosine computes MAP-SIDE (query vectors rejoin by broadcast before
+    # any exchange), so the fact shuffle carries (src_id, nbr_id,
+    # cos_sim) — ~24 bytes/row instead of the full float vector (~20x
+    # slimmer; the fat candidate shuffle was the batch probe's tail,
+    # VERDICT r09 #4). A pair surfaces once per agreeing table (<=
+    # n_tables duplicates) with an identical score, so max() is pure
+    # dedupe — and groupBy gives it a map-side partial combine, shrinking
+    # duplicates before they ever ship. The per-query top-k window then
+    # re-clusters the DEDUPED slim rows (second exchange, but of k-ish
+    # rows per query, not candidates).
     w = Window.partitionBy("src_id").orderBy(F.col("cos_sim").desc(), F.col("nbr_id"))
     return (
-        pairs.select("src_id", "nbr_id", "_nv")
-        .repartition(F.col("src_id"))
-        .dropDuplicates(["src_id", "nbr_id"])
-        .join(F.broadcast(qvecs), F.col("src_id") == F.col("_sid2"))
+        pairs.join(F.broadcast(qvecs), F.col("src_id") == F.col("_sid2"))
         .select(
             "src_id",
             "nbr_id",
             F.round(cosine(F.col("_qv"), F.col("_nv")), 6).alias("cos_sim"),
         )
+        .groupBy("src_id", "nbr_id")
+        .agg(F.max("cos_sim").alias("cos_sim"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .drop("rn")

@@ -316,8 +316,11 @@ def test_sharded_ranked_probe_returns_topk_from_probed_buckets(spark, tmp_path):
 def test_knn_join_from_sharded_plan_and_equality(spark, tmp_path):
     """Batch k-NN join from the index: equals the inline multi-table
     self-join at the same dial, index side broadcast-joined (never
-    sort-merge shuffled), and the pair dedupe + per-query window share
-    ONE fact exchange (the explicit src_id repartition)."""
+    sort-merge shuffled), and — the r10 slim-shuffle rework (VERDICT r09
+    #4) — the cosine computes MAP-SIDE so no exchange ever carries the
+    float vectors: one (src_id, nbr_id) exchange of ~24-byte scored rows
+    fed by a PARTIAL max (map-side dedupe combine), then one src_id
+    exchange of the already-deduped rows for the top-k window."""
     import re
 
     from delta_lake_optimizations_spark.operators.lsh_index import (
@@ -348,7 +351,24 @@ def test_knn_join_from_sharded_plan_and_equality(spark, tmp_path):
     # plan section only
     plan = plan.split("== Initial Plan ==")[0]
     assert "SortMergeJoin" not in plan, "index side must not shuffle for the join"
-    # exactly ONE src_id exchange (the explicit repartition); the pair
-    # dedupe and the top-k window must reuse it, not add their own
-    n_ex = len(re.findall(r"\bExchange hashpartitioning\(src_id", plan))
-    assert n_ex == 1, plan
+    # ONE slim (src_id, nbr_id) exchange for the dedupe agg + ONE src_id
+    # exchange of the deduped rows for the window — and nothing else
+    n_pair_ex = len(
+        re.findall(r"\bExchange hashpartitioning\(src_id#\d+L?, nbr_id", plan)
+    )
+    n_src_ex = len(
+        re.findall(r"\bExchange hashpartitioning\(src_id#\d+L?, \d+\)", plan)
+    )
+    assert (n_pair_ex, n_src_ex) == (1, 1), plan
+    # the dedupe max() combines map-side, shrinking table-duplicate pairs
+    # before the shuffle
+    assert "partial_max" in plan, plan
+    # the exchanged rows are the slim scored triple: cosine is computed
+    # BELOW the first exchange (map-side), so no vector column rides a
+    # shuffle — `zip_with` (the cosine kernel) must not appear between
+    # the exchanges and the window
+    pair_ex_pos = plan.index("Exchange hashpartitioning(src_id")
+    assert "zip_with" not in plan[:pair_ex_pos], (
+        "cosine must sit below the exchange (deeper in the plan tree), "
+        "not above it"
+    )
