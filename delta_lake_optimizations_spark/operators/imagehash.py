@@ -497,7 +497,8 @@ def gif_encode(width: int, height: int, channels: int, pixels: bytes) -> bytes:
 
 def pixel_decode(data: bytes) -> tuple[int, int, int, bytes, str]:
     """Stdlib pixel-decode cascade: PNG (zlib+unfilter) -> BMP -> GIF
-    (LZW) -> baseline JPEG (Huffman+IDCT, ``operators/jpegcodec.py``).
+    (LZW) -> baseline + progressive JPEG (Huffman+IDCT,
+    ``operators/jpegcodec.py``).
     Returns ``(w, h, nch, pixels, decoder)``; raises ValueError when no
     codec matches — callers decide fallback policy."""
     try:
@@ -813,13 +814,15 @@ def image_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def cross_format_image_assets(spark: SparkSession) -> DataFrame:
-    """12 assets: 3 distinct base images (seeds 100..102), each saved as
-    PNG, BMP, GIF and baseline JPEG (q=90) — SAME picture, four
-    containers, one of them LOSSY. doc_id = 10*base + fmt (0=png,
-    1=bmp, 2=gif, 3=jpeg). Ground truth: the four encodings of a base
-    are mutual near-dups (lossless trio at Hamming 0; JPEG within the
-    hash's tolerance); different bases never pair (Hamming >= 20 at
-    these fixture dials)."""
+    """15 assets: 3 distinct base images (seeds 100..102), each saved as
+    PNG, BMP, GIF, baseline JPEG (q=90) and PROGRESSIVE JPEG (q=90,
+    SOF2 — VERDICT r09 #2: the encoding most large web photos use) —
+    SAME picture, five containers, two of them LOSSY. doc_id = 10*base
+    + fmt (0=png, 1=bmp, 2=gif, 3=jpeg, 4=progressive jpeg). Ground
+    truth: the five encodings of a base are mutual near-dups (lossless
+    trio at Hamming 0; both JPEGs within the hash's tolerance);
+    different bases never pair (Hamming >= 20 at these fixture
+    dials)."""
     from delta_lake_optimizations_spark.operators.jpegcodec import jpeg_encode
 
     n = _FIXTURE_SIZE
@@ -830,6 +833,10 @@ def cross_format_image_assets(spark: SparkSession) -> DataFrame:
         rows.append((10 * i + 1, bytearray(bmp_encode(n, n, 1, g))))
         rows.append((10 * i + 2, bytearray(gif_encode(n, n, 1, g))))
         rows.append((10 * i + 3, bytearray(jpeg_encode(n, n, 1, g, quality=90))))
+        rows.append(
+            (10 * i + 4,
+             bytearray(jpeg_encode(n, n, 1, g, quality=90, progressive=True)))
+        )
     from pyspark.sql import types as T
 
     schema = T.StructType(
@@ -845,7 +852,7 @@ def cross_format_image_assets(spark: SparkSession) -> DataFrame:
     "image_cross_format_near_dup",
     tags=("multimodal", "dedup", "image", "llm-pipeline"),
     oracle="""
-        WITH fmt(f) AS (SELECT unnest(range(4))),
+        WITH fmt(f) AS (SELECT unnest(range(5))),
         base(b) AS (SELECT unnest(range(3)))
         SELECT CAST(10 * b + a.f AS BIGINT) AS img_a,
                CAST(10 * b + c.f AS BIGINT) AS img_b
@@ -856,13 +863,14 @@ def cross_format_image_assets(spark: SparkSession) -> DataFrame:
 )
 def image_cross_format_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-CONTAINER image near-dup: the same picture saved as PNG,
-    BMP, GIF and (lossy) baseline JPEG must collapse, because the
-    hashes are computed from decoded PIXELS (stdlib codec cascade),
-    not from payload bytes — the property a multimodal training
-    pipeline actually needs (the same image recirculates across the
-    web in different containers and across the lossy boundary).
+    BMP, GIF, (lossy) baseline JPEG and (lossy) PROGRESSIVE JPEG must
+    collapse, because the hashes are computed from decoded PIXELS
+    (stdlib codec cascade), not from payload bytes — the property a
+    multimodal training pipeline actually needs (the same image
+    recirculates across the web in different containers and across the
+    lossy boundary; most large web photos are progressive).
     Oracle = the corpus's ground-truth duplicate map (all format pairs
-    within each base — 18 pairs); independent of ``sf_dir`` by design
+    within each base — 30 pairs); independent of ``sf_dir`` by design
     (codec+hash conformance, not corpus analysis)."""
     assets = cross_format_image_assets(spark)
     hashes = image_hashes(assets)

@@ -56,12 +56,12 @@ def test_noise_exercises_every_ac_path():
 def test_refusal_classes():
     with pytest.raises(ValueError, match="not a JPEG"):
         jpeg_decode(b"\x89PNG\r\n\x1a\nrest")
-    # progressive (SOF2) refuses rather than misdecoding
-    prog = bytearray(jpeg_encode(8, 8, 1, bytes(64), 90))
-    i = prog.find(b"\xff\xc0")
-    prog[i + 1] = 0xC2
+    # lossless-sequential (SOF3) refuses rather than misdecoding
+    lossless = bytearray(jpeg_encode(8, 8, 1, bytes(64), 90))
+    i = lossless.find(b"\xff\xc0")
+    lossless[i + 1] = 0xC3
     with pytest.raises(ValueError, match="non-baseline"):
-        jpeg_decode(bytes(prog))
+        jpeg_decode(bytes(lossless))
 
 
 def test_committed_fixture_decodes_with_pinned_dims():
@@ -157,3 +157,105 @@ def test_fill_bytes_and_standalone_markers_in_header():
     i = base.find(b"\xff\xc4")
     patched2 = base[:i] + b"\xff" + base[i:]
     assert jpeg_decode(patched2) == ref
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2) — VERDICT r09 #2
+# ---------------------------------------------------------------------------
+
+
+def test_progressive_gray_matches_baseline_decode():
+    """Same pixels, same quantization: the progressive scan script must
+    reconstruct the SAME coefficients the baseline stream carries, so
+    the decodes agree to within IDCT float rounding (<=1 level)."""
+    yy, xx = np.mgrid[0:40, 0:33]
+    g = ((xx * 5 + yy * 3) % 256).astype(np.uint8)
+    base = jpeg_decode(jpeg_encode(33, 40, 1, g.tobytes(), 95))
+    prog_bytes = jpeg_encode(33, 40, 1, g.tobytes(), 95, progressive=True)
+    prog = jpeg_decode(prog_bytes)
+    assert prog_bytes[2:4] != base  # sanity: different container bytes
+    assert (prog[0], prog[1], prog[2]) == (33, 40, 1)
+    a = np.frombuffer(base[3], np.uint8).astype(int)
+    b = np.frombuffer(prog[3], np.uint8).astype(int)
+    assert int(np.abs(a - b).max()) <= 1
+
+
+def test_progressive_rgb_420_matches_baseline_decode():
+    yy, xx = np.mgrid[0:37, 0:50]
+    rgb = np.stack(
+        [(xx * 3) % 256, (yy * 4) % 256, ((xx + yy) * 2) % 256], -1
+    ).astype(np.uint8)
+    for sub in ("444", "420"):
+        base = jpeg_decode(
+            jpeg_encode(50, 37, 3, rgb.tobytes(), 92, subsampling=sub)
+        )
+        prog = jpeg_decode(
+            jpeg_encode(
+                50, 37, 3, rgb.tobytes(), 92, subsampling=sub,
+                progressive=True,
+            )
+        )
+        assert (prog[0], prog[1], prog[2]) == (50, 37, 3)
+        a = np.frombuffer(base[3], np.uint8).astype(int)
+        b = np.frombuffer(prog[3], np.uint8).astype(int)
+        assert int(np.abs(a - b).max()) <= 1
+
+
+def test_progressive_noise_hits_refinement_and_zrl_paths():
+    """Dense noise floods every band and bit level: EOB runs, ZRL inside
+    refinement scans, correction bits over history coefficients."""
+    rng = np.random.default_rng(17)
+    g = rng.integers(0, 256, size=(48, 41), dtype=np.uint8)
+    base = jpeg_decode(jpeg_encode(41, 48, 1, g.tobytes(), 98))
+    prog = jpeg_decode(
+        jpeg_encode(41, 48, 1, g.tobytes(), 98, progressive=True)
+    )
+    a = np.frombuffer(base[3], np.uint8).astype(int)
+    b = np.frombuffer(prog[3], np.uint8).astype(int)
+    assert int(np.abs(a - b).max()) <= 1
+
+
+def test_progressive_flat_image_accumulates_eob_runs():
+    """A large flat image makes every AC band all-zero: the encoder
+    accumulates multi-block EOB runs (EOBn symbols, run > 1) and the
+    decoder's eobrun skip path must walk them exactly."""
+    flat = np.full((128, 200), 77, np.uint8)
+    w, h, nch, pix = jpeg_decode(
+        jpeg_encode(200, 128, 1, flat.tobytes(), 90, progressive=True)
+    )
+    assert (w, h, nch) == (200, 128, 1)
+    assert _maxerr(pix, flat) == 0
+
+
+def test_progressive_truncation_totality():
+    """Every truncation point of a progressive stream must raise inside
+    DECODE_ERRORS (the mapInPandas totality contract) — never hang,
+    never return garbage dimensions silently."""
+    from delta_lake_optimizations_spark.operators.imagehash import (
+        DECODE_ERRORS,
+    )
+
+    yy, xx = np.mgrid[0:24, 0:24]
+    g = ((xx * 7 + yy) % 256).astype(np.uint8)
+    full = jpeg_encode(24, 24, 1, g.tobytes(), 90, progressive=True)
+    ref = jpeg_decode(full)
+    for cut in range(2, len(full) - 1, max(1, len(full) // 37)):
+        try:
+            got = jpeg_decode(full[:cut])
+        except DECODE_ERRORS:
+            continue
+        # a prefix that still contains complete scans may legally decode
+        assert (got[0], got[1], got[2]) == (ref[0], ref[1], ref[2])
+
+
+def test_pixel_decode_cascade_reports_progressive_jpeg():
+    from delta_lake_optimizations_spark.operators.imagehash import (
+        pixel_decode,
+    )
+
+    g = np.full((16, 16), 200, np.uint8)
+    w, h, nch, pix, codec = pixel_decode(
+        jpeg_encode(16, 16, 1, g.tobytes(), 90, progressive=True)
+    )
+    assert (w, h, nch, codec) == (16, 16, 1, "jpeg-stdlib")
+    assert _maxerr(pix, g) == 0
