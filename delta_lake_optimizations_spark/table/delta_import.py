@@ -350,6 +350,7 @@ def generate_delta_log(
     history: bool = False,
     checkpoint_interval: int = 10,
     force: bool = False,
+    purge: bool = False,
 ) -> dict[str, Any]:
     """EXPORT the GraftTable as a real ``_delta_log`` (the outbound half
     of interop, completing the bidirectional pair with
@@ -386,14 +387,25 @@ def generate_delta_log(
     external Delta reader has no DV sidecar and would resurrect deleted
     rows — the same restriction as ``generate_manifest``) or when column
     mapping is active (physical names on disk differ from the logical
-    schema).
+    schema). ``purge=True`` removes the DV speed bump for snapshot mode
+    (VERDICT r09 #6): it runs ``reorg_purge`` first — a REAL graft
+    commit that rewrites only the DV-carrying files — so the exported
+    snapshot is DV-free by construction. History mode still refuses DV
+    versions even with ``purge=True``: the purge produces a NEW clean
+    version, it cannot rewrite the already-committed history an external
+    reader would replay.
 
-    Driver-side metadata work only; zero data I/O at any scale.
+    Driver-side metadata work only; zero data I/O at any scale (with
+    ``purge=True``, data I/O proportional to the DV-carrying files).
     """
     import shutil
     import time as _time
     import uuid as _uuid
 
+    if purge and not history and any(f.dv_count for f in table.snapshot().files):
+        from delta_lake_optimizations_spark.table.maintenance import reorg_purge
+
+        reorg_purge(table)
     snap = table.snapshot()
     if snap.properties.get("graft.columnMapping", "none") not in ("", "none"):
         raise ValueError(
@@ -661,26 +673,22 @@ def convert_from_delta(
             )
         )
 
-    # materialize the graft log (temp+link, same atomicity as _write_commit;
-    # base_ckpt shifts versions so graft versions == delta versions only
-    # when the log is complete — a checkpoint base renumbers from 0 and the
-    # mapping is recorded per commit as deltaVersion)
+    # materialize the graft log (logstore put-if-absent, same atomicity as
+    # _write_commit; base_ckpt shifts versions so graft versions == delta
+    # versions only when the log is complete — a checkpoint base renumbers
+    # from 0 and the mapping is recorded per commit as deltaVersion)
+    from delta_lake_optimizations_spark.table.logstore import log_store
+
     os.makedirs(t._log_path, exist_ok=True)
     for i, c in enumerate(commits):
         graft_version = c.version - start
         c.version = graft_version
         c.operation_parameters.setdefault("deltaVersion", start + i)
         final = os.path.join(t._log_path, f"{graft_version:011d}.json")
-        tmp = final + f".tmp-{os.getpid()}"
-        with open(tmp, "w") as fh:
-            json.dump(c.to_json(), fh)
         try:
-            os.link(tmp, final)
+            log_store().put_if_absent(final, json.dumps(c.to_json()))
         except FileExistsError:
             raise ValueError(
                 f"concurrent import detected at {final}"
             ) from None
-        finally:
-            if os.path.exists(tmp):
-                os.unlink(tmp)
     return t

@@ -31,8 +31,11 @@ add / remove / metadata — expressed as one JSON object per version)::
       "remove": ["data/.../old.parquet", ...]
     }
 
-Concurrency: single-writer (atomic temp-file + ``os.rename`` per commit) —
-sufficient for the driver and the reference's workshop semantics. Log I/O
+Concurrency: optimistic, exactly-one-winner-per-version. The atomic
+publish primitive is pluggable (``table/logstore.py``): ``link(2)`` on
+POSIX filesystems, conditional-put semantics for object stores (selected
+via ``GRAFT_LOGSTORE``) — the same seam public Delta's LogStore provides,
+because a 100 TB deployment's storage has no hard links. Log I/O
 is driver-side, data I/O is Spark jobs; per-file stats come from parquet
 footers (pyarrow, driver-side, no data scan), capped to the first 32
 columns (the reference's own cap, docs/02-lab-optimizations.md:591).
@@ -56,6 +59,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from delta_lake_optimizations_spark.table.bloom import BLOOM_COLUMNS_PROP
+from delta_lake_optimizations_spark.table.logstore import log_store
 
 _LOG_DIR = "_log"
 _DATA_DIR = "data"
@@ -370,8 +374,10 @@ class GraftTable:
         return sorted(out)
 
     def _read_commit(self, version: int) -> Commit:
-        with open(os.path.join(self._log_path, f"{version:011d}.json")) as fh:
-            return Commit.from_json(json.load(fh))
+        text = log_store().read_text(
+            os.path.join(self._log_path, f"{version:011d}.json")
+        )
+        return Commit.from_json(json.loads(text))
 
     def commits(self) -> list[Commit]:
         return [self._read_commit(v) for v in self._versions()]
@@ -397,7 +403,8 @@ class GraftTable:
         ``base_version`` is the snapshot version the operation READ (-1 for
         a brand-new table). When given, the commit is attempted at exactly
         ``base_version + 1``, so a writer holding a stale snapshot (read v5
-        while another writer landed v6) collides on the link(2) check.
+        while another writer landed v6) collides on the put-if-absent
+        check (``table/logstore.py``).
         When omitted (None), falls back to latest+1 from a directory
         listing — that form only detects two writers racing the SAME
         version, so every snapshot-deriving caller should pass
@@ -452,14 +459,13 @@ class GraftTable:
                 remove=remove,
             )
             final = os.path.join(self._log_path, f"{version:011d}.json")
-            tmp = final + f".tmp-{uuid.uuid4().hex}"
-            with open(tmp, "w") as fh:
-                json.dump(commit.to_json(), fh)
             try:
-                # link(2) fails with EEXIST if another writer already
-                # committed this version — optimistic concurrency: exactly
-                # one winner per version.
-                os.link(tmp, final)
+                # put_if_absent raises FileExistsError if another writer
+                # already committed this version — optimistic concurrency:
+                # exactly one winner per version. The atomic primitive is
+                # backend-pluggable (table/logstore.py): link(2) on POSIX,
+                # conditional-put semantics for object stores.
+                log_store().put_if_absent(final, json.dumps(commit.to_json()))
                 break
             except FileExistsError:
                 attempts += 1
@@ -481,8 +487,6 @@ class GraftTable:
                         f"({why}) — reload the snapshot and retry"
                     ) from None
                 version = latest + 1  # rebase the blind append and retry
-            finally:
-                os.unlink(tmp)
         if version > 0 and version % CHECKPOINT_INTERVAL == 0:
             self._write_checkpoint(version)
         return commit
@@ -798,7 +802,7 @@ class GraftTable:
         each other. Pair it with ``expected_version`` — the version the
         caller DERIVED its rows from: if the head has already moved past
         it by the time write() starts, the commit raises up front (the
-        link(2) race inside ``_write_commit`` only guards the window after
+        put-if-absent race inside ``_write_commit`` only guards the window after
         this method reads the snapshot, not the caller's earlier read).
 
         ``replace_where`` (with mode='overwrite'): Delta's ``replaceWhere``

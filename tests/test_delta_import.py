@@ -394,6 +394,48 @@ def test_generate_delta_log_refuses_dv_tables(spark, tmp_path):
         generate_delta_log(t)
 
 
+def test_generate_delta_log_purge_on_export_round_trip(spark, tmp_path):
+    """VERDICT r09 #6: purge=True removes the DV speed bump — delete rows
+    (deletion vectors on), export with purge, re-import the exported view,
+    and require the contents to match the post-delete table (no
+    resurrected rows, no DV refusal)."""
+    import shutil
+
+    from delta_lake_optimizations_spark.table.delta_import import (
+        generate_delta_log,
+    )
+    from delta_lake_optimizations_spark.table.maintenance import delete
+
+    src = str(tmp_path / "graft_dv_purge")
+    t = GraftTable(spark, src)
+    t.write(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(50)], "id long, price double"
+        ),
+        properties={"graft.enableDeletionVectors": "true"},
+    )
+    delete(t, "id % 5 = 2", deletion_vectors=True)
+    assert any(f.dv_count for f in t.snapshot().files)
+    v_before = t.snapshot().version
+
+    r = generate_delta_log(t, purge=True)
+    # the purge was a real REORG commit and the snapshot is DV-free now
+    assert t.snapshot().version == v_before + 1
+    assert not any(f.dv_count for f in t.snapshot().files)
+    assert r["n_files"] >= 1
+
+    dst = str(tmp_path / "delta_view_purged")
+    shutil.copytree(src, dst, ignore=shutil.ignore_patterns("_log"))
+    t2 = convert_from_delta(spark, dst)
+    got = sorted(row["id"] for row in t2.load().collect())
+    assert got == [i for i in range(50) if i % 5 != 2]
+
+    # idempotent: a DV-free table exports with purge=True without a new commit
+    v_now = t.snapshot().version
+    generate_delta_log(t, purge=True)
+    assert t.snapshot().version == v_now
+
+
 def test_generate_delta_log_sql_route(spark, tmp_path):
     from delta_lake_optimizations_spark.frontdoor import GraftCatalog
     from delta_lake_optimizations_spark.table.delta_import import (

@@ -209,11 +209,13 @@ def _race_ingest_worker(args):
     rendezvous on the filesystem so both ingests enter the critical
     section together, then ingest a batch containing one unique text and
     one text SHARED with the other worker."""
-    path, rendezvous, worker_id = args
+    path, rendezvous, worker_id, *rest = args
     import os
     import sys
     import time
 
+    if rest:  # optional logstore backend (VERDICT r09 #3: object-store race)
+        os.environ["GRAFT_LOGSTORE"] = rest[0]
     sys.path.insert(0, "/root/repo")
     from pyspark.sql import SparkSession
 
@@ -278,5 +280,38 @@ def test_two_process_race_admits_shared_fingerprint_once(spark, tmp_path):
     store = FingerprintStore(spark, path)
     fps = store.fingerprints()
     assert fps.count() == 3  # unique-1, unique-2, shared (once)
+    assert fps.select("fp").distinct().count() == 3
+    assert store.ingested_batches() == {"b1", "b2"}
+
+
+def test_two_process_race_under_conditional_put_logstore(spark, tmp_path):
+    """The SAME two-process serializability race, with both writers'
+    commit protocol pinned to the object-store backend (VERDICT r09 #3:
+    no hard links, no atomic rename — an O_EXCL claim standing in for a
+    conditional PUT). The FingerprintStore's exactly-once admission must
+    hold on storage with only that primitive."""
+    import multiprocessing as mp
+
+    path = os.path.join(tmp_path, "fp_cp")
+    rendezvous = os.path.join(tmp_path, "rdv_cp")
+    os.makedirs(rendezvous)
+
+    ctx = mp.get_context("spawn")
+    with ctx.Pool(2) as pool:
+        results = dict(
+            pool.map(
+                _race_ingest_worker,
+                [(path, rendezvous, i, "conditional_put") for i in (1, 2)],
+            )
+        )
+
+    admitted_shared = [w for w in (1, 2) if 100 + w in results[w]]
+    assert len(admitted_shared) == 1, f"shared text admitted by {admitted_shared}"
+    for w in (1, 2):
+        assert w in results[w], f"unique text of worker {w} lost"
+
+    store = FingerprintStore(spark, path)
+    fps = store.fingerprints()
+    assert fps.count() == 3
     assert fps.select("fp").distinct().count() == 3
     assert store.ingested_batches() == {"b1", "b2"}
