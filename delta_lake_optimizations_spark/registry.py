@@ -80,7 +80,26 @@ _QUERY_MODULES = (
 # paragraph debutantes (48/50 green, 2 by-design rows-only); r07 the
 # IVF-PQ family, BPE trio, trigram backoff LM, IVF k-NN join pair
 # (46/50 green, 4 by-design rows-only with adjacent oracle twins).
-# Round 9 (this window): the THREE r9 debutantes get their first driver
+# Round 10 (this window): no brand-new query names — the round's work
+# REWORKED existing paths, so the window re-verifies them on their
+# changed code: the IVF-PQ single-probe refactor (single-scan refine,
+# constant-folded array-literal parameters) re-verifies through the
+# in-window ann_ivfpq trio + ann_batch_matches_singles; the sharded
+# batch k-NN slim-shuffle rework through knn_join_sharded_matches_inline
+# + ann_lsh_sharded_matches_inline; the progressive-JPEG decoder through
+# the EXTENDED image_cross_format_near_dup (now 15 assets / 30
+# ground-truth pairs incl. SOF2) and multimodal_real_media_decode (new
+# tiny_prog.jpg fixture row); the LogStore commit seam through every
+# query that reads a GraftTable. Promoted in: multimodal_decode_consistency
+# (decode-cascade equivalence metric — the cascade gained a jpeg tier
+# across r9/r10) and simhash_jaccard_recall (oracle-backed metric twin
+# riding the SHARED banded_candidates machinery whose recall bound was
+# rewidened in the r9 ADVICE fix).
+# Rotated out for them: ann_lsh_ranked_recall (r6 debut, four green
+# rows; the sharded family keeps two in-window equality twins) and
+# dedup_url_normalized (r6 family, r6+r9 greens; url_normalize_docs
+# keeps the URL family in-window).
+# Round 9: the THREE r9 debutantes get their first driver
 # rows — the perceptual-hash image near-dup over the PNG fixture corpus
 # (ground-truth duplicate-map oracle), the TRAINED quality classifier
 # (oracle restates the full scoring pass from the stored weights
@@ -124,6 +143,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # duplicate map), trained quality classifier (GD-as-aggregates fit;
     # oracle restates scoring from the stored weights), and the batch-
     # probe equality twin (brute/IVF/IVF-PQ batch == singles)
+    # NEW in the r10 window (promotions — see rotation note above)
+    "multimodal_decode_consistency",
+    "simhash_jaccard_recall",
     "image_phash_near_dup",
     "audio_fingerprint_near_dup",
     "quality_classifier_trained",
@@ -198,9 +220,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "bpe_pack_sizes",
     "bpe_roundtrip_consistency",
     # r06 debutantes re-verified (second driver row)
-    "ann_lsh_ranked_recall",
     "url_normalize_docs",
-    "dedup_url_normalized",
     "incremental_dedup_two_batches",
     # rows-only entries (metric twins adjacent, established pattern)
     "knn_join_sharded_matches_inline",

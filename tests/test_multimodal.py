@@ -111,13 +111,19 @@ def test_real_media_fixtures_use_real_decoder(spark):
         .join(decode_assets(assets.select("doc_id", "mime", "n_bytes", "payload")), "doc_id")
         .collect()
     }
-    images = {"tiny.png": (3, 2), "tiny.gif": (5, 4), "tiny.bmp": (6, 3), "tiny.jpg": (9, 7)}
+    images = {
+        "tiny.png": (3, 2),
+        "tiny.gif": (5, 4),
+        "tiny.bmp": (6, 3),
+        "tiny.jpg": (9, 7),
+        "tiny_prog.jpg": (11, 6),  # progressive SOF2 (VERDICT r09 #2)
+    }
     for name, (w, h) in images.items():
         r = decoded[name]
         assert r["decoder"] != "fallback", f"{name} fell back"
         assert (r["width"], r["height"]) == (w, h), f"{name}: {r}"
     n_real = sum(1 for r in decoded.values() if r["decoder"] != "fallback")
-    assert n_real >= 4
+    assert n_real >= 5
 
     wav = (
         assets.filter(F.col("asset") == "tone.wav")
