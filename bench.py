@@ -827,6 +827,123 @@ def _bench_video_dedup(spark, root: str, n_clips: int = 2_000) -> dict:
     return out
 
 
+def _bench_metadata_scale(spark) -> dict:
+    """Driver-side metadata costs at large file counts (VERDICT r09
+    missing #4: checkpoint-bounded log replay at O(10^5-10^6)-file
+    tables was asserted by design, never measured). Two synthetic logs
+    built through the REAL commit machinery — ``_write_commit`` appends
+    fabricated AddFile entries with min/max stats, so checkpoint
+    cadence, replay, and file skipping all do their true work; only the
+    parquet bytes are fictional, which metadata paths never touch:
+
+    - ``append``: 40 commits x 2.5k adds -> a 100k-file head. Measures
+      the cold head snapshot on a fresh handle and the driver-side
+      ``skip_where`` stats prune over the full list (1%-selective id
+      range; the surviving count proves pruning is real). Honest
+      finding from the first cut: on an APPEND-ONLY log a checkpoint
+      parses the same number of add entries a full replay would, so it
+      buys nothing there — its value is the churn case below (and log
+      truncation).
+    - ``churn``: 200 compaction-style commits (add 500, remove the
+      previous commit's 500) -> net head of 500 files but 200k logged
+      actions. ``snapshot_head_sec`` (newest checkpoint, ~500 entries,
+      + tail) vs ``full_replay_sec`` (every action since v0) is the
+      checkpoint's actual earning: maintenance-heavy tables are where
+      unbounded replay kills the driver."""
+    import shutil
+    import tempfile
+
+    from delta_lake_optimizations_spark.table import GraftTable
+    from delta_lake_optimizations_spark.table.graft_table import AddFile
+
+    root = tempfile.mkdtemp(prefix="bench_meta_")
+
+    def synth_add(fid: int) -> AddFile:
+        lo = fid * 1000
+        return AddFile(
+            path=f"data/synth/part-{fid:08d}.parquet",
+            size=1 << 20,
+            num_records=1000,
+            stats={
+                "minValues": {"id": lo},
+                "maxValues": {"id": lo + 999},
+                "nullCounts": {"id": 0},
+            },
+        )
+
+    out: dict = {}
+    try:
+        # ---- append-only: head-state costs at 100k files -------------
+        ap: dict = {"n_commits": 40, "adds_per_commit": 2500}
+        t = GraftTable(spark, os.path.join(root, "append"))
+        t.write(spark.range(10).selectExpr("id", "id * 2 AS v"))
+        fid = 0
+        t0 = time.perf_counter()
+        for _ in range(ap["n_commits"]):
+            adds = [synth_add(fid + i) for i in range(ap["adds_per_commit"])]
+            fid += ap["adds_per_commit"]
+            t._write_commit(
+                "SYNTH APPEND", {}, adds, [], base_version=t.latest_version()
+            )
+        ap["log_build_sec"] = round(time.perf_counter() - t0, 4)
+        ap["n_synth_files"] = fid
+        ap["n_checkpoints"] = len(t._checkpoint_versions())
+
+        t2 = GraftTable(spark, os.path.join(root, "append"))  # fresh handle
+        t0 = time.perf_counter()
+        snap = t2.snapshot()
+        ap["snapshot_head_sec"] = round(time.perf_counter() - t0, 4)
+        ap["n_files_head"] = len(snap.files)
+
+        lo = (fid // 2) * 1000  # 1%-selective range in the middle
+        hi = lo + (fid // 100) * 1000
+        t0 = time.perf_counter()
+        ap["files_pruned_to"] = t2.files_scanned(
+            skip_where=[("id", ">=", lo), ("id", "<", hi)]
+        )
+        ap["prune_sec"] = round(time.perf_counter() - t0, 4)
+        out["append"] = ap
+
+        # ---- churn: checkpoint vs unbounded replay --------------------
+        ch: dict = {"n_commits": 200, "files_per_commit": 500}
+        c = GraftTable(spark, os.path.join(root, "churn"))
+        c.write(spark.range(10).selectExpr("id", "id * 2 AS v"))
+        prev: list[AddFile] = []
+        fid = 0
+        t0 = time.perf_counter()
+        for _ in range(ch["n_commits"]):
+            adds = [synth_add(fid + i) for i in range(ch["files_per_commit"])]
+            fid += ch["files_per_commit"]
+            c._write_commit(
+                "SYNTH REWRITE",
+                {},
+                adds,
+                [a.path for a in prev],
+                base_version=c.latest_version(),
+            )
+            prev = adds
+        ch["log_build_sec"] = round(time.perf_counter() - t0, 4)
+        ch["n_logged_actions"] = 2 * fid - ch["files_per_commit"]
+
+        c2 = GraftTable(spark, os.path.join(root, "churn"))
+        t0 = time.perf_counter()
+        csnap = c2.snapshot()
+        ch["snapshot_head_sec"] = round(time.perf_counter() - t0, 4)
+        ch["n_files_head"] = len(csnap.files)
+
+        t0 = time.perf_counter()
+        full = c2._replay(c2.latest_version(), from_version=None)
+        ch["full_replay_sec"] = round(time.perf_counter() - t0, 4)
+        assert len(full.files) == len(csnap.files)
+        ch["replay_vs_checkpoint_x"] = round(
+            ch["full_replay_sec"] / max(1e-9, ch["snapshot_head_sec"]), 1
+        )
+        out["churn"] = ch
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def _bench_sf1_rehearsal(spark, sf_dir: str, sf01_timings: dict[str, float]) -> dict:
     """VERDICT r03 #7: run the headline suite + MinHash dedup at 10x the
     bench corpus ("sf1", generated once under /tmp with referentially
@@ -1178,6 +1295,7 @@ def main() -> None:
     parser.add_argument("--workshop-rows", type=int, default=5_000_000)
     parser.add_argument("--workshop-files", type=int, default=400)
     parser.add_argument("--no-ann-index", action="store_true")
+    parser.add_argument("--no-metadata-scale", action="store_true")
     parser.add_argument("--no-media-dedup", action="store_true")
     parser.add_argument("--no-sf1", action="store_true")
     parser.add_argument("--no-sf5", action="store_true")
@@ -1255,6 +1373,9 @@ def main() -> None:
     )
     ann_index = _bench_ann_index(spark) if not args.no_ann_index else None
     media_dedup = _bench_media_dedup(spark) if not args.no_media_dedup else None
+    metadata_scale = (
+        _bench_metadata_scale(spark) if not args.no_metadata_scale else None
+    )
     # sf1 rehearsal only at the driver's bench scale (generating 10x of a
     # tiny sf would prove nothing about scaling)
     sf1 = (
@@ -1287,6 +1408,7 @@ def main() -> None:
         "workshop_scale": workshop,
         "ann_index": ann_index,
         "media_dedup": media_dedup,
+        "metadata_scale": metadata_scale,
         "sf1": sf1,
         "sf5": sf5,
         "sf5_tpch": sf5_tpch,
@@ -1381,6 +1503,19 @@ def main() -> None:
                     for k in ("n_clips", "dup_recall", "stray_pairs")
                     if k in media_dedup[sub]
                 }
+    if metadata_scale is not None:
+        compact["metadata_scale"] = {
+            "append": {
+                k: metadata_scale["append"][k]
+                for k in ("n_synth_files", "snapshot_head_sec",
+                          "prune_sec", "files_pruned_to")
+            },
+            "churn": {
+                k: metadata_scale["churn"][k]
+                for k in ("n_logged_actions", "snapshot_head_sec",
+                          "full_replay_sec", "replay_vs_checkpoint_x")
+            },
+        }
     if sf1 is not None:
         compact["sf1"] = {
             "total_sec": sf1["total_sec"],
@@ -1406,8 +1541,8 @@ def main() -> None:
     # it carries the round's graded speedups (in r9 it was popped FIRST
     # and the driver's BENCH record lost the ann numbers entirely)
     line = json.dumps(compact)
-    for victim in ("workshop_scale", "media_dedup", "sf5_tpch", "sf5",
-                   "sf1", "maintenance", "ann_index"):
+    for victim in ("workshop_scale", "metadata_scale", "media_dedup",
+                   "sf5_tpch", "sf5", "sf1", "maintenance", "ann_index"):
         if len(line) <= 1900:
             break
         compact.pop(victim, None)

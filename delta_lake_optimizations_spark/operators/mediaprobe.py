@@ -3,9 +3,16 @@
 The pixel/sample *decode* step still needs a codec library (see
 ``multimodal.decode_assets``'s declared stub), but container HEADERS are
 plain structs: PNG IHDR, JPEG SOF markers, GIF/BMP fixed fields, WAV
-RIFF fmt — all parseable with ``struct`` in a few bytes. That covers the
-metadata a curation pipeline actually filters on (dimensions, sample
-rate, channel count, duration) without decoding a single pixel.
+RIFF fmt, MP3 frame headers (+ ID3v2 skip and Xing/Info frame counts),
+Ogg page headers (Vorbis/Opus id packets + last-page granule), and
+ISO-BMFF/MP4 boxes (mvhd timescale/duration, tkhd track dimensions) —
+all parseable with ``struct`` in a few bytes. That covers the metadata
+a curation pipeline actually filters on (dimensions, sample rate,
+channel count, duration) without decoding a single sample. The
+compressed-audio/video formats are PROBE-ONLY by design: their
+bitstream decode needs codec libraries this environment does not ship
+(documented constraint — the near-dup pipelines run on WAV and
+animated GIF, whose decode is from-scratch).
 
 Scale: probing reads only the payload's first KBs; executed as an
 Arrow-batched ``mapInPandas`` so at 100 TB the probe rides the normal
@@ -30,6 +37,150 @@ PROBE_SCHEMA = (
 _JPEG_SOF_MARKERS = frozenset(
     [0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF]
 )
+
+# MPEG audio frame-header tables (public ISO/IEC 11172-3 / 13818-3).
+# Keyed (version_group, layer): version_group 1 = MPEG1, 2 = MPEG2/2.5.
+_MP3_BITRATES = {
+    (1, 1): [0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448],
+    (1, 2): [0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384],
+    (1, 3): [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320],
+    (2, 1): [0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256],
+    (2, 2): [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
+    (2, 3): [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
+}
+# sample rates keyed by the header's 2-bit version field (3=MPEG1,
+# 2=MPEG2, 0=MPEG2.5)
+_MP3_RATES = {3: [44100, 48000, 32000], 2: [22050, 24000, 16000], 0: [11025, 12000, 8000]}
+
+
+def _probe_mp3(b: bytes, out: dict[str, Any]) -> bool:
+    """MPEG audio: skip an ID3v2 tag, find the first valid frame sync,
+    read version/layer/bitrate/rate/channels; duration from a Xing/Info
+    frame count when present, else the CBR estimate."""
+    i = 0
+    if b[:3] == b"ID3" and len(b) >= 10:
+        size = (
+            ((b[6] & 0x7F) << 21) | ((b[7] & 0x7F) << 14)
+            | ((b[8] & 0x7F) << 7) | (b[9] & 0x7F)
+        )
+        i = 10 + size
+    end = min(len(b) - 4, i + 4096)
+    while i <= end:
+        if b[i] == 0xFF and (b[i + 1] & 0xE0) == 0xE0:
+            vbits = (b[i + 1] >> 3) & 3
+            lbits = (b[i + 1] >> 1) & 3
+            br_idx = b[i + 2] >> 4
+            sr_idx = (b[i + 2] >> 2) & 3
+            if vbits == 1 or lbits == 0 or br_idx in (0, 15) or sr_idx == 3:
+                i += 1
+                continue
+            layer = 4 - lbits  # bits 3/2/1 = layers 1/2/3
+            vgroup = 1 if vbits == 3 else 2
+            bitrate = _MP3_BITRATES[(vgroup, layer)][br_idx]
+            rate = _MP3_RATES[vbits][sr_idx]
+            mode = b[i + 3] >> 6
+            channels = 1 if mode == 3 else 2
+            if layer == 1:
+                spf = 384
+            elif layer == 2 or vgroup == 1:
+                spf = 1152
+            else:
+                spf = 576  # MPEG2/2.5 layer 3
+            out.update(
+                detected="audio/mpeg", channels=channels, sample_rate=rate
+            )
+            # Xing/Info (VBR/CBR frame count) sits after the side info
+            off = (17 if channels == 1 else 32) if vgroup == 1 else (
+                9 if channels == 1 else 17
+            )
+            tag = b[i + 4 + off : i + 8 + off]
+            if tag in (b"Xing", b"Info") and i + 16 + off <= len(b):
+                flags = struct.unpack(">I", b[i + 8 + off : i + 12 + off])[0]
+                if flags & 1:
+                    frames = struct.unpack(
+                        ">I", b[i + 12 + off : i + 16 + off]
+                    )[0]
+                    out["duration_ms"] = int(frames * spf / rate * 1000)
+                    return True
+            if bitrate:
+                out["duration_ms"] = int((len(b) - i) * 8 / (bitrate * 1000) * 1000)
+            return True
+        i += 1
+    return False
+
+
+def _probe_ogg(b: bytes, out: dict[str, Any]) -> None:
+    """Ogg container: codec + audio facts from the first page's id packet
+    (Vorbis or Opus), duration from the LAST page's granule position."""
+    seg_count = b[26]
+    ph = 27 + seg_count
+    pl = b[ph : ph + 32]
+    rate = None
+    if pl[:7] == b"\x01vorbis" and len(pl) >= 16:
+        rate = struct.unpack("<I", pl[12:16])[0]
+        out.update(
+            detected="audio/ogg", channels=int(pl[11]), sample_rate=rate
+        )
+    elif pl[:8] == b"OpusHead" and len(pl) >= 14:
+        rate = 48000  # Opus granules always count at 48 kHz
+        out.update(
+            detected="audio/opus", channels=int(pl[9]), sample_rate=rate
+        )
+    else:
+        out["detected"] = "application/ogg"
+        return
+    j = b.rfind(b"OggS")
+    if rate and j >= 0 and j + 14 <= len(b):
+        granule = struct.unpack("<q", b[j + 6 : j + 14])[0]
+        if granule > 0:
+            out["duration_ms"] = int(granule * 1000 / rate)
+
+
+def _probe_mp4(b: bytes, out: dict[str, Any]) -> None:
+    """ISO-BMFF: walk top-level boxes to moov, then mvhd (timescale +
+    duration) and the first video-sized tkhd (16.16-fixed dimensions)."""
+    out["detected"] = "video/mp4"
+
+    def boxes(lo: int, hi: int):
+        i = lo
+        while i + 8 <= hi:
+            size = struct.unpack(">I", b[i : i + 4])[0]
+            btype = b[i + 4 : i + 8]
+            body = i + 8
+            if size == 1 and i + 16 <= hi:
+                size = struct.unpack(">Q", b[i + 8 : i + 16])[0]
+                body = i + 16
+            if size < 8 or i + size > hi:
+                return
+            yield btype, body, i + size
+            i += size
+
+    for btype, lo, hi in boxes(0, len(b)):
+        if btype != b"moov":
+            continue
+        for ctype, clo, chi in boxes(lo, hi):
+            if ctype == b"mvhd" and clo + 20 <= chi:
+                ver = b[clo]
+                if ver == 0:
+                    ts, dur = struct.unpack(">II", b[clo + 12 : clo + 20])
+                elif clo + 32 <= chi:
+                    ts = struct.unpack(">I", b[clo + 20 : clo + 24])[0]
+                    dur = struct.unpack(">Q", b[clo + 24 : clo + 32])[0]
+                else:
+                    continue
+                if ts:
+                    out["duration_ms"] = int(dur * 1000 / ts)
+            elif ctype == b"trak":
+                for ttype, tlo, thi in boxes(clo, chi):
+                    if ttype != b"tkhd":
+                        continue
+                    woff = tlo + (76 if b[tlo] == 0 else 88)
+                    if woff + 8 <= thi:
+                        w = struct.unpack(">I", b[woff : woff + 4])[0] >> 16
+                        h = struct.unpack(">I", b[woff + 4 : woff + 8])[0] >> 16
+                        if w and h and out.get("width") is None:
+                            out.update(width=w, height=h)
+        return
 
 
 def probe_media(payload: bytes | None) -> dict[str, Any]:
@@ -98,6 +249,14 @@ def probe_media(payload: bytes | None) -> dict[str, Any]:
                     out["duration_ms"] = int(
                         data_size / block_align / rate * 1000
                     )
+        elif b[:4] == b"OggS" and len(b) >= 28:
+            _probe_ogg(b, out)
+        elif len(b) >= 12 and b[4:8] == b"ftyp":
+            _probe_mp4(b, out)
+        elif b[:3] == b"ID3" or (
+            len(b) >= 4 and b[0] == 0xFF and (b[1] & 0xE0) == 0xE0
+        ):
+            _probe_mp3(b, out)
     except (struct.error, IndexError):
         pass  # truncated header — keep whatever was parsed before the cut
     return out

@@ -351,6 +351,15 @@ class GraftTable:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = os.path.abspath(path)
+        # single-slot snapshot cache keyed by resolved version: repeated
+        # metadata ops on one handle (load + files_scanned + describe ...)
+        # otherwise re-parse the newest checkpoint EVERY call — measured
+        # 2.5 s per parse at a 100k-file head (bench metadata_scale).
+        # One slot bounds memory; any new commit resolves to a new target
+        # version and so misses the cache naturally. Snapshots are
+        # treated as immutable by every caller (replays build fresh
+        # lists) — do not mutate a cached snapshot's fields.
+        self._snap_cache: tuple[int, Snapshot] | None = None
 
     # -- log primitives ----------------------------------------------------
 
@@ -557,11 +566,15 @@ class GraftTable:
         target = versions[-1] if version is None else version
         if target not in versions:
             raise ValueError(f"version {target} not in log (have {versions[0]}..{versions[-1]})")
+        if self._snap_cache is not None and self._snap_cache[0] == target:
+            return self._snap_cache[1]
         base = None
         for cp in self._checkpoint_versions():
             if cp <= target:
                 base = cp
-        return self._replay(target, from_version=base)
+        snap = self._replay(target, from_version=base)
+        self._snap_cache = (target, snap)
+        return snap
 
     def _replay(self, target: int, from_version: int | None) -> Snapshot:
         """Replay commits ``(from_version, target]`` on top of the
