@@ -19,10 +19,14 @@ clustered bench corpus, residual PQ 0.9+ at the same dials).
   hive dir per Voronoi cell — the probe's ``list_id IN (...)`` prunes
   whole directories), columns ``(list_id, vec_id, pq_code, vnorm,
   embedding)`` where ``vnorm`` is the vector's L2 norm (one double).
-  Parquet is columnar, so the ADC scan that selects only
+  Parquet is columnar, so a scan that selects only
   ``(list_id, vec_id, pq_code, vnorm)`` never decodes the embedding
-  bytes: the full-precision column is physically co-located but COLD
-  until the refine step fetches it for the short candidate list only.
+  bytes. The EXACT-refine probe deliberately reads the float column in
+  its one pass over the probed cells (r10 single-scan form — a
+  shortlist filter is not parquet-pushable, and the earlier two-pass
+  broadcast-refine read those floats anyway, twice the scans); the
+  layout's cold-column property is what the SQ8 refine exploits, whose
+  pushed-IN final read touches float bytes for k-ish row groups only.
 - **metadata**: IVF centroids AND the M per-subspace PQ codebooks ride
   the table properties (JSON, values rounded to 8 dp at one choke point
   so the stored index and any inline re-derivation score bit-identically
@@ -39,10 +43,11 @@ clustered bench corpus, residual PQ 0.9+ at the same dials).
   codegen AND ranked by the wrong metric — measured recall@10 0.5 vs
   0.9+ for this form at the same dials). Dividing by the stored
   ``vnorm`` makes the rank key approximated COSINE itself; the top
-  ``k * refine_factor`` are then exact-cosine re-ranked against the
-  cold vector column. Per-query IO = nprobe/nlist of the code+norm
-  columns + the short list's vectors; no KMeans fit, no encode, no full
-  scan at query time.
+  ``k * refine_factor`` are exact-cosine re-ranked in the SAME
+  single-scan plan (the float vector rides the per-partition ADC top-k
+  heap — no second pass, no broadcast-build job; VERDICT r09 #1).
+  Per-query IO = nprobe/nlist of the probed cells' columns; no KMeans
+  fit, no encode, no full scan at query time.
 
 100 TB notes: at production dials (nlist=4096, m=16, ksub=256, dim=768)
 each vector is 16 code bytes + 8 id bytes hot vs 3 KB of float32 cold —

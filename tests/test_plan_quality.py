@@ -260,12 +260,16 @@ def test_chunk_dedup_rewrite_bounded_shuffles(spark):
     assert cols and all(set(c) <= {"doc_id", "text"} for c in cols), cols
 
 
-def test_ivfpq_probe_plan_is_exchange_free_scan_plus_broadcast(spark):
-    """The IVF-PQ probe must be two pruned scans and a broadcast: the ADC
-    pass is scan -> TakeOrderedAndProject (per-partition top-N, driver
-    merge — no shuffle), and the refine joins the short list back by
-    BROADCAST (never a shuffle of the probed cells). Any Exchange here
-    means the index layout stopped paying for itself."""
+def test_ivfpq_probe_plan_is_single_scan_no_join(spark):
+    """The IVF-PQ exact probe must be ONE pruned scan with NO join of any
+    kind (the r10 single-scan refine — VERDICT r09 #1): scan -> project
+    ADC -> TakeOrderedAndProject (per-partition top-N, driver merge — no
+    shuffle) -> k*rf-row re-sort. The r9 shape (a second pass over the
+    probed cells broadcast-joined against the ADC shortlist, parameters
+    on a Python-built 1-row table) cost a broadcast-build job + a
+    Python-worker round trip per probe. Any Exchange, any join, or any
+    ExistingRDD (the PythonRDD param-table tell) here means the fixed
+    per-query cost crept back."""
     from delta_lake_optimizations_spark.operators.ivfpq import (
         _cached_ivfpq_index,
         ann_topk_from_ivfpq_index,
@@ -279,8 +283,10 @@ def test_ivfpq_probe_plan_is_exchange_free_scan_plus_broadcast(spark):
     s = plan_summary(df)
     assert s["exchanges"] == 0, s
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "Join" not in plan, plan
+    assert "ExistingRDD" not in plan, plan
     assert "TakeOrderedAndProject" in plan
+    assert plan.count("Scan parquet") == 1, plan
 
 
 def test_unicode_normalize_full_tier_map_only(spark):
