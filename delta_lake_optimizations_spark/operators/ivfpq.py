@@ -339,8 +339,13 @@ def _const_darray(values: list[float]):
     code (the array rides the codegen reference table). Bit-exact:
     json.dumps emits shortest-round-trip reprs and Jackson parses them
     back to the identical doubles (pinned by pytest). Finite values
-    only (NaN/Infinity are not JSON)."""
-    return F.from_json(F.lit(_json.dumps(values)), "array<double>")
+    only (NaN/Infinity are not JSON) — enforced: ``allow_nan=False``
+    raises ValueError loudly instead of emitting the non-JSON
+    NaN/Infinity tokens that from_json would silently turn into a NULL
+    parameter array (ADVICE r10)."""
+    return F.from_json(
+        F.lit(_json.dumps(values, allow_nan=False)), "array<double>"
+    )
 
 
 def _with_adc_score(

@@ -129,7 +129,20 @@ def _probe_ogg(b: bytes, out: dict[str, Any]) -> None:
     else:
         out["detected"] = "application/ogg"
         return
+    # Find the LAST real page header. rfind can land on an 'OggS' byte
+    # pattern INSIDE compressed packet payload (ADVICE r10) — validate
+    # the candidate as a page header (version byte 0, sane header-type
+    # flags, segment table in bounds) and scan backward on failure.
     j = b.rfind(b"OggS")
+    while j > 0:
+        if (
+            j + 27 <= len(b)
+            and b[j + 4] == 0  # stream_structure_version
+            and b[j + 5] <= 0x07  # header-type: only 3 flag bits defined
+            and j + 27 + b[j + 26] <= len(b)  # segment table in bounds
+        ):
+            break
+        j = b.rfind(b"OggS", 0, j)
     if rate and j >= 0 and j + 14 <= len(b):
         granule = struct.unpack("<q", b[j + 6 : j + 14])[0]
         if granule > 0:

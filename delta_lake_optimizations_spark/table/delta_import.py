@@ -402,21 +402,35 @@ def generate_delta_log(
     import time as _time
     import uuid as _uuid
 
-    if purge and not history and any(f.dv_count for f in table.snapshot().files):
-        from delta_lake_optimizations_spark.table.maintenance import reorg_purge
+    log_dir = os.path.join(table.path, "_delta_log")
 
-        reorg_purge(table)
+    # ---- refusal validations BEFORE any table-mutating work (ADVICE
+    # r10: reorg_purge is a REAL graft commit — a refused export must
+    # leave the table untouched, so every check that can refuse runs
+    # ahead of the purge) ------------------------------------------------
     snap = table.snapshot()
     if snap.properties.get("graft.columnMapping", "none") not in ("", "none"):
         raise ValueError(
             "generate_delta_log: column mapping is active — physical "
             "column names on disk differ from the logical schema"
         )
+    if os.path.isdir(log_dir) and not force and not _log_is_graft_export(log_dir):
+        raise ValueError(
+            f"generate_delta_log: {log_dir} exists and is NOT a prior "
+            "graft export — refusing to destroy a real Delta "
+            "transaction log (the source of an in-place "
+            "convert_from_delta import?). Pass force=True to overwrite."
+        )
+
+    if purge and not history and any(f.dv_count for f in snap.files):
+        from delta_lake_optimizations_spark.table.maintenance import reorg_purge
+
+        reorg_purge(table)
+        snap = table.snapshot()
     now_ts = timestamp_ms if timestamp_ms is not None else int(_time.time() * 1000)
     table_id = str(_uuid.uuid4())
 
     # ---- stage the new log fully in a temp dir -------------------------
-    log_dir = os.path.join(table.path, "_delta_log")
     tmp_dir = log_dir + f".tmp-{os.getpid()}"
     shutil.rmtree(tmp_dir, ignore_errors=True)
     os.makedirs(tmp_dir)

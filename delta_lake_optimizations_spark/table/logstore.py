@@ -92,10 +92,21 @@ class ConditionalPutLogStore:
     def put_if_absent(self, final: str, payload: str) -> None:
         fd = os.open(final, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
         try:
-            os.write(fd, payload.encode("utf-8"))
+            data = payload.encode("utf-8")
+            # os.write may write fewer bytes than asked (ADVICE r10:
+            # near-ENOSPC a short write would publish a truncated commit
+            # file readers can never parse, wedging this version) — loop
+            # to completion and unlink the claimed name on any failure so
+            # another writer can retry the version.
+            written = 0
+            while written < len(data):
+                written += os.write(fd, data[written:])
             os.fsync(fd)
-        finally:
+        except BaseException:
             os.close(fd)
+            os.unlink(final)
+            raise
+        os.close(fd)
 
     def read_text(self, path: str) -> str:
         last_err: Exception | None = None

@@ -559,3 +559,32 @@ def test_protocol_reader_feature_allowlist(spark, tmp_path):
     ])
     t = convert_from_delta(spark, root2)
     assert t.load().count() == 1
+
+
+def test_refused_export_runs_no_purge_commit(spark, tmp_path):
+    """ADVICE r10: a refused export must be side-effect free — with
+    column mapping active AND DVs present, generate_delta_log(purge=True)
+    must raise WITHOUT first running the reorg_purge commit."""
+    from delta_lake_optimizations_spark.table.delta_import import (
+        generate_delta_log,
+    )
+    from delta_lake_optimizations_spark.table.maintenance import delete
+
+    src = str(tmp_path / "graft_colmap_dv")
+    t = GraftTable(spark, src)
+    t.write(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(50)], "id long, price double"
+        ),
+        properties={"graft.enableDeletionVectors": "true"},
+    )
+    delete(t, "id = 7", deletion_vectors=True)
+    t.rename_column("price", "amount")  # activates column mapping
+    assert any(f.dv_count for f in t.snapshot().files)
+    v_before = t.snapshot().version
+
+    with pytest.raises(ValueError, match="column mapping"):
+        generate_delta_log(t, purge=True)
+    # the refusal left the table untouched: same version, DVs still there
+    assert t.snapshot().version == v_before
+    assert any(f.dv_count for f in t.snapshot().files)

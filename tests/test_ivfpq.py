@@ -296,3 +296,16 @@ def test_sq8_append_uses_stored_quantizer(spark, tmp_path):
     assert ivfpq_sq8_metadata(t) == before  # quantizer not retrained
     appended = t.load().filter(F.col("vec_id") >= 100000)
     assert appended.filter(F.col("sq8").isNull()).count() == 0
+
+
+def test_const_darray_rejects_non_finite():
+    """ADVICE r10: json.dumps with allow_nan=True would emit NaN/Infinity
+    tokens — invalid JSON that from_json silently turns into a NULL
+    parameter array. Non-finite inputs must raise loudly instead."""
+    import pytest as _pytest
+
+    from delta_lake_optimizations_spark.operators.ivfpq import _const_darray
+
+    for bad in (float("nan"), float("inf"), float("-inf")):
+        with _pytest.raises(ValueError):
+            _const_darray([1.0, bad, 3.0])

@@ -173,7 +173,13 @@ def test_progressive_gray_matches_baseline_decode():
     base = jpeg_decode(jpeg_encode(33, 40, 1, g.tobytes(), 95))
     prog_bytes = jpeg_encode(33, 40, 1, g.tobytes(), 95, progressive=True)
     prog = jpeg_decode(prog_bytes)
-    assert prog_bytes[2:4] != base  # sanity: different container bytes
+    # sanity: the progressive stream really is progressive (SOF2 marker)
+    # while the baseline one is baseline (SOF0) — container bytes differ.
+    assert prog_bytes.find(b"\xff\xc2") >= 0
+    assert prog_bytes.find(b"\xff\xc0") < 0
+    base_bytes = jpeg_encode(33, 40, 1, g.tobytes(), 95)
+    assert base_bytes.find(b"\xff\xc0") >= 0
+    assert base_bytes.find(b"\xff\xc2") < 0
     assert (prog[0], prog[1], prog[2]) == (33, 40, 1)
     a = np.frombuffer(base[3], np.uint8).astype(int)
     b = np.frombuffer(prog[3], np.uint8).astype(int)

@@ -129,3 +129,45 @@ def test_graft_commits_and_conflicts_under_either_backend(
     assert [cm.version for cm in t.commits()] == list(
         range(t.latest_version() + 1)
     )
+
+
+def test_conditional_put_short_write_loops_to_completion(tmp_path, monkeypatch):
+    """ADVICE r10: os.write may write fewer bytes than asked; a short
+    write must not publish a truncated commit file. Simulate a kernel
+    that writes at most 7 bytes per call and require the full payload."""
+    from delta_lake_optimizations_spark.table import logstore as ls
+
+    real_write = os.write
+
+    def short_write(fd, data):
+        return real_write(fd, data[:7])
+
+    monkeypatch.setattr(ls.os, "write", short_write)
+    store = ls.ConditionalPutLogStore()
+    final = str(tmp_path / "00000000000.json")
+    payload = json.dumps({"version": 0, "junk": "x" * 200})
+    store.put_if_absent(final, payload)
+    assert open(final).read() == payload
+
+
+def test_conditional_put_failed_write_unlinks_claim(tmp_path, monkeypatch):
+    """A write failure mid-payload must unlink the claimed file so another
+    writer can retry the version instead of finding a wedged truncated
+    commit."""
+    from delta_lake_optimizations_spark.table import logstore as ls
+
+    real_write = os.write
+    calls = {"n": 0}
+
+    def failing_write(fd, data):
+        calls["n"] += 1
+        if calls["n"] >= 2:
+            raise OSError(28, "No space left on device")
+        return real_write(fd, data[:7])
+
+    monkeypatch.setattr(ls.os, "write", failing_write)
+    store = ls.ConditionalPutLogStore()
+    final = str(tmp_path / "00000000000.json")
+    with pytest.raises(OSError):
+        store.put_if_absent(final, json.dumps({"version": 0, "junk": "y" * 200}))
+    assert not os.path.exists(final)  # claim released — version retryable
