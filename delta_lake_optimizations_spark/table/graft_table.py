@@ -236,13 +236,51 @@ class Commit:
         )
 
 
-@dataclass
 class Snapshot:
-    version: int
-    files: list[AddFile]
-    schema_json: str | None
-    partition_columns: list[str]
-    properties: dict[str, str]
+    """Table state at one version. Backed EITHER by a materialized
+    ``list[AddFile]`` or by a pyarrow table (columnar checkpoints,
+    ``table/checkpoint_arrow.py``) from which ``files`` materializes
+    LAZILY — the 1M-file contract: metadata paths (count_rows, pruned
+    load, files_scanned) never touch Python per file; only whole-table
+    consumers (vacuum, optimize, describe) pay materialization."""
+
+    def __init__(
+        self,
+        version: int,
+        files: list[AddFile] | None = None,
+        schema_json: str | None = None,
+        partition_columns: list[str] | None = None,
+        properties: dict[str, str] | None = None,
+        files_arrow=None,
+    ):
+        if files is None and files_arrow is None:
+            raise ValueError("Snapshot needs files or files_arrow")
+        self.version = version
+        self.schema_json = schema_json
+        self.partition_columns = list(partition_columns or [])
+        self.properties = dict(properties or {})
+        self._files = files
+        self._arrow = files_arrow
+
+    @property
+    def files(self) -> list[AddFile]:
+        if self._files is None:
+            from delta_lake_optimizations_spark.table import checkpoint_arrow
+
+            self._files = checkpoint_arrow.addfiles_from_arrow(self._arrow)
+        return self._files
+
+    @property
+    def files_arrow(self):
+        """Columnar file list, or None when this snapshot was built
+        row-wise (small tables / from-scratch replays)."""
+        return self._arrow
+
+    @property
+    def num_files(self) -> int:
+        if self._files is None:
+            return self._arrow.num_rows
+        return len(self._files)
 
     @property
     def schema(self) -> T.StructType | None:
@@ -252,10 +290,20 @@ class Snapshot:
 
     @property
     def size_bytes(self) -> int:
+        if self._files is None:
+            from delta_lake_optimizations_spark.table import checkpoint_arrow
+
+            return checkpoint_arrow.sum_column(self._arrow, "size")
         return sum(f.size for f in self.files)
 
     @property
     def num_records(self) -> int:
+        if self._files is None:
+            from delta_lake_optimizations_spark.table import checkpoint_arrow
+
+            return checkpoint_arrow.sum_column(
+                self._arrow, "numRecords"
+            ) - checkpoint_arrow.sum_column(self._arrow, "dvCount")
         return sum(f.live_records for f in self.files)
 
 
@@ -503,15 +551,28 @@ class GraftTable:
     # -- checkpoints -------------------------------------------------------
 
     def _checkpoint_path(self, version: int) -> str:
+        """Legacy (round<=10) JSON checkpoint path — still READ for
+        tables written before the columnar format; never written."""
         return os.path.join(self._log_path, f"_checkpoint.{version:011d}.json")
+
+    def _checkpoint_path_pq(self, version: int) -> str:
+        """Columnar checkpoint (one parquet file = one snapshot,
+        ``table/checkpoint_arrow.py``) — the only format written."""
+        return os.path.join(
+            self._log_path, f"_checkpoint.{version:011d}.parquet"
+        )
 
     def _checkpoint_versions(self) -> list[int]:
         if not os.path.isdir(self._log_path):
             return []
-        out = []
+        out = set()
         for f in os.listdir(self._log_path):
-            if f.startswith("_checkpoint.") and f.endswith(".json"):
-                out.append(int(f[len("_checkpoint."):-len(".json")]))
+            for suffix in (".json", ".parquet"):
+                if f.startswith("_checkpoint.") and f.endswith(suffix):
+                    try:
+                        out.add(int(f[len("_checkpoint."):-len(suffix)]))
+                    except ValueError:
+                        continue
         return sorted(out)
 
     def _write_checkpoint(self, version: int) -> None:
@@ -523,25 +584,41 @@ class GraftTable:
         ``vacuum_log`` purges commit JSONs below the checkpoint floor, a
         from-scratch replay would silently drop every file/schema recorded
         only in the purged commits and corrupt all later snapshots."""
+        from delta_lake_optimizations_spark.table import checkpoint_arrow
+
         base = None
         for cp in self._checkpoint_versions():
             if cp <= version:
                 base = cp
         snap = self._replay(version, from_version=base)
-        doc = {
-            "version": version,
-            "files": [f.to_json() for f in snap.files],
-            "schemaJson": snap.schema_json,
-            "partitionColumns": snap.partition_columns,
-            "properties": snap.properties,
-        }
-        final = self._checkpoint_path(version)
+        # columnar-to-columnar is the steady state: the base arrow table
+        # plus a vectorized tail — the one-time row-wise conversion
+        # happens only when the base was a legacy JSON checkpoint (or
+        # none existed yet)
+        tbl = snap.files_arrow
+        if tbl is None:
+            tbl = checkpoint_arrow.arrow_from_addfiles(snap.files)
+        final = self._checkpoint_path_pq(version)
         tmp = final + f".tmp-{uuid.uuid4().hex}"
-        with open(tmp, "w") as fh:
-            json.dump(doc, fh)
+        checkpoint_arrow.write_checkpoint(
+            tmp, version, tbl, snap.schema_json, snap.partition_columns,
+            snap.properties,
+        )
         os.replace(tmp, final)  # checkpoints are derived data: last wins
 
     def _load_checkpoint(self, version: int) -> Snapshot:
+        pq_path = self._checkpoint_path_pq(version)
+        if os.path.exists(pq_path):
+            from delta_lake_optimizations_spark.table import checkpoint_arrow
+
+            tbl, meta = checkpoint_arrow.read_checkpoint(pq_path)
+            return Snapshot(
+                version=meta["version"],
+                files_arrow=tbl,
+                schema_json=meta["schemaJson"],
+                partition_columns=meta["partitionColumns"],
+                properties=meta["properties"],
+            )
         with open(self._checkpoint_path(version)) as fh:
             doc = json.load(fh)
         return Snapshot(
@@ -578,30 +655,32 @@ class GraftTable:
 
     def _replay(self, target: int, from_version: int | None) -> Snapshot:
         """Replay commits ``(from_version, target]`` on top of the
-        checkpoint at ``from_version`` (or from scratch when None)."""
+        checkpoint at ``from_version`` (or from scratch when None).
+
+        A columnar base (parquet checkpoint) stays columnar: the tail —
+        at most CHECKPOINT_INTERVAL commits — is applied as one
+        vectorized filter+concat (``checkpoint_arrow.apply_tail``), so
+        replay cost never goes per-row over the head's file count."""
+        base: Snapshot | None = None
         if from_version is not None:
             base = self._load_checkpoint(from_version)
-            files = {f.path: f for f in base.files}
             schema_json = base.schema_json
             partition_columns = list(base.partition_columns)
             properties = dict(base.properties)
             start = from_version + 1
         else:
-            files: dict[str, AddFile] = {}
             schema_json: str | None = None
             partition_columns: list[str] = []
             properties: dict[str, str] = {}
             start = 0
+        tail: list[Commit] = []
         for v in self._versions():
             if v < start:
                 continue
             if v > target:
                 break
             c = self._read_commit(v)
-            for r in c.remove:
-                files.pop(r, None)
-            for a in c.add:
-                files[a.path] = a
+            tail.append(c)
             if c.metadata:
                 if "schemaJson" in c.metadata:
                     schema_json = c.metadata["schemaJson"]
@@ -609,6 +688,27 @@ class GraftTable:
                     partition_columns = list(c.metadata["partitionColumns"])
                 if "properties" in c.metadata:
                     properties = dict(c.metadata["properties"])
+        if base is not None and base.files_arrow is not None:
+            from delta_lake_optimizations_spark.table import checkpoint_arrow
+
+            tbl = base.files_arrow
+            if tail:
+                tbl = checkpoint_arrow.apply_tail(tbl, tail)
+            return Snapshot(
+                version=target,
+                files_arrow=tbl,
+                schema_json=schema_json,
+                partition_columns=partition_columns,
+                properties=properties,
+            )
+        files: dict[str, AddFile] = (
+            {f.path: f for f in base.files} if base is not None else {}
+        )
+        for c in tail:
+            for r in c.remove:
+                files.pop(r, None)
+            for a in c.add:
+                files[a.path] = a
         return Snapshot(
             version=target,
             files=sorted(files.values(), key=lambda a: a.path),
@@ -1435,20 +1535,42 @@ class GraftTable:
         is re-applied as a DataFrame filter for exactness.
         """
         snap = self.snapshot(version=version, timestamp=timestamp)
-        files = snap.files
         if skip_where:
             # footer stats / hive partition values are keyed by PHYSICAL
             # names; bloom sidecars and the exactness re-filter by LOGICAL
             cmap = _colmap(snap.properties)
             phys_preds = [(cmap.get(c, c), op, v) for c, op, v in skip_where]
             phys_parts = [cmap.get(c, c) for c in snap.partition_columns]
-            files = [f for f in files if _file_may_match(f, phys_preds, phys_parts)]
+            files = self._stats_prune(snap, phys_preds, phys_parts)
             files = self._bloom_prune(files, skip_where)
+        else:
+            files = snap.files
         df = self._read_files(snap, files)
         if skip_where:
             for col, op, value in skip_where:
                 df = df.filter(_op_expr(col, op, value))
         return df
+
+    def _stats_prune(
+        self,
+        snap: Snapshot,
+        phys_preds: list[tuple[str, str, Any]],
+        phys_parts: list[str],
+    ) -> list[AddFile]:
+        """Min/max + partition-value file skipping. On a columnar
+        snapshot the predicates evaluate as vectorized arrow masks and
+        only SURVIVING rows materialize into AddFile objects — the
+        1M-file path never loops Python over the full head."""
+        if snap.files_arrow is not None:
+            from delta_lake_optimizations_spark.table import checkpoint_arrow
+
+            pruned = checkpoint_arrow.prune_arrow(
+                snap.files_arrow, phys_preds, phys_parts
+            )
+            return checkpoint_arrow.addfiles_from_arrow(pruned)
+        return [
+            f for f in snap.files if _file_may_match(f, phys_preds, phys_parts)
+        ]
 
     def _bloom_prune(self, files: list[AddFile], skip_where) -> list[AddFile]:
         """Bloom-sidecar file skipping for ``=`` predicates (table/bloom.py)
@@ -1468,20 +1590,20 @@ class GraftTable:
         Spark job and no data I/O. The same metadata-only answer Delta
         serves for un-filtered counts."""
         snap = self.snapshot(version=version, timestamp=timestamp)
-        return sum(f.live_records for f in snap.files)
+        return snap.num_records
 
     def files_scanned(self, skip_where: list[tuple[str, str, Any]] | None = None) -> int:
         """How many files a scan with the given predicate would read
         (the §5.3 layout-effect metric: assert on files read, not seconds)."""
         snap = self.snapshot()
-        files = snap.files
         if skip_where:
             cmap = _colmap(snap.properties)
             phys_preds = [(cmap.get(c, c), op, v) for c, op, v in skip_where]
             phys_parts = [cmap.get(c, c) for c in snap.partition_columns]
-            files = [f for f in files if _file_may_match(f, phys_preds, phys_parts)]
+            files = self._stats_prune(snap, phys_preds, phys_parts)
             files = self._bloom_prune(files, skip_where)
-        return len(files)
+            return len(files)
+        return snap.num_files
 
     # -- inspection (M6, M11, M12) ----------------------------------------
 
@@ -2072,6 +2194,41 @@ def _op_expr(col: str, op: str, value: Any):
     }[op]
 
 
+def _partition_kill(pv: str, op: str, value: Any) -> bool:
+    """True iff the hive-encoded partition value PROVES no row matches.
+
+    Typed comparison: coerce the hive string to the probe value's type
+    so range predicates prune partitions too ('9' < '10'
+    lexicographically is wrong for ints). Shared scalar source of truth
+    for the per-file loop below AND the vectorized per-distinct-value
+    prune (``checkpoint_arrow._kill_mask_partition``)."""
+    typed: Any = pv
+    try:
+        if isinstance(value, bool):
+            typed = pv.lower() == "true"
+        elif isinstance(value, int):
+            typed = int(pv)
+        elif isinstance(value, float):
+            typed = float(pv)
+        elif isinstance(value, (datetime, date)):
+            typed, value = pv, value.isoformat()
+    except ValueError:
+        # un-coercible partition value — fall back to equality on
+        # strings only; ranges must scan
+        return op == "=" and pv != str(value)
+    if op == "=" and typed != value:
+        return True
+    if op == "<" and typed >= value:
+        return True
+    if op == "<=" and typed > value:
+        return True
+    if op == ">" and typed <= value:
+        return True
+    if op == ">=" and typed < value:
+        return True
+    return False
+
+
 def _file_may_match(
     f: AddFile, preds: list[tuple[str, str, Any]], partition_columns: list[str]
 ) -> bool:
@@ -2144,34 +2301,7 @@ def _file_may_match(
         if col in partition_columns:
             pv = f.partition_values.get(col)
             if pv is not None:
-                # Typed comparison: coerce the hive-encoded string to the
-                # probe value's type so range predicates prune partitions
-                # too ('9' < '10' lexicographically is wrong for ints).
-                typed: Any = pv
-                try:
-                    if isinstance(value, bool):
-                        typed = pv.lower() == "true"
-                    elif isinstance(value, int):
-                        typed = int(pv)
-                    elif isinstance(value, float):
-                        typed = float(pv)
-                    elif isinstance(value, (datetime, date)):
-                        typed, value = pv, value.isoformat()
-                except ValueError:
-                    # un-coercible partition value — fall back to equality
-                    # on strings only; ranges must scan
-                    if op == "=" and pv != str(value):
-                        return False
-                    continue
-                if op == "=" and typed != value:
-                    return False
-                if op == "<" and typed >= value:
-                    return False
-                if op == "<=" and typed > value:
-                    return False
-                if op == ">" and typed <= value:
-                    return False
-                if op == ">=" and typed < value:
+                if _partition_kill(pv, op, value):
                     return False
                 continue
         mins = f.stats.get("minValues", {})

@@ -744,11 +744,15 @@ def vacuum_log(table: GraftTable, keep_versions: int = 100) -> dict[str, Any]:
     removed_cp = 0
     for cp in table._checkpoint_versions():
         if cp < floor:
-            try:
-                os.remove(table._checkpoint_path(cp))
-                removed_cp += 1
-            except OSError:
-                pass
+            removed_any = False
+            for path in (table._checkpoint_path(cp),
+                         table._checkpoint_path_pq(cp)):
+                try:
+                    os.remove(path)
+                    removed_any = True
+                except OSError:
+                    pass
+            removed_cp += int(removed_any)
     return {
         "removed_commits": removed_c,
         "removed_checkpoints": removed_cp,
