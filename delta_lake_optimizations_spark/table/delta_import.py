@@ -12,9 +12,15 @@ written by delta-spark can be queried here with full history:
 
 - ``commitInfo`` — operation name + timestamp (preserved, so
   ``TIMESTAMP AS OF`` selection matches the Delta table's wall clock);
-- ``protocol``   — minReaderVersion gate (only reader version 1 features
-  are honored; reader-2/3 tables using deletion vectors or column
-  mapping are REFUSED rather than silently misread);
+- ``protocol``   — minReaderVersion gate against an allowlist of honored
+  readerFeatures (timestampNtz, deletionVectors); column mapping and
+  unknown/future features are REFUSED rather than silently misread;
+- deletion vectors — the public DV bitstream (Z85 + 64-bit
+  RoaringBitmapArray, ``table/roaring.py``) is decoded at import and
+  materialized as graft-native ``(file_path, row_index)`` parquet
+  sidecars, so DV-carrying tables — the default for modern Delta
+  writers — import with exact merge-on-read semantics at every version
+  (VERDICT r10 #2);
 - ``metaData``   — schemaString is a Spark StructType JSON, identical to
   GraftTable's ``schemaJson``; partitionColumns and configuration map 1:1;
 - ``add``        — path (URL-decoded, per spec), partitionValues,
@@ -70,6 +76,11 @@ _CHECKPOINT = re.compile(r"^(\d{20})\.checkpoint(\.\d{10}\.\d{10})?\.parquet$")
 # and the parquet physical encoding is read verbatim.
 _SUPPORTED_READER_FEATURES = {
     "timestampNtz",
+    # r11 (VERDICT r10 #2): deletion vectors are decoded from the public
+    # bitstream format (table/roaring.py) and materialized as graft-
+    # native DV parquet sidecars at import — no refusal, no data I/O
+    # beyond the metadata-sized (file_path, row_index) writes.
+    "deletionVectors",
 }
 
 
@@ -162,12 +173,116 @@ def _import_stats(stats_json: str | None) -> tuple[int | None, dict[str, Any]]:
     )
 
 
-def _add_from_action(table_root: str, a: dict[str, Any]) -> AddFile:
-    if a.get("deletionVector"):
+class _DvImporter:
+    """Materializes Delta deletion-vector descriptors as graft-native DV
+    parquet sidecars (rows of ``(file_path, row_index)`` under
+    ``_graft_dv/`` — the same layout ``maintenance._delete_with_dv``
+    writes, so the read-side anti-join and every later maintenance verb
+    work unchanged on imported DVs).
+
+    The bitstream decode is ``table/roaring.py`` (public Delta
+    PROTOCOL.md + RoaringFormatSpec). Identical descriptors reappearing
+    across versions/checkpoints reuse one materialized dir. ``file_path``
+    is written ABSOLUTE: Delta lays data files at the table root, whose
+    last-two-components scan suffix includes the table dir name — the
+    same move caveat shallow clones already document."""
+
+    def __init__(self, table_root: str):
+        self.root = table_root
+        self._cache: dict[tuple, tuple[str, int]] = {}
+
+    def _decode(self, desc: dict[str, Any]) -> list[int]:
+        from delta_lake_optimizations_spark.table import roaring
+
+        st = desc.get("storageType")
+        ref = desc.get("pathOrInlineDv") or ""
+        if st == "i":
+            size = desc.get("sizeInBytes")
+            return roaring.dv_inline_decode(
+                ref, int(size) if size is not None else None
+            )
+        if st == "u":
+            import uuid as _uuid
+
+            if len(ref) < 20:
+                raise UnsupportedDeltaFeature(
+                    f"deletion vector UUID reference too short: {ref!r}"
+                )
+            prefix, enc = ref[:-20], ref[-20:]
+            u = _uuid.UUID(bytes=roaring.z85_decode(enc))
+            dv_file = os.path.join(
+                self.root, prefix, f"deletion_vector_{u}.bin"
+            )
+            return roaring.read_dv_from_file(
+                dv_file, int(desc["offset"]), int(desc["sizeInBytes"])
+            )
         raise UnsupportedDeltaFeature(
-            "add action carries a deletion vector (RoaringBitmap sidecar) — "
-            "reader-version-3 feature this importer refuses rather than "
-            "resurrecting deleted rows"
+            f"deletion vector storageType {st!r} — only inline ('i') and "
+            "relative-UUID ('u') DVs keep the table self-contained "
+            "('p' points outside it)"
+        )
+
+    def materialize(
+        self, data_rel: str, desc: dict[str, Any], delta_version: int
+    ) -> tuple[str, int]:
+        import uuid as _uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as papq
+
+        key = (
+            desc.get("storageType"),
+            desc.get("pathOrInlineDv"),
+            desc.get("offset"),
+            data_rel,
+        )
+        if key in self._cache:
+            return self._cache[key]
+        idx = self._decode(desc)
+        card = desc.get("cardinality")
+        if card is not None and int(card) != len(idx):
+            raise UnsupportedDeltaFeature(
+                f"deletion vector cardinality {card} != decoded bitmap "
+                f"size {len(idx)} for {data_rel} — corrupt descriptor"
+            )
+        rel_dir = os.path.join(
+            "_graft_dv",
+            f"import-v{delta_version:011d}-{_uuid.uuid4().hex[:8]}",
+        )
+        abs_dir = os.path.join(self.root, rel_dir)
+        os.makedirs(abs_dir, exist_ok=True)
+        papq.write_table(
+            pa.table(
+                {
+                    "file_path": pa.array(
+                        [os.path.join(self.root, data_rel)] * len(idx),
+                        pa.string(),
+                    ),
+                    "row_index": pa.array(idx, pa.int64()),
+                }
+            ),
+            os.path.join(abs_dir, "part-00000.parquet"),
+        )
+        self._cache[key] = (rel_dir, len(idx))
+        return rel_dir, len(idx)
+
+
+def _add_from_action(
+    table_root: str,
+    a: dict[str, Any],
+    dv_importer: _DvImporter | None = None,
+    delta_version: int = 0,
+) -> AddFile:
+    dv_path: str | None = None
+    dv_count = 0
+    if a.get("deletionVector"):
+        if dv_importer is None:
+            raise UnsupportedDeltaFeature(
+                "add action carries a deletion vector but no DV importer "
+                "was provided"
+            )
+        dv_path, dv_count = dv_importer.materialize(
+            _decode_path(a["path"]), a["deletionVector"], delta_version
         )
     rel = _decode_path(a["path"])
     n, stats = _import_stats(a.get("stats"))
@@ -185,6 +300,8 @@ def _add_from_action(table_root: str, a: dict[str, Any]) -> AddFile:
             if v is not None
         },
         stats=stats,
+        dv_path=dv_path,
+        dv_count=dv_count,
     )
 
 
@@ -617,6 +734,7 @@ def convert_from_delta(
 
     state_meta: dict[str, Any] | None = None
     commits: list[Commit] = []
+    dv_importer = _DvImporter(path)
     for v in range(start, last + 1):
         if v == base_ckpt:
             meta_action, add_actions, _ = _checkpoint_state(
@@ -627,7 +745,10 @@ def convert_from_delta(
                     f"checkpoint {v} carries no metaData action"
                 )
             state_meta = _metadata_from_metadata_action(meta_action)
-            adds = [_add_from_action(path, a) for a in add_actions]
+            adds = [
+                _add_from_action(path, a, dv_importer, v)
+                for a in add_actions
+            ]
             ts = int(os.path.getmtime(
                 os.path.join(log_dir, sorted(checkpoints[v])[0])
             ) * 1000)
@@ -659,7 +780,7 @@ def convert_from_delta(
                 meta = _metadata_from_metadata_action(a["metaData"])
                 state_meta = meta
             elif "add" in a:
-                adds.append(_add_from_action(path, a["add"]))
+                adds.append(_add_from_action(path, a["add"], dv_importer, v))
             elif "remove" in a:
                 removes.append(_decode_path(a["remove"]["path"]))
             elif "commitInfo" in a:

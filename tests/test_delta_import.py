@@ -271,14 +271,17 @@ def test_checkpoint_base_replaces_cleaned_json(spark, tmp_path):
 
 
 def test_refusals(spark, tmp_path):
-    # deletion vector on an add action
+    # deletion vector with an ABSOLUTE-path descriptor ('p' points outside
+    # the table — the self-contained import contract refuses it; 'u'/'i'
+    # DVs import since r11, see test_dv_import_* below)
     root = str(tmp_path / "delta_dv")
     os.makedirs(root)
     log = os.path.join(root, "_delta_log")
     os.makedirs(log)
     add = _write_part(root, "part-00000.parquet", [1], ["US"], [1.0])
     add["deletionVector"] = {
-        "storageType": "u", "pathOrInlineDv": "ab^-aqEH.-t@S}K{vb[*k^",
+        "storageType": "p",
+        "pathOrInlineDv": "s3://bucket/elsewhere/deletion_vector_x.bin",
         "offset": 1, "sizeInBytes": 36, "cardinality": 1,
     }
     _commit(log, 0, [
@@ -588,3 +591,140 @@ def test_refused_export_runs_no_purge_commit(spark, tmp_path):
     # the refusal left the table untouched: same version, DVs still there
     assert t.snapshot().version == v_before
     assert any(f.dv_count for f in t.snapshot().files)
+
+
+# ---------------------------------------------------------------------------
+# Deletion-vector import (VERDICT r10 #2) — hand-built protocol-conformant
+# DV fixture log: sidecar ('u', with and without a path prefix) + inline
+# ('i') descriptors, contents checked at every version.
+# ---------------------------------------------------------------------------
+
+
+def _make_dv_delta_table(root: str) -> None:
+    """v0: two adds (5 + 3 rows); v1: DV delete of rows 1,3 in file A via
+    a 'u' sidecar under a 2-char prefix dir; v2: DV grows to rows 1,3,4
+    via an inline 'i' descriptor (the add at v2 REPLACES v1's entry for
+    the path, exactly a real writer's remove+add pair)."""
+    import uuid as _uuid
+
+    from delta_lake_optimizations_spark.table import roaring
+
+    os.makedirs(root)
+    log = os.path.join(root, "_delta_log")
+    os.makedirs(log)
+    a0 = _write_part(root, "part-00000-dva.snappy.parquet",
+                     [10, 11, 12, 13, 14], ["US"] * 5, [float(i) for i in range(5)])
+    a1 = _write_part(root, "part-00001-dvb.snappy.parquet",
+                     [20, 21, 22], ["DE"] * 3, [1.0, 2.0, 3.0])
+    _commit(log, 0, [
+        {"commitInfo": {"timestamp": _TS0, "operation": "WRITE"}},
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"],
+                      "writerFeatures": ["deletionVectors"]}},
+        _meta_action(_SCHEMA_V0),
+        {"add": a0},
+        {"add": a1},
+    ])
+
+    # v1: sidecar DV (rows 1, 3 of file A), stored under prefix "ab"
+    u = _uuid.uuid4()
+    os.makedirs(os.path.join(root, "ab"), exist_ok=True)
+    dv_file = os.path.join(root, "ab", f"deletion_vector_{u}.bin")
+    blob1 = roaring.serialize_dv_blob([1, 3])
+    (off, size), = roaring.write_dv_file(dv_file, [blob1])
+    a0_dv = {**a0, "deletionVector": {
+        "storageType": "u",
+        "pathOrInlineDv": "ab" + roaring.z85_encode(u.bytes),
+        "offset": off, "sizeInBytes": size, "cardinality": 2,
+    }}
+    _commit(log, 1, [
+        {"commitInfo": {"timestamp": _TS0 + 1000, "operation": "DELETE"}},
+        {"remove": {"path": a0["path"], "deletionTimestamp": _TS0 + 1000,
+                    "dataChange": True}},
+        {"add": a0_dv},
+    ])
+
+    # v2: DV grows to rows 1,3,4 — inline descriptor this time
+    blob2 = roaring.serialize_dv_blob([1, 3, 4])
+    a0_dv2 = {**a0, "deletionVector": {
+        "storageType": "i",
+        "pathOrInlineDv": roaring.dv_inline_encode(blob2),
+        "sizeInBytes": len(blob2), "cardinality": 3,
+    }}
+    _commit(log, 2, [
+        {"commitInfo": {"timestamp": _TS0 + 2000, "operation": "DELETE"}},
+        {"remove": {"path": a0["path"], "deletionTimestamp": _TS0 + 2000,
+                    "dataChange": True}},
+        {"add": a0_dv2},
+    ])
+
+
+def test_dv_import_contents_and_time_travel(spark, tmp_path):
+    root = str(tmp_path / "delta_dv_ok")
+    _make_dv_delta_table(root)
+    t = convert_from_delta(spark, root)
+
+    def ids(**kw):
+        return sorted(r["id"] for r in t.load(**kw).collect())
+
+    # head (v2): rows 11, 13, 14 of file A are deleted
+    assert ids() == [10, 12, 20, 21, 22]
+    # time travel ACROSS the DV commits
+    assert ids(version=0) == [10, 11, 12, 13, 14, 20, 21, 22]
+    assert ids(version=1) == [10, 12, 14, 20, 21, 22]
+    # metadata-only COUNT(*) sees live records through dv_count
+    assert t.count_rows() == 5
+    assert t.count_rows(version=1) == 6
+    assert t.count_rows(version=0) == 8
+    # the descriptors materialized as graft-native sidecars
+    snap = t.snapshot()
+    dv_files = [f for f in snap.files if f.dv_path]
+    assert len(dv_files) == 1 and dv_files[0].dv_count == 3
+
+
+def test_dv_import_then_maintenance_verbs(spark, tmp_path):
+    """Imported DVs must behave exactly like native ones downstream:
+    REORG PURGE rewrites the DV-carrying file and contents survive."""
+    from delta_lake_optimizations_spark.table.maintenance import reorg_purge
+
+    root = str(tmp_path / "delta_dv_maint")
+    _make_dv_delta_table(root)
+    t = convert_from_delta(spark, root)
+    before = sorted(r["id"] for r in t.load().collect())
+    reorg_purge(t)
+    snap = t.snapshot()
+    assert not any(f.dv_count for f in snap.files)
+    assert sorted(r["id"] for r in t.load().collect()) == before
+
+
+def test_dv_import_refuses_corrupt_descriptors(spark, tmp_path):
+    """Cardinality mismatch and truncated sidecars refuse loudly instead
+    of resurrecting rows."""
+    import uuid as _uuid
+
+    from delta_lake_optimizations_spark.table import roaring
+
+    root = str(tmp_path / "delta_dv_bad")
+    os.makedirs(root)
+    log = os.path.join(root, "_delta_log")
+    os.makedirs(log)
+    a0 = _write_part(root, "part-00000-bad.snappy.parquet",
+                     [1, 2, 3], ["US"] * 3, [1.0, 2.0, 3.0])
+    u = _uuid.uuid4()
+    dv_file = os.path.join(root, f"deletion_vector_{u}.bin")
+    blob = roaring.serialize_dv_blob([0])
+    (off, size), = roaring.write_dv_file(dv_file, [blob])
+    a0_dv = {**a0, "deletionVector": {
+        "storageType": "u", "pathOrInlineDv": roaring.z85_encode(u.bytes),
+        "offset": off, "sizeInBytes": size, "cardinality": 99,  # lies
+    }}
+    _commit(log, 0, [
+        {"commitInfo": {"timestamp": _TS0, "operation": "WRITE"}},
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"],
+                      "writerFeatures": ["deletionVectors"]}},
+        _meta_action(_SCHEMA_V0),
+        {"add": a0_dv},
+    ])
+    with pytest.raises(UnsupportedDeltaFeature, match="cardinality"):
+        convert_from_delta(spark, root)
