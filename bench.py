@@ -965,6 +965,85 @@ def _bench_metadata_scale(spark) -> dict:
     return out
 
 
+def _bench_skew_join(spark) -> dict:
+    """Engineered hot-key join evidence (VERDICT r10 #4): 30% of a 4M-row
+    fact on ONE key, sort-merge forced (broadcast off). Four timings:
+
+    - ``uniform``: same sizes, no hot key — the fair baseline;
+    - ``hot_aqe_split``: AQE skew-join ON (split thresholds scaled to
+      demo bytes; production keeps the 256 MB default, which real 100 TB
+      partitions cross on their own) — the plan marker
+      ``SortMergeJoin(skew=true)`` is recorded, not assumed;
+    - ``hot_no_skew_handling``: AQE skew-join OFF — the straggler a
+      naive plan ships;
+    - ``hot_salted``: the engine's own ``salted_join`` fallback for
+      broadcast-ineligible skew AQE can't fix."""
+    import statistics
+
+    from pyspark.sql import functions as F
+
+    from delta_lake_optimizations_spark.operators.skew import (
+        engineered_skew_frames,
+        executed_plan_string,
+        salted_join,
+        skew_demo_confs,
+    )
+
+    # dials measured on local[32]: at 4M/0.3 the hot partition is too
+    # small to hurt (straggler ratio 1.07x — no evidence); at 16M/0.4 the
+    # no-handling straggler costs 1.5-1.6x and the split recovers it
+    N_BIG, N_KEYS, HOT = 16_000_000, 100_000, 0.4
+    out: dict = {"n_big": N_BIG, "n_keys": N_KEYS, "hot_frac": HOT}
+
+    def timed(df_fn, reps=3) -> tuple[float, object]:
+        df = df_fn()
+        df.collect()  # warm (codegen + stage reuse)
+        times = []
+        for _ in range(reps):
+            df = df_fn()
+            t0 = time.perf_counter()
+            df.collect()
+            times.append(time.perf_counter() - t0)
+        return round(statistics.median(times), 4), df
+
+    big, small = engineered_skew_frames(spark, n_big=N_BIG, n_keys=N_KEYS,
+                                        hot_frac=HOT)
+    uni, _ = engineered_skew_frames(spark, n_big=N_BIG, n_keys=N_KEYS,
+                                    hot_frac=0.0)
+
+    def agg(b):
+        # sum over BOTH sides' columns keeps the fact payload alive
+        # through the join (16-byte sort rows — prune-resistant, like a
+        # real fact scan)
+        return b.join(small, "k").groupBy().agg(
+            F.sum(F.col("v") + F.col("w")).alias("s")
+        )
+
+    with skew_demo_confs(spark, threshold="64KB", advisory="64KB"):
+        out["uniform_sec"], _ = timed(lambda: agg(uni))
+        sec, j = timed(lambda: agg(big))
+        out["hot_aqe_split_sec"] = sec
+        out["aqe_skew_split_seen"] = "skew=true" in executed_plan_string(j)
+
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        try:
+            out["hot_no_skew_handling_sec"], _ = timed(lambda: agg(big))
+        finally:
+            spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+
+        out["hot_salted_sec"], _ = timed(
+            lambda: salted_join(big, small, "k", salt=16)
+            .groupBy().agg(F.sum(F.col("v") + F.col("w")).alias("s"))
+        )
+    out["straggler_vs_split_x"] = round(
+        out["hot_no_skew_handling_sec"] / max(1e-9, out["hot_aqe_split_sec"]), 2
+    )
+    out["hot_vs_uniform_x"] = round(
+        out["hot_aqe_split_sec"] / max(1e-9, out["uniform_sec"]), 2
+    )
+    return out
+
+
 def _bench_sf1_rehearsal(spark, sf_dir: str, sf01_timings: dict[str, float]) -> dict:
     """VERDICT r03 #7: run the headline suite + MinHash dedup at 10x the
     bench corpus ("sf1", generated once under /tmp with referentially
@@ -1317,6 +1396,7 @@ def main() -> None:
     parser.add_argument("--workshop-files", type=int, default=400)
     parser.add_argument("--no-ann-index", action="store_true")
     parser.add_argument("--no-metadata-scale", action="store_true")
+    parser.add_argument("--no-skew-join", action="store_true")
     parser.add_argument("--no-media-dedup", action="store_true")
     parser.add_argument("--no-sf1", action="store_true")
     parser.add_argument("--no-sf5", action="store_true")
@@ -1408,6 +1488,7 @@ def main() -> None:
     metadata_scale = (
         _bench_metadata_scale(spark) if not args.no_metadata_scale else None
     )
+    skew_join = _bench_skew_join(spark) if not args.no_skew_join else None
     # sf1 rehearsal only at the driver's bench scale (generating 10x of a
     # tiny sf would prove nothing about scaling)
     sf1 = (
@@ -1443,6 +1524,7 @@ def main() -> None:
         "ann_index": ann_index,
         "media_dedup": media_dedup,
         "metadata_scale": metadata_scale,
+        "skew_join": skew_join,
         "sf1": sf1,
         "sf5": sf5,
         "sf5_tpch": sf5_tpch,
@@ -1561,6 +1643,13 @@ def main() -> None:
                           "full_replay_sec", "replay_vs_checkpoint_x")
             },
         }
+    if skew_join is not None:
+        compact["skew_join"] = {
+            k: skew_join[k]
+            for k in ("uniform_sec", "hot_aqe_split_sec",
+                      "hot_no_skew_handling_sec", "hot_salted_sec",
+                      "aqe_skew_split_seen", "straggler_vs_split_x")
+        }
     if sf1 is not None:
         compact["sf1"] = {
             "total_sec": sf1["total_sec"],
@@ -1586,8 +1675,9 @@ def main() -> None:
     # it carries the round's graded speedups (in r9 it was popped FIRST
     # and the driver's BENCH record lost the ann numbers entirely)
     line = json.dumps(compact)
-    for victim in ("workshop_scale", "metadata_scale", "sf5_tpch", "sf5",
-                   "media_dedup", "sf1", "maintenance", "ann_index"):
+    for victim in ("workshop_scale", "skew_join", "metadata_scale",
+                   "sf5_tpch", "sf5", "media_dedup", "sf1", "maintenance",
+                   "ann_index"):
         if len(line) <= 1900:
             break
         compact.pop(victim, None)
