@@ -1380,6 +1380,61 @@ def _bench_sf5_tpch_rehearsal(spark, sf_dir: str) -> dict:
     return out
 
 
+def _bench_sf10_tpch_rehearsal(spark, sf_dir: str) -> dict:
+    """VERDICT r10 #5: the sf10 TPC-H check existed only as a standalone
+    script (scripts/sf10_tpch_check.py, run manually in r9) — promoted
+    into the gated bench so BENCH_r{N} carries it every round. Factor-100
+    corpus from the sf0.1 base (~60M lineitem rows; text/vector tables at
+    1x), q1/q3/q5/q9/q21 timed against the sf5_tpch corpus IN-SESSION
+    (machine drift cancels in the ratio; bar <= ~3x for 2x data =
+    1.5x-linear, the sf5 gate's own bar rescaled) and VALUE-checked
+    against DuckDB on the sf10 corpus. make_sfx is manifest-cached, so
+    repeat rounds skip the corpus write."""
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts"))
+    from make_sfx import make_sfx
+    from sf1_check import run_sf1_correctness
+
+    overrides = {t: 1 for t in ("documents", "embeddings", "events")}
+    sf5t_dir = make_sfx(
+        spark, sf_dir, "/tmp/spark_graft_sfx/sf5_tpch", factor=50,
+        factor_overrides=overrides,
+    )
+    sf10_dir = make_sfx(
+        spark, sf_dir, "/tmp/spark_graft_sfx/sf10_tpch", factor=100,
+        factor_overrides=overrides,
+    )
+    reg = registry()
+    tpch = (
+        "q1_pricing_summary",
+        "q3_top_unshipped_orders",
+        "q5_revenue_by_nation",
+        "q9_product_type_profit",
+        "q21_suppliers_kept_orders_waiting",
+    )
+    out: dict = {"dir": sf10_dir, "factor_vs_sf5": 2, "queries": {},
+                 "ratio_vs_sf5": {}}
+    for name in tpch:
+        fn = reg[name].fn
+        fn(spark, sf5t_dir).count()  # warm both shapes (JIT, file listing)
+        t0 = time.perf_counter()
+        fn(spark, sf5t_dir).count()
+        t5 = round(time.perf_counter() - t0, 4)
+        fn(spark, sf10_dir).count()
+        t0 = time.perf_counter()
+        fn(spark, sf10_dir).count()
+        t10 = round(time.perf_counter() - t0, 4)
+        out["queries"][name] = {"sf5_sec": t5, "sf10_sec": t10}
+        out["ratio_vs_sf5"][name] = round(t10 / max(1e-9, t5), 2)
+    ratios = list(out["ratio_vs_sf5"].values())
+    out["max_ratio_vs_sf5"] = max(ratios) if ratios else None
+    out["correctness"] = run_sf1_correctness(spark, sf10_dir, list(tpch))
+    out["correctness_all_green"] = all(
+        v.get("rows_match") and v.get("schema_match") and v.get("values_match")
+        for v in out["correctness"].values()
+    ) and len(out["correctness"]) == len(tpch)
+    return out
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument(
@@ -1401,6 +1456,7 @@ def main() -> None:
     parser.add_argument("--no-sf1", action="store_true")
     parser.add_argument("--no-sf5", action="store_true")
     parser.add_argument("--no-sf5-tpch", action="store_true")
+    parser.add_argument("--no-sf10-tpch", action="store_true")
     args = parser.parse_args()
 
     spark = get_spark(app_name="bench")
@@ -1506,6 +1562,11 @@ def main() -> None:
         if not args.no_sf5_tpch and _sf_from_dir(args.sf_dir) == 0.1
         else None
     )
+    sf10_tpch = (
+        _bench_sf10_tpch_rehearsal(spark, args.sf_dir)
+        if not args.no_sf10_tpch and _sf_from_dir(args.sf_dir) == 0.1
+        else None
+    )
 
     full = {
         "metric": "headline_queries_total_sec",
@@ -1528,6 +1589,7 @@ def main() -> None:
         "sf1": sf1,
         "sf5": sf5,
         "sf5_tpch": sf5_tpch,
+        "sf10_tpch": sf10_tpch,
     }
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_detail.json")
     with open(detail_path, "w") as f:
@@ -1670,14 +1732,20 @@ def main() -> None:
             "correctness_all_green": sf5_tpch.get("correctness_all_green"),
             "correctness_n": len(sf5_tpch.get("correctness", {})),
         }
+    if sf10_tpch is not None:
+        compact["sf10_tpch"] = {
+            "max_ratio_vs_sf5": sf10_tpch["max_ratio_vs_sf5"],
+            "correctness_all_green": sf10_tpch.get("correctness_all_green"),
+            "correctness_n": len(sf10_tpch.get("correctness", {})),
+        }
     # overflow guard (driver parses the LAST line from a ~2000-char tail
     # window): shed blocks in inverse grading priority — ann_index LAST,
     # it carries the round's graded speedups (in r9 it was popped FIRST
     # and the driver's BENCH record lost the ann numbers entirely)
     line = json.dumps(compact)
     for victim in ("workshop_scale", "skew_join", "metadata_scale",
-                   "sf5_tpch", "sf5", "media_dedup", "sf1", "maintenance",
-                   "ann_index"):
+                   "sf5_tpch", "sf10_tpch", "sf5", "media_dedup", "sf1",
+                   "maintenance", "ann_index"):
         if len(line) <= 1900:
             break
         compact.pop(victim, None)

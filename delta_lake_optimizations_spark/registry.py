@@ -36,6 +36,7 @@ _QUERY_MODULES = (
     "delta_lake_optimizations_spark.queries.events",
     "delta_lake_optimizations_spark.queries.analytics",
     "delta_lake_optimizations_spark.queries.vectors",
+    "delta_lake_optimizations_spark.queries.tablestate",
     "delta_lake_optimizations_spark.operators.dedup",
     "delta_lake_optimizations_spark.operators.components",
     "delta_lake_optimizations_spark.operators.similarity",
@@ -137,7 +138,29 @@ _QUERY_MODULES = (
 # tests/test_registry_window.py asserts every registry name has had a
 # driver row across all recorded rounds.
 DRIVER_WINDOW = 50
+# Round 11 rotation: three promotions riding this round's rebuilt
+# machinery —
+#   table_checkpoint_pruned_scan (columnar parquet checkpoints +
+#     vectorized stats prune, table/checkpoint_arrow.py: a fresh handle
+#     range-scan through the arrow prune, oracle = the raw range),
+#   delta_dv_import_ids (deletion-vector import: a protocol-conformant
+#     Delta log with a roaring-encoded 'u' sidecar built in-query,
+#     imported, post-delete contents oracle-checked),
+#   skew_salted_join_brand_revenue (salted-join equivalence, in-window
+#     while the new skew bench block + AQE plan guard are fresh).
+# Rotated out for them (all multi-round greens whose families keep
+# stronger in-window representatives):
+#   corpus_datacard (r6-r10 greens; profile family keeps
+#     variant_props_rollup + group_percentiles in-window),
+#   dedup_repeated_spans (r5-r10 greens; the REMOVAL form
+#     dedup_remove_repeated_spans — the full cascade — stays in-window),
+#   bpe_roundtrip_consistency (r7-r10 greens; the BPE family keeps
+#     bpe_pack_documents + bpe_pack_sizes in-window).
 _DRIVER_PRIORITY: tuple[str, ...] = (
+    # NEW round 11 (oracle-backed, see rotation note above)
+    "table_checkpoint_pruned_scan",
+    "delta_dv_import_ids",
+    "skew_salted_join_brand_revenue",
     # NEW round 9: image near-dup (stdlib PNG pixel decode -> aHash ->
     # Hamming banding; oracle = the fixture corpus's ground-truth
     # duplicate map), trained quality classifier (GD-as-aggregates fit;
@@ -218,7 +241,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "lm_backoff_scores",
     "bpe_pack_documents",
     "bpe_pack_sizes",
-    "bpe_roundtrip_consistency",
     # r06 debutantes re-verified (second driver row)
     "url_normalize_docs",
     "incremental_dedup_two_batches",
@@ -241,10 +263,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "events_tumbling_window",
     "q21_suppliers_kept_orders_waiting",
     # r05 gram-path rework re-verification (shared token_ngrams fast path)
-    "dedup_repeated_spans",
     "bm25_keyword_search",
     # r06 debutantes re-verified: dataset card + the paragraph family
-    "corpus_datacard",
     "paragraph_dedup_docs",
     "strip_boilerplate_docs",
     "group_percentiles",
