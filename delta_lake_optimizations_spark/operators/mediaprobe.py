@@ -262,6 +262,29 @@ def probe_media(payload: bytes | None) -> dict[str, Any]:
                     out["duration_ms"] = int(
                         data_size / block_align / rate * 1000
                     )
+        elif b[:4] == b"fLaC" and len(b) >= 8:
+            # STREAMINFO is mandatory and first: rate (20 bits at byte
+            # offset 18 of the block body), channels, total samples ->
+            # duration. Full decode lives in operators/flaccodec.py;
+            # this is the probe-only curation path.
+            blen = int.from_bytes(b[5:8], "big")
+            if (b[4] & 0x7F) == 0 and blen >= 34 and len(b) >= 8 + 34:
+                body = b[8 : 8 + 34]
+                bits = int.from_bytes(body[10:18], "big")
+                rate = (bits >> 44) & 0xFFFFF
+                channels = ((bits >> 41) & 0x7) + 1
+                total = bits & ((1 << 36) - 1)
+                if rate:
+                    out.update(
+                        detected="audio/flac", channels=channels,
+                        sample_rate=rate,
+                    )
+                    if total:
+                        out["duration_ms"] = int(total * 1000 / rate)
+                else:
+                    out["detected"] = "audio/flac"
+            else:
+                out["detected"] = "audio/flac"
         elif b[:4] == b"OggS" and len(b) >= 28:
             _probe_ogg(b, out)
         elif len(b) >= 12 and b[4:8] == b"ftyp":

@@ -184,7 +184,15 @@ def test_audio_fingerprints_carries_both_columns(spark):
         r["fingerprint"] is not None and r["spectral_fp"] is not None
         for r in rows
     )
-    assert all(r["decoder"] == "wav-pcm" for r in rows)
+    # clip 9 is the r11 FLAC re-encode of clip 0; the rest are WAV
+    decs = {r["doc_id"]: r["decoder"] for r in rows}
+    assert decs[9] == "flac"
+    assert all(v == "wav-pcm" for k, v in decs.items() if k != 9)
+    # the FLAC copy decodes to bit-identical samples -> identical prints
+    by_id = {r["doc_id"]: r for r in rows}
+    assert by_id[9]["fingerprint"] == by_id[0]["fingerprint"]
+    assert by_id[9]["spectral_fp"] == by_id[0]["spectral_fp"]
+    assert by_id[9]["n_samples"] == by_id[0]["n_samples"]
 
 
 def test_audio_spectral_near_dup_oracle_parity(spark, duck):

@@ -200,3 +200,30 @@ def test_probe_compressed_truncations_never_throw():
     for payload in full:
         for cut in range(len(payload)):
             probe_media(payload[:cut])  # must not raise
+
+
+def test_probe_flac_streaminfo():
+    """r11: FLAC joins the probe path — STREAMINFO rate/channels/total
+    samples -> duration, verified against our own encoder's stream."""
+    import math
+
+    from delta_lake_optimizations_spark.operators.flaccodec import flac_encode
+    from delta_lake_optimizations_spark.operators.mediaprobe import probe_media
+
+    samples = [int(8000 * math.sin(i / 20)) for i in range(16000)]
+    out = probe_media(flac_encode(8000, 1, samples))
+    assert out["detected"] == "audio/flac"
+    assert out["sample_rate"] == 8000
+    assert out["channels"] == 1
+    assert out["duration_ms"] == 2000
+
+
+def test_probe_flac_truncation_total():
+    import math
+
+    from delta_lake_optimizations_spark.operators.flaccodec import flac_encode
+    from delta_lake_optimizations_spark.operators.mediaprobe import probe_media
+
+    data = flac_encode(44100, 2, [0, 0] * 500)
+    for cut in range(0, min(len(data), 64)):
+        probe_media(data[:cut])  # never raises
