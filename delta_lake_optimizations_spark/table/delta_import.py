@@ -335,9 +335,16 @@ def _checkpoint_state(
     return meta_action, adds, None
 
 
-def _add_action_json(f: AddFile, ts: int) -> dict[str, Any]:
-    """One Delta ``add`` action (dict form) for a live GraftTable file."""
-    stats = {
+def _add_action_json(
+    f: AddFile, ts: int, dv_descriptor: dict[str, Any] | None = None
+) -> dict[str, Any]:
+    """One Delta ``add`` action (dict form) for a live GraftTable file.
+
+    With a DV descriptor attached, stats gain ``tightBounds: false``
+    (the spec's marker that min/max bound the PHYSICAL rows, deleted
+    positions included — which is exactly what footer-harvested stats
+    are)."""
+    stats: dict[str, Any] = {
         "numRecords": f.num_records,
         "minValues": {
             k: v for k, v in f.stats.get("minValues", {}).items()
@@ -349,13 +356,73 @@ def _add_action_json(f: AddFile, ts: int) -> dict[str, Any]:
         },
         "nullCount": dict(f.stats.get("nullCounts", {})),
     }
-    return {
+    if dv_descriptor is not None:
+        stats["tightBounds"] = False
+    out = {
         "path": urllib.parse.quote(f.path),
         "partitionValues": dict(f.partition_values),
         "size": f.size,
         "modificationTime": ts,
         "dataChange": True,
         "stats": json.dumps(stats),
+    }
+    if dv_descriptor is not None:
+        out["deletionVector"] = dv_descriptor
+    return out
+
+
+def _suffix2(p: str) -> str:
+    """Last two path components — the same key the read-side DV
+    anti-join and ``maintenance._delete_with_dv`` use."""
+    return os.sep.join(p.split(os.sep)[-2:])
+
+
+def _export_dvs(table, dv_files: list[AddFile]) -> dict[str, dict[str, Any]]:
+    """Materialize the snapshot's graft-native DV parquet rows as ONE
+    Delta DV ``.bin`` sidecar (``table/roaring.py`` bitstream) and return
+    ``{add path: deletionVector descriptor}`` — the outbound half of DV
+    interop (the inbound half is ``_DvImporter``). Driver-side pyarrow
+    read of the DV dirs; DV volume is O(deleted rows), metadata-sized."""
+    import uuid as _uuid
+
+    import pyarrow.parquet as papq
+
+    from delta_lake_optimizations_spark.table import roaring
+
+    by_suffix: dict[str, list[int]] = {}
+    for dv_dir in sorted({f.dv_path for f in dv_files if f.dv_path}):
+        abs_dir = os.path.join(table.path, dv_dir)
+        tbl = papq.read_table(abs_dir)
+        paths = tbl.column("file_path").to_pylist()
+        idxs = tbl.column("row_index").to_pylist()
+        for p, i in zip(paths, idxs):
+            by_suffix.setdefault(_suffix2(p), []).append(int(i))
+
+    u = _uuid.uuid4()
+    blobs: list[bytes] = []
+    ordered: list[AddFile] = []
+    for f in sorted(dv_files, key=lambda a: a.path):
+        positions = by_suffix.get(_suffix2(f.path), [])
+        if len(set(positions)) != f.dv_count:
+            raise ValueError(
+                f"generate_delta_log: DV sidecar rows for {f.path} "
+                f"({len(set(positions))}) != logged dv_count "
+                f"({f.dv_count}) — refusing to export a DV that would "
+                "resurrect or over-delete rows"
+            )
+        blobs.append(roaring.serialize_dv_blob(positions))
+        ordered.append(f)
+    dv_bin = os.path.join(table.path, f"deletion_vector_{u}.bin")
+    spans = roaring.write_dv_file(dv_bin, blobs)
+    return {
+        f.path: {
+            "storageType": "u",
+            "pathOrInlineDv": roaring.z85_encode(u.bytes),
+            "offset": off,
+            "sizeInBytes": size,
+            "cardinality": f.dv_count,
+        }
+        for f, (off, size) in zip(ordered, spans)
     }
 
 
@@ -500,17 +567,20 @@ def generate_delta_log(
     complete in a temp dir, the old log renamed aside, the temp renamed
     in, then the old removed — at no instant is there no ``_delta_log``.
 
-    Refused when any exported file carries a deletion vector (an
-    external Delta reader has no DV sidecar and would resurrect deleted
-    rows — the same restriction as ``generate_manifest``) or when column
-    mapping is active (physical names on disk differ from the logical
-    schema). ``purge=True`` removes the DV speed bump for snapshot mode
-    (VERDICT r09 #6): it runs ``reorg_purge`` first — a REAL graft
-    commit that rewrites only the DV-carrying files — so the exported
-    snapshot is DV-free by construction. History mode still refuses DV
-    versions even with ``purge=True``: the purge produces a NEW clean
-    version, it cannot rewrite the already-committed history an external
-    reader would replay.
+    Deletion vectors (r11): a DV-carrying snapshot exports its DVs as a
+    REAL Delta DV sidecar — one ``deletion_vector_<uuid>.bin``
+    (``table/roaring.py`` bitstream) + per-add descriptors under
+    protocol (3, 7) with the ``deletionVectors`` feature — the outbound
+    twin of ``convert_from_delta``'s DV import; round-tripped by pytest.
+    ``purge=True`` instead produces a DV-FREE export for readers without
+    the feature (VERDICT r09 #6): it runs ``reorg_purge`` first — a REAL
+    graft commit that rewrites only the DV-carrying files. Refused when
+    column mapping is active (physical names on disk differ from the
+    logical schema). History mode still refuses DV versions (even with
+    ``purge=True``: a purge produces a NEW clean version, it cannot
+    rewrite the already-committed history an external reader would
+    replay — and per-version DV export would need every historical DV
+    dir to survive vacuum, which the graft contract doesn't promise).
 
     Driver-side metadata work only; zero data I/O at any scale (with
     ``purge=True``, data I/O proportional to the DV-carrying files).
@@ -554,12 +624,23 @@ def generate_delta_log(
 
     last_ckpt: int | None = None
     if not history:
-        if any(f.dv_count for f in snap.files):
-            raise ValueError(
-                "generate_delta_log: table has deletion vectors; an "
-                "external Delta reader would resurrect deleted rows — run "
-                "reorg_purge first"
-            )
+        # r11: DV-carrying snapshots EXPORT their deletion vectors as a
+        # real Delta DV sidecar (protocol 3/7 + deletionVectors feature)
+        # instead of refusing — the outbound twin of the import path.
+        # ``purge=True`` above remains the way to produce a DV-FREE
+        # export for readers without the feature.
+        dv_files = [f for f in snap.files if f.dv_count]
+        dv_desc = _export_dvs(table, dv_files) if dv_files else {}
+        protocol: dict[str, Any] = (
+            {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": ["deletionVectors"],
+                "writerFeatures": ["deletionVectors"],
+            }
+            if dv_desc
+            else {"minReaderVersion": 1, "minWriterVersion": 2}
+        )
         actions: list[dict[str, Any]] = [
             {
                 "commitInfo": {
@@ -568,12 +649,14 @@ def generate_delta_log(
                     "operationParameters": {"sourceFormat": "graft"},
                 }
             },
-            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {"protocol": protocol},
             {"metaData": _meta_action_json(
                 table_id, snap.schema_json, snap.partition_columns, now_ts)},
         ]
         for f in sorted(snap.files, key=lambda a: a.path):
-            actions.append({"add": _add_action_json(f, now_ts)})
+            actions.append(
+                {"add": _add_action_json(f, now_ts, dv_desc.get(f.path))}
+            )
         with open(os.path.join(tmp_dir, f"{0:020d}.json"), "w") as fh:
             for a in actions:
                 fh.write(json.dumps(a) + "\n")

@@ -376,7 +376,13 @@ def test_generate_delta_log_round_trip(spark, tmp_path):
     assert t2.files_scanned(skip_where=[("id", "=", 10_000)]) == 0
 
 
-def test_generate_delta_log_refuses_dv_tables(spark, tmp_path):
+def test_generate_delta_log_exports_dv_tables(spark, tmp_path):
+    """r11: a DV-carrying snapshot exports REAL Delta deletion vectors
+    (protocol 3/7 + sidecar .bin + per-add descriptors) instead of
+    refusing; re-importing through our own DV import path yields the
+    post-delete contents — the full bidirectional round trip."""
+    import shutil
+
     from delta_lake_optimizations_spark.table.delta_import import (
         generate_delta_log,
     )
@@ -390,11 +396,39 @@ def test_generate_delta_log_refuses_dv_tables(spark, tmp_path):
         ),
         properties={"graft.enableDeletionVectors": "true"},
     )
-    delete(t, "id = 7", deletion_vectors=True)
+    delete(t, "id % 6 = 1", deletion_vectors=True)
     snap = t.snapshot()
     assert any(f.dv_count for f in snap.files)
-    with pytest.raises(ValueError):
-        generate_delta_log(t)
+    v_before = snap.version
+
+    r = generate_delta_log(t)
+    assert t.snapshot().version == v_before  # NO purge commit happened
+    # the log carries the DV protocol + descriptor + sidecar
+    log = os.path.join(src, "_delta_log", f"{0:020d}.json")
+    actions = [json.loads(line) for line in open(log)]
+    protos = [a["protocol"] for a in actions if "protocol" in a]
+    assert protos[0]["minReaderVersion"] == 3
+    assert "deletionVectors" in protos[0]["readerFeatures"]
+    dv_adds = [a["add"] for a in actions if "add" in a
+               and a["add"].get("deletionVector")]
+    assert dv_adds and all(
+        a["deletionVector"]["storageType"] == "u" for a in dv_adds
+    )
+    assert any(
+        fn.startswith("deletion_vector_") and fn.endswith(".bin")
+        for fn in os.listdir(src)
+    )
+    assert json.loads(dv_adds[0]["stats"])["tightBounds"] is False
+
+    # round trip: copy data + DV sidecar + _delta_log (not _log/_graft_dv)
+    dst = str(tmp_path / "delta_dv_view")
+    shutil.copytree(
+        src, dst, ignore=shutil.ignore_patterns("_log", "_dv", "_graft_dv")
+    )
+    t2 = convert_from_delta(spark, dst)
+    got = sorted(row["id"] for row in t2.load().collect())
+    assert got == [i for i in range(50) if i % 6 != 1]
+    assert t2.count_rows() == len(got)
 
 
 def test_generate_delta_log_purge_on_export_round_trip(spark, tmp_path):
