@@ -258,13 +258,31 @@ def embedding_decontaminate_report(
     so it broadcasts and the corpus is scanned map-side, never shuffled;
     the aggregation shuffles only (id, partial-max) pairs.
     """
-    from delta_lake_optimizations_spark.queries.vectors import cosine
+    from delta_lake_optimizations_spark.queries.vectors import (
+        cosine_with_norms,
+        norm_col,
+    )
 
-    b = F.broadcast(benchmark.select(F.col(vec_col).alias("__bv")))
+    # r11 norm-once: both norms project once per ROW (corpus row / bench
+    # broadcast row) instead of once per (corpus x bench) PAIR — the dot
+    # is the only per-pair fold left. Bit-identical (see norm_col).
+    b = F.broadcast(
+        benchmark.select(
+            F.col(vec_col).alias("__bv"),
+            norm_col(F.col(vec_col)).alias("__bn"),
+        )
+    )
     return (
-        corpus.select(F.col(id_col), F.col(vec_col))
+        corpus.select(
+            F.col(id_col), F.col(vec_col), norm_col(F.col(vec_col)).alias("__vn")
+        )
         .crossJoin(b)
-        .select(F.col(id_col), cosine(F.col(vec_col), F.col("__bv")).alias("__cos"))
+        .select(
+            F.col(id_col),
+            cosine_with_norms(
+                F.col(vec_col), F.col("__bv"), F.col("__vn"), F.col("__bn")
+            ).alias("__cos"),
+        )
         .groupBy(id_col)
         .agg(F.round(F.max("__cos"), 6).alias("max_bench_cos"))
         .filter(F.col("max_bench_cos") >= threshold)
@@ -375,23 +393,34 @@ def embedding_decontaminate_indexed(
     cosine per corpus vector = a batch k-NN (k=1) against the index,
     restricted to each vector's ``nprobe`` nearest benchmark cells."""
     from delta_lake_optimizations_spark.operators.ivf import ivf_index_centroids
-    from delta_lake_optimizations_spark.queries.vectors import cosine
+    from delta_lake_optimizations_spark.queries.vectors import (
+        cosine_with_norms,
+        norm_col,
+    )
 
     centroids = ivf_index_centroids(bench_table)
+    # r11 norm-once: corpus norm projects once per corpus row (below the
+    # explode, so the per-cell fanout reuses the computed value); bench
+    # norm once per bench row. Per-pair work is the dot alone.
     left = (
         assign_topn_cells(
             corpus.select(id_col, vec_col), centroids, nprobe, vec_col
         )
-        .select(id_col, vec_col, F.explode("_cells").alias("list_id"))
+        .withColumn("__vn", norm_col(F.col(vec_col)))
+        .select(id_col, vec_col, "__vn", F.explode("_cells").alias("list_id"))
     )
     right = bench_table.load().select(
-        "list_id", F.col(vec_col).alias("__bv")
+        "list_id",
+        F.col(vec_col).alias("__bv"),
+        norm_col(F.col(vec_col)).alias("__bn"),
     )
     return (
         left.join(right, "list_id")
         .select(
             F.col(id_col),
-            cosine(F.col(vec_col), F.col("__bv")).alias("__cos"),
+            cosine_with_norms(
+                F.col(vec_col), F.col("__bv"), F.col("__vn"), F.col("__bn")
+            ).alias("__cos"),
         )
         .groupBy(id_col)
         .agg(F.round(F.max("__cos"), 6).alias("max_bench_cos"))

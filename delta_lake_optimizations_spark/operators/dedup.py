@@ -874,37 +874,68 @@ def drop_covered_tokens(
     with ``clean_text=''``. ``toks`` is the caller's token-array
     expression (callers differ: repeated-span dedup uses the normalized
     ``tokenize``, span decontamination uses decontam's single-space
-    split — coverage semantics are tokenizer-agnostic). Coverage
-    expansion is doc-local; the anti-join and reassembly shuffle by
-    doc id only."""
-    covered = starts.select(
-        id_col,
-        F.explode(F.sequence(F.col("_p"), F.col("_p") + F.lit(k - 1))).alias(
-            "_q"
+    split — coverage semantics are tokenizer-agnostic).
+
+    r11 rewrite (guide §2.3/§2.4, before/after plans in plans/r11): the
+    original tail posexploded EVERY corpus token into its own row, ran a
+    (id, pos) anti-join against the exploded+distinct covered positions,
+    and re-assembled with a groupBy(id).collect_list over all surviving
+    tokens — three exchanges whose payload was the entire tokenized
+    corpus, twice. But coverage is DOC-LOCAL: aggregating the starts to
+    one compact ``(id, sorted positions)`` row per affected doc (the
+    only shuffle, of start positions — bytes, not tokens) and joining
+    that to the doc frame lets one Arrow pass rebuild each document with
+    a linear difference-array sweep. Token arrays cross the boundary
+    once, map-side; nothing token-shaped is ever shuffled. Output is
+    byte-identical: the kept tokens in position order joined with a
+    single space is exactly what the collect_list/array_sort/array_join
+    chain produced (pinned by the dedup_remove_repeated_spans /
+    decontam_remove_spans oracles)."""
+    id_type = dict(df.dtypes)[id_col]
+    per_doc = starts.groupBy(id_col).agg(
+        F.sort_array(F.collect_list(F.col("_p").cast("long"))).alias("_ps")
+    )
+    joined = df.select(F.col(id_col), toks.alias("_toks")).join(
+        per_doc, id_col, "left"
+    )
+
+    def rebuild(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, texts, keptn, remn = [], [], [], []
+            for i, t, ps in zip(pdf[id_col], pdf["_toks"], pdf["_ps"]):
+                tl = list(t)
+                n = len(tl)
+                if ps is None or len(ps) == 0:
+                    kept = tl
+                else:
+                    diff = np.zeros(n + 1, dtype=np.int64)
+                    pa = np.asarray(ps, dtype=np.int64)
+                    np.add.at(diff, pa, 1)
+                    np.add.at(diff, np.minimum(pa + k, n), -1)
+                    covered = np.cumsum(diff[:n]) > 0
+                    kept = [tok for tok, c in zip(tl, covered) if not c]
+                ids.append(i)
+                texts.append(" ".join(kept))
+                keptn.append(len(kept))
+                remn.append(n - len(kept))
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "clean_text": texts,
+                    "n_kept": keptn,
+                    "n_removed": remn,
+                }
+            )
+
+    return joined.mapInPandas(
+        rebuild,
+        schema=(
+            f"{id_col} {id_type}, clean_text string, "
+            "n_kept bigint, n_removed bigint"
         ),
-    ).distinct()
-    tokens = df.select(
-        F.col(id_col), F.posexplode(toks).alias("_q", "_tok")
-    )
-    kept = tokens.join(covered, [id_col, "_q"], "left_anti")
-    kept_agg = kept.groupBy(id_col).agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("_q", "_tok"))),
-                lambda s: s["_tok"],
-            ),
-            " ",
-        ).alias("clean_text"),
-        F.count(F.lit(1)).alias("_n_kept"),
-    )
-    sizes = df.select(F.col(id_col), F.size(toks).alias("_n"))
-    return sizes.join(kept_agg, id_col, "left").select(
-        id_col,
-        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
-        F.coalesce(F.col("_n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
-        (F.col("_n") - F.coalesce(F.col("_n_kept"), F.lit(0)))
-        .cast("bigint")
-        .alias("n_removed"),
     )
 
 

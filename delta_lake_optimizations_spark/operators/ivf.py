@@ -23,7 +23,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from delta_lake_optimizations_spark.operators.similarity import topk_cosine
-from delta_lake_optimizations_spark.queries.vectors import cosine
+from delta_lake_optimizations_spark.queries.vectors import (
+    cosine_with_norms,
+    l2_norm_py,
+    norm_col,
+)
 from delta_lake_optimizations_spark.registry import query
 
 
@@ -106,16 +110,22 @@ def _knn_join_cells(
         probe_rows, "list_id int, probe_id int"
     )
 
+    # r11 norm-once: per-side norms projected once per row BEFORE the
+    # cell join — per-pair work inside a cell is the dot alone.
     left = (
         assigned.select(
-            F.col(id_col).alias("src_id"), F.col(vec_col).alias("_qv"), "list_id"
+            F.col(id_col).alias("src_id"),
+            F.col(vec_col).alias("_qv"),
+            norm_col(F.col(vec_col)).alias("_qn"),
+            "list_id",
         )
         .join(F.broadcast(probes), "list_id")
-        .select("src_id", "_qv", F.col("probe_id").alias("_cell"))
+        .select("src_id", "_qv", "_qn", F.col("probe_id").alias("_cell"))
     )
     right = assigned.select(
         F.col(id_col).alias("nbr_id"),
         F.col(vec_col).alias("_nv"),
+        norm_col(F.col(vec_col)).alias("_nn"),
         F.col("list_id").alias("_cell"),
     )
     w = Window.partitionBy("src_id").orderBy(F.col("cos_sim").desc(), F.col("nbr_id"))
@@ -125,7 +135,12 @@ def _knn_join_cells(
         .select(
             "src_id",
             "nbr_id",
-            F.round(cosine(F.col("_qv"), F.col("_nv")), 6).alias("cos_sim"),
+            F.round(
+                cosine_with_norms(
+                    F.col("_qv"), F.col("_nv"), F.col("_qn"), F.col("_nn")
+                ),
+                6,
+            ).alias("cos_sim"),
         )
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
@@ -329,13 +344,17 @@ def ann_topk_batch_from_ivf(
             probe_rows.append((int(qid), int(c)))
             cells.add(int(c))
     spark = table.spark
+    # r11 norm-once: query norms fold driver-side (bit-identical, see
+    # l2_norm_py) and ride the broadcast row; the corpus norm projects
+    # once per candidate row BELOW the fanout joins, so the generated
+    # loop reuses it across every (qid, row) pair.
     qdf = spark.createDataFrame(
-        [(int(q), [float(x) for x in v]) for q, v in queries],
-        "qid long, _qv array<double>",
+        [(int(q), [float(x) for x in v], l2_norm_py(v)) for q, v in queries],
+        "qid long, _qv array<double>, _qn double",
     )
     pdf = spark.createDataFrame(probe_rows, "qid long, list_id int")
     cand = table.load(skip_where=[("list_id", "in", sorted(cells))]).select(
-        "list_id", id_col, vec_col
+        "list_id", id_col, vec_col, norm_col(F.col(vec_col)).alias("_vn")
     )
     scored = (
         cand.join(F.broadcast(pdf), "list_id")
@@ -343,7 +362,12 @@ def ann_topk_batch_from_ivf(
         .select(
             "qid",
             id_col,
-            F.round(cosine(F.col(vec_col), F.col("_qv")), 6).alias("cos_sim"),
+            F.round(
+                cosine_with_norms(
+                    F.col(vec_col), F.col("_qv"), F.col("_vn"), F.col("_qn")
+                ),
+                6,
+            ).alias("cos_sim"),
         )
     )
     return topk_per_query(scored, k, "qid", id_col)

@@ -180,18 +180,31 @@ def _train_and_encode(
 
 
 def _sq8_train(df: DataFrame, vec_col: str) -> tuple[list[float], list[float]]:
-    """Per-dimension (vmin, scale) over the corpus — one posexplode +
-    hash aggregate at build time."""
-    stats = (
-        df.select(F.posexplode(F.col(vec_col).cast("array<double>")).alias("_d", "_x"))
-        .groupBy("_d")
-        .agg(F.min("_x").alias("mn"), F.max("_x").alias("mx"))
-        .orderBy("_d")
-        .collect()
-    )
-    vmin = [round(r["mn"], 8) for r in stats]
+    """Per-dimension (vmin, scale) over the corpus — ONE map-side-partial
+    aggregation pass, no explode.
+
+    r11 (guide §2.3/§2.4): the original posexplode form materialized
+    n_rows x dim exploded rows (204.8M at the 3.2M bench point) through
+    a groupBy(_d) exchange just to reduce them straight back down to
+    dim rows. 2*dim plain min/max aggregates over the element accessors
+    compute the identical doubles (min/max are exact — no summation
+    order to preserve) with map-side partial aggregation and a
+    dim-row-wide single-row result; the explode and its exchange are
+    gone. Dim comes from one row (driver-side metadata read)."""
+    first = df.select(vec_col).first()
+    if first is None:
+        return [], []
+    dim = len(first[0])
+    aggs = []
+    for d in range(dim):
+        e = F.col(vec_col)[d].cast("double")
+        aggs.append(F.min(e).alias(f"mn{d}"))
+        aggs.append(F.max(e).alias(f"mx{d}"))
+    row = df.agg(*aggs).first()
+    vmin = [round(row[f"mn{d}"], 8) for d in range(dim)]
     scale = [
-        round(max(r["mx"] - r["mn"], 1e-12) / 256.0, 12) for r in stats
+        round(max(row[f"mx{d}"] - row[f"mn{d}"], 1e-12) / 256.0, 12)
+        for d in range(dim)
     ]
     return vmin, scale
 

@@ -55,7 +55,11 @@ from delta_lake_optimizations_spark.operators.similarity import (
     query_vector,
     topk_cosine,
 )
-from delta_lake_optimizations_spark.queries.vectors import cosine, dot
+from delta_lake_optimizations_spark.queries.vectors import (
+    cosine_with_norms,
+    dot,
+    norm_col,
+)
 from delta_lake_optimizations_spark.registry import query
 
 N_TABLES = 16
@@ -768,14 +772,23 @@ def knn_join_from_sharded(
         )
     )
     tcs = sorted(r[0] for r in probes.select("tc").distinct().collect())
+    # r11 norm-once: candidate norm projects once per scanned row (below
+    # the probe join, reused across fanout); query norms materialize in
+    # the tiny broadcast relation. Per-pair work is the dot alone, and
+    # the fact shuffle stays the slim (src_id, nbr_id, cos_sim) triple.
     cand = table.load(skip_where=[("tc", "in", tcs)]).select(
-        "tc", F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("_nv")
+        "tc",
+        F.col(id_col).alias("nbr_id"),
+        F.col(vec_col).alias("_nv"),
+        norm_col(F.col(vec_col)).alias("_nn"),
     )
     pairs = cand.join(F.broadcast(probes), "tc")
     if exclude_self:
         pairs = pairs.filter(F.col("src_id") != F.col("nbr_id"))
     qvecs = queries.select(
-        F.col(id_col).alias("_sid2"), F.col(vec_col).alias("_qv")
+        F.col(id_col).alias("_sid2"),
+        F.col(vec_col).alias("_qv"),
+        norm_col(F.col(vec_col)).alias("_qn"),
     )
     # cosine computes MAP-SIDE (query vectors rejoin by broadcast before
     # any exchange), so the fact shuffle carries (src_id, nbr_id,
@@ -793,7 +806,12 @@ def knn_join_from_sharded(
         .select(
             "src_id",
             "nbr_id",
-            F.round(cosine(F.col("_qv"), F.col("_nv")), 6).alias("cos_sim"),
+            F.round(
+                cosine_with_norms(
+                    F.col("_qv"), F.col("_nv"), F.col("_qn"), F.col("_nn")
+                ),
+                6,
+            ).alias("cos_sim"),
         )
         .groupBy("src_id", "nbr_id")
         .agg(F.max("cos_sim").alias("cos_sim"))

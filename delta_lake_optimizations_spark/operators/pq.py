@@ -60,18 +60,38 @@ def pq_train(
     if sample_fraction is not None:
         base = base.sample(fraction=sample_fraction, seed=seed)
     base = base.cache()
-    codebooks: list[list[list[float]]] = []
-    try:
-        for sub in range(m):
-            sub_df = base.select(
-                array_to_vector(F.slice(F.col("_v"), sub * dsub + 1, dsub)).alias(
-                    "__features"
-                )
+
+    # r11 (guide §2.6 "overlap independent jobs"): the M per-subspace
+    # fits are INDEPENDENT seeded jobs over the same cached frame, but
+    # the sequential loop left most of local[32] idle through each fit's
+    # straggler tail (KMeans runs ~a dozen small aggregation rounds per
+    # fit, each with a sync barrier). Materialize the cache once, then
+    # run the fits from a small thread pool so each fit's barriers
+    # back-fill the others' idle cores. Bit-identical codebooks: each
+    # fit sees the same materialized partitions, same seed, same
+    # treeAggregate topology — concurrency changes scheduling, not the
+    # arithmetic (pinned by tests/test_pq.py equality vs the index
+    # twins).
+    def fit_sub(sub: int) -> list[list[float]]:
+        sub_df = base.select(
+            array_to_vector(F.slice(F.col("_v"), sub * dsub + 1, dsub)).alias(
+                "__features"
             )
-            model = KMeans(
-                k=ksub, seed=seed + sub, featuresCol="__features"
-            ).fit(sub_df)
-            codebooks.append([[float(x) for x in c] for c in model.clusterCenters()])
+        )
+        model = KMeans(k=ksub, seed=seed + sub, featuresCol="__features").fit(
+            sub_df
+        )
+        return [[float(x) for x in c] for c in model.clusterCenters()]
+
+    try:
+        base.count()  # materialize the cache before fanning out the fits
+        if m > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(m, 4)) as pool:
+                codebooks = list(pool.map(fit_sub, range(m)))
+        else:
+            codebooks = [fit_sub(0)]
     finally:
         base.unpersist()
     return codebooks

@@ -18,7 +18,13 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from delta_lake_optimizations_spark.catalog import load_table
-from delta_lake_optimizations_spark.queries.vectors import cosine, dot
+from delta_lake_optimizations_spark.queries.vectors import (
+    cosine,
+    cosine_with_norms,
+    dot,
+    l2_norm_py,
+    norm_col,
+)
 from delta_lake_optimizations_spark.registry import query
 
 # Unblocked (no block_col) pair generators are O(n^2) oracle baselines.
@@ -68,16 +74,26 @@ def embedding_dim(sf_dir: str, table: str = "embeddings", col: str = "embedding"
 
 def query_vector(spark: SparkSession, sf_dir: str, vec_id: int) -> list[float]:
     """Fetch one embedding to use as a query parameter (driver-side by
-    design — it is a query constant, not a data path)."""
-    row = (
-        load_table(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") == vec_id)
-        .select("embedding")
-        .first()
+    design — it is a query constant, not a data path).
+
+    r11: read via pyarrow with a row-group-pruned filter instead of a
+    Spark ``.first()`` job — every registered ANN query paid a whole
+    scheduled Spark job (~0.1-0.2 s of fixed latency at sf0.1) just to
+    fetch this constant before its real plan ran. Bit-identical values:
+    the stored column is float32 and both paths widen each element to an
+    IEEE double exactly."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    target = os.path.join(sf_dir, "embeddings.parquet")
+    tbl = pq.read_table(
+        target, columns=["embedding"], filters=[("vec_id", "==", vec_id)]
     )
+    row = tbl.column("embedding")[0] if tbl.num_rows else None
     if row is None:
         raise ValueError(f"vec_id {vec_id} not found in {sf_dir}")
-    return [float(x) for x in row[0]]
+    return [float(x) for x in row.values.to_pylist()]
 
 
 def topk_cosine(
@@ -94,7 +110,16 @@ def topk_cosine(
     partition keeps k rows, the driver merges; no full sort at 100 TB.
     """
     q = F.array(*[F.lit(float(v)) for v in query_vec])
-    sim = F.round(cosine(F.col(vec_col), q), 6)
+    # r11: the query-side norm is a CONSTANT the optimizer cannot fold
+    # (HOF aggregate), so the old cosine() re-folded it per row — a third
+    # of the per-row element ops. l2_norm_py is the bit-identical driver-
+    # side fold; per-row work is now dot + corpus-norm only.
+    sim = F.round(
+        cosine_with_norms(
+            F.col(vec_col), q, norm_col(F.col(vec_col)), F.lit(l2_norm_py(query_vec))
+        ),
+        6,
+    )
     return (
         df.select(F.col(id_col), sim.alias("cos_sim"))
         .orderBy(F.col("cos_sim").desc(), F.col(id_col))
@@ -152,14 +177,31 @@ def topk_cosine_batch(
     Scores/order match ``topk_cosine`` per query exactly (same double
     fold, same 6-dp round, same id tie-break)."""
     spark = df.sparkSession
+    # r11 norm-once: query norms computed driver-side (bit-identical fold,
+    # see l2_norm_py) ride the broadcast row; the corpus norm projects
+    # ONCE per corpus row BEFORE the crossJoin instead of once per
+    # (row, query) pair — per-pair work drops from 3x dim to the dot.
     qdf = spark.createDataFrame(
-        [(int(q), [float(x) for x in v]) for q, v in queries],
-        "qid long, _qv array<double>",
+        [
+            (int(q), [float(x) for x in v], l2_norm_py(v))
+            for q, v in queries
+        ],
+        "qid long, _qv array<double>, _qn double",
     )
-    scored = df.crossJoin(F.broadcast(qdf)).select(
-        "qid",
-        id_col,
-        F.round(cosine(F.col(vec_col), F.col("_qv")), 6).alias("cos_sim"),
+    scored = (
+        df.select(id_col, vec_col)
+        .withColumn("_vn", norm_col(F.col(vec_col)))
+        .crossJoin(F.broadcast(qdf))
+        .select(
+            "qid",
+            id_col,
+            F.round(
+                cosine_with_norms(
+                    F.col(vec_col), F.col("_qv"), F.col("_vn"), F.col("_qn")
+                ),
+                6,
+            ).alias("cos_sim"),
+        )
     )
     return topk_per_query(scored, k, "qid", id_col)
 
@@ -221,20 +263,29 @@ def cosine_near_dup_pairs(
     """
     if block_col is None:
         _guard_unblocked(df, "cosine_near_dup_pairs")
+    # r11 norm-once: per-side norms projected before the join (see
+    # queries/vectors.py::norm_col) — per-pair work is the dot alone.
     left = df.select(
         F.col(id_col).alias("_ida"),
         F.col(vec_col).alias("_va"),
+        norm_col(F.col(vec_col)).alias("_na"),
         *([F.col(block_col).alias("_blk")] if block_col else []),
     )
     right = df.select(
         F.col(id_col).alias("_idb"),
         F.col(vec_col).alias("_vb"),
+        norm_col(F.col(vec_col)).alias("_nb"),
         *([F.col(block_col).alias("_blk2")] if block_col else []),
     )
     cond = F.col("_ida") < F.col("_idb")
     if block_col:
         cond = cond & (F.col("_blk") == F.col("_blk2"))
-    sim = F.round(cosine(F.col("_va"), F.col("_vb")), 6)
+    sim = F.round(
+        cosine_with_norms(
+            F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb")
+        ),
+        6,
+    )
     return (
         left.join(right, cond)
         .select(
@@ -470,14 +521,17 @@ def knn_join(
     if block_col is None:
         _guard_unblocked(df, "knn_join")
 
+    # r11 norm-once: per-side norms projected before the join.
     left = df.select(
         F.col(id_col).alias("src_id"),
         F.col(vec_col).alias("_qv"),
+        norm_col(F.col(vec_col)).alias("_qn"),
         *([F.col(block_col).alias("_blk_l")] if block_col else []),
     )
     right = df.select(
         F.col(id_col).alias("nbr_id"),
         F.col(vec_col).alias("_nv"),
+        norm_col(F.col(vec_col)).alias("_nn"),
         *([F.col(block_col).alias("_blk_r")] if block_col else []),
     )
     cond = F.col("src_id") != F.col("nbr_id")
@@ -489,7 +543,12 @@ def knn_join(
         .select(
             "src_id",
             "nbr_id",
-            F.round(cosine(F.col("_qv"), F.col("_nv")), 6).alias("cos_sim"),
+            F.round(
+                cosine_with_norms(
+                    F.col("_qv"), F.col("_nv"), F.col("_qn"), F.col("_nn")
+                ),
+                6,
+            ).alias("cos_sim"),
         )
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
@@ -583,13 +642,20 @@ def knn_join_lsh_multitable(
             )
             b = b.bitwiseOR(F.shiftleft(bit, i))
         bucket_exprs.append(b)
+    # r11 norm-once: the norm projects once per input row (the posexplode
+    # duplicates the computed value, not the fold).
     coded = df.select(
         F.col(id_col),
         F.col(vec_col),
+        norm_col(F.col(vec_col)).alias("_vn"),
         F.posexplode(F.array(*bucket_exprs)).alias("tbl", "bucket"),
     )
     left = coded.select(
-        F.col(id_col).alias("src_id"), F.col(vec_col).alias("_qv"), "tbl", "bucket"
+        F.col(id_col).alias("src_id"),
+        F.col(vec_col).alias("_qv"),
+        F.col("_vn").alias("_qn"),
+        "tbl",
+        "bucket",
     )
     if probe_hamming > 0:
         masks = [0]
@@ -609,6 +675,7 @@ def knn_join_lsh_multitable(
     right = coded.select(
         F.col(id_col).alias("nbr_id"),
         F.col(vec_col).alias("_nv"),
+        F.col("_vn").alias("_nn"),
         F.col("tbl").alias("_tbl2"),
         F.col("bucket").alias("_bkt2"),
     )
@@ -619,13 +686,20 @@ def knn_join_lsh_multitable(
             & (F.col("bucket") == F.col("_bkt2"))
             & (F.col("src_id") != F.col("nbr_id")),
         )
-        .select("src_id", "nbr_id", "_qv", "_nv")
+        .select("src_id", "nbr_id", "_qv", "_nv", "_qn", "_nn")
         .dropDuplicates(["src_id", "nbr_id"])
     )
     w = Window.partitionBy("src_id").orderBy(F.col("cos_sim").desc(), F.col("nbr_id"))
     return (
         pairs.select(
-            "src_id", "nbr_id", F.round(cosine(F.col("_qv"), F.col("_nv")), 6).alias("cos_sim")
+            "src_id",
+            "nbr_id",
+            F.round(
+                cosine_with_norms(
+                    F.col("_qv"), F.col("_nv"), F.col("_qn"), F.col("_nn")
+                ),
+                6,
+            ).alias("cos_sim"),
         )
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
@@ -680,8 +754,17 @@ def hard_negatives(
 
     if block_col is None:
         _guard_unblocked(df, "hard_negatives")
-    left_cols = [F.col(id_col).alias("anchor_id"), F.col(vec_col).alias("_qv")]
-    right_cols = [F.col(id_col).alias("negative_id"), F.col(vec_col).alias("_nv")]
+    # r11 norm-once: per-side norms projected before the join.
+    left_cols = [
+        F.col(id_col).alias("anchor_id"),
+        F.col(vec_col).alias("_qv"),
+        norm_col(F.col(vec_col)).alias("_qn"),
+    ]
+    right_cols = [
+        F.col(id_col).alias("negative_id"),
+        F.col(vec_col).alias("_nv"),
+        norm_col(F.col(vec_col)).alias("_nn"),
+    ]
     if label_col:
         left_cols.append(F.col(label_col).alias("_la"))
         right_cols.append(F.col(label_col).alias("_lb"))
@@ -697,7 +780,12 @@ def hard_negatives(
     scored = pairs.select(
         "anchor_id",
         "negative_id",
-        F.round(cosine(F.col("_qv"), F.col("_nv")), 6).alias("cos_sim"),
+        F.round(
+            cosine_with_norms(
+                F.col("_qv"), F.col("_nv"), F.col("_qn"), F.col("_nn")
+            ),
+            6,
+        ).alias("cos_sim"),
     ).filter(F.col("cos_sim") < dup_threshold)
     w = Window.partitionBy("anchor_id").orderBy(
         F.col("cos_sim").desc(), F.col("negative_id")

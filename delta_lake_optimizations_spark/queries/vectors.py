@@ -37,6 +37,43 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (F.sqrt(l2_norm_sq(a)) * F.sqrt(l2_norm_sq(b)))
 
 
+def norm_col(col: Column) -> Column:
+    """``sqrt(l2_norm_sq)`` — exactly the per-side factor ``cosine`` uses.
+
+    Optimization seam (r11, guide §2.3 "shuffle fewer bytes"/§1.2 "the
+    distributed algorithm"): every per-PAIR cosine in a join recomputes
+    both sides' norms per pair — 3x dim fold work where the dot alone
+    needs dim. Projecting ``norm_col`` ONCE per side before the join and
+    dividing by the product gives bit-identical doubles (same fold, same
+    operand order, just evaluated once per row instead of once per pair).
+    """
+    return F.sqrt(l2_norm_sq(col))
+
+
+def cosine_with_norms(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """``cosine(a, b)`` with the two norm factors precomputed (see
+    ``norm_col``). ``na``/``nb`` MUST be ``norm_col`` of ``a``/``b`` in
+    the same operand order cosine() uses — pinned bit-exact by
+    tests/test_vector_norm_once.py."""
+    return dot(a, b) / (na * nb)
+
+
+def l2_norm_py(vec) -> float:
+    """Driver-side twin of ``norm_col`` for a LITERAL query vector:
+    left-to-right sequential fold in IEEE double — bit-identical to the
+    Spark fold over the same literal array (Python float IS an IEEE
+    double; ``math.sqrt`` is the same sqrt). Lets single-query paths pass
+    the query norm as one literal instead of re-folding a constant
+    per row (HOF aggregates are not constant-folded by Catalyst)."""
+    import math
+
+    acc = 0.0
+    for x in vec:
+        v = float(x)
+        acc += v * v
+    return math.sqrt(acc)
+
+
 # Perf note (measured, round 4, 100k x dim-64 corpus): expanding these
 # folds to element_at chains or balanced trees of plain arithmetic — to
 # dodge the CodegenFallback that F.aggregate/F.zip_with impose on their
