@@ -142,8 +142,12 @@ def _codes_pandas_udf(dim: int, n_tables: int, n_planes: int):
             np.float64
         )  # float -> double cast, exact (same as Spark's cast)
         acc = np.zeros((X.shape[0], total), dtype=np.float64)
+        tmp = np.empty_like(acc)
         for i in range(dim):  # left-to-right accumulation, matches the fold
-            acc = acc + X[:, i : i + 1] * planes[None, :, i]
+            # r11: out= forms — identical IEEE multiply/add per element,
+            # no per-step temporaries; measured ~2x on the fold kernel
+            np.multiply(X[:, i : i + 1], planes[None, :, i], out=tmp)
+            np.add(acc, tmp, out=acc)
         bits = acc >= 0.0
         out = np.zeros((X.shape[0], n_tables), dtype=np.int64)
         for t in range(n_tables):
@@ -391,6 +395,15 @@ def build_lsh_sharded_index(
     target-size parquet file."""
     from delta_lake_optimizations_spark.table import GraftTable
 
+    # r11 negative result (measured, OPTIMIZATION_r11.md): the build's
+    # dominant cost is the Arrow codes UDF evaluated TWICE — once by
+    # repartitionByRange's range-boundary sampling pass, once by the
+    # real shuffle (6.2 s of 13.3 s each at the 800k point). Persisting
+    # the exploded frame (MEMORY_AND_DISK) to dodge the second pass was
+    # tried and measured SLOWER (14.8 s vs 13.3 s): materializing ~3.7
+    # GB of postings into the columnar cache costs more than the UDF
+    # pass it saves. The fix that stuck is making each UDF pass itself
+    # ~2x cheaper (in-place fold in ``_codes_pandas_udf``).
     frame = lsh_exploded_index_frame(df, dim, n_tables, n_planes, id_col, vec_col)
     t = GraftTable(spark, path)
     t.write(

@@ -39,42 +39,12 @@ map-side), which is why stripping does NOT reuse the ranked frame.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from delta_lake_optimizations_spark.catalog import load_table
 from delta_lake_optimizations_spark.operators.dedup import tokenize
 from delta_lake_optimizations_spark.registry import query
-
-
-def _segments_array(text_col_expr, sep: str | None, window: int):
-    """Per-doc segment ARRAY, position-indexed — the doc-local twin of
-    ``segment_rows`` (r11): ``element_at(_segs, pos + 1)`` is segment
-    ``pos``. For the ``sep`` path the array keeps empty (dropped)
-    segments so positions still line up; callers must skip ``''``."""
-    if sep is not None:
-        return F.transform(
-            F.split(F.coalesce(text_col_expr, F.lit("")), sep),
-            lambda s: F.trim(s),
-        )
-    toks = tokenize(F.coalesce(text_col_expr, F.lit("")))
-    n = F.ceil(F.size(toks) / F.lit(float(window))).cast("int")
-    return F.when(
-        F.size(toks) > 0,
-        F.transform(
-            F.sequence(F.lit(0), n - 1),
-            lambda i: F.concat_ws(
-                " ", F.slice(toks, i * window + 1, window)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-
-
-def _n_segments(segs_arr, sep: str | None):
-    """Pre-dedup segment count per doc (``sep`` path: non-empty only)."""
-    if sep is not None:
-        return F.size(F.filter(segs_arr, lambda s: s != F.lit("")))
-    return F.size(segs_arr)
 
 
 def segment_rows(
@@ -88,27 +58,52 @@ def segment_rows(
     segment's ordinal within its document.
 
     ``sep`` given: structural split (regex), segments trimmed, empty
-    segments dropped (blank lines are separators, not content) — their
-    positions remain occupied so ``_pos`` is stable.
+    segments dropped (blank lines are separators, not content).
     ``sep`` None: fixed ``window``-token segments over the shared
-    ``tokenize`` convention; the tail segment may be shorter.
-
-    r11: the window path was posexplode + ``lead`` — whole-stage
-    codegen, but the window function forced an exchange + sort of EVERY
-    TOKEN by doc id before a single segment existed (guide §2.4). The
-    ``transform``/``slice`` form is doc-local and map-only; it evaluates
-    interpreted (CodegenFallback), but at one slice per ``window``
-    tokens that costs far less than shuffling the tokenized corpus
-    (measured in OPTIMIZATION_r11.md). Identical segments: concat_ws
-    skips the NULL leads exactly as it joins the short tail slice."""
-    segs_arr = _segments_array(F.col(text_col), sep, window)
-    rows = df.select(
-        F.col(id_col).alias("_id"),
-        F.posexplode(segs_arr).alias("_pos", "_seg"),
-    )
+    ``tokenize`` convention; the tail segment may be shorter. Built
+    with posexplode + lead (codegen) — see module docstring.
+    """
     if sep is not None:
-        rows = rows.filter(F.col("_seg") != "")
-    return rows
+        raw = df.select(
+            F.col(id_col).alias("_id"),
+            F.posexplode(
+                F.split(F.coalesce(F.col(text_col), F.lit("")), sep)
+            ).alias("_pos", "_raw"),
+        )
+        return raw.select("_id", "_pos", F.trim("_raw").alias("_seg")).filter(
+            F.col("_seg") != ""
+        )
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(tokenize(F.coalesce(F.col(text_col), F.lit("")))).alias(
+            "_pos", "_t0"
+        ),
+    )
+    w = Window.partitionBy("_id").orderBy("_pos")
+    leads = toks.select(
+        "_id",
+        "_pos",
+        F.concat_ws(
+            " ", "_t0", *[F.lead("_t0", j).over(w) for j in range(1, window)]
+        ).alias("_seg"),
+    )
+    return leads.filter(F.col("_pos") % window == 0).select(
+        "_id",
+        (F.col("_pos") / window).cast("int").alias("_pos"),
+        "_seg",
+    )
+
+
+def _reassemble(kept: DataFrame, join_sep: str) -> DataFrame:
+    """Per-doc ordered re-join of kept segments: ``(_id, n_kept, _text)``.
+    collect_list is not order-stable — sort the (pos, seg) structs."""
+    return kept.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.array_sort(F.collect_list(F.struct("_pos", "_seg")))["_seg"],
+            join_sep,
+        ).alias("_text"),
+    )
 
 
 def dedup_paragraphs(
@@ -121,48 +116,30 @@ def dedup_paragraphs(
     """Corpus-wide first-seen-wins segment dedup, reassembled:
     ``(id_col, n_segments, n_kept, dedup_text)`` for every document
     with >= 1 segment. ``n_segments`` counts the doc's segments before
-    dedup; docs stripped to nothing keep ``dedup_text = ''``.
-
-    r11 rewrite (guide §2.3/§2.5, plans in plans/r11): was a
-    row_number window over the segment key (skew-prone on a mega-hot
-    segment — the module docstring's own warning) followed by a
-    groupBy(doc) whose collect_list shuffled every surviving segment's
-    TEXT a second time. First-seen-wins is just ``min(struct(id, pos))``
-    per segment — a hash aggregate with map-side partial combine
-    (skew-immune), after which the winning positions aggregate to ONE
-    compact row per doc and reassembly is a doc-local position lookup
-    into the segment array. Segment text now crosses exactly one
-    exchange (inside the min-aggregate); nothing token- or text-shaped
-    is shuffled for reassembly. Output identical: the rn=1 row of
-    (ORDER BY id, pos) IS the min struct."""
+    dedup; docs stripped to nothing keep ``dedup_text = ''``."""
     segs = segment_rows(df, id_col, text_col, sep=sep, window=window)
+    w = Window.partitionBy("_seg").orderBy("_id", "_pos")
+    ranked = segs.withColumn("_rn", F.row_number().over(w))
     join_sep = " " if sep is None else (sep if len(sep) == 1 else "\n")
-    kept = (
-        segs.groupBy("_seg")
-        .agg(F.min(F.struct("_id", "_pos")).alias("_f"))
-        .select(F.col("_f._id").alias("_id"), F.col("_f._pos").alias("_pos"))
-        .groupBy("_id")
-        .agg(F.sort_array(F.collect_list("_pos")).alias("_keep"))
-    )
-    segs_arr = _segments_array(F.col(text_col), sep, window)
-    base = df.select(
-        F.col(id_col).alias("_id"),
-        segs_arr.alias("_segs"),
-        _n_segments(segs_arr, sep).cast("long").alias("n_segments"),
-    ).filter(F.col("n_segments") > 0)
-    return base.join(kept, "_id", "left").select(
-        F.col("_id").alias(id_col),
-        "n_segments",
-        F.coalesce(F.size("_keep"), F.lit(0)).cast("long").alias("n_kept"),
-        F.coalesce(
+    return (
+        ranked.groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum(F.when(F.col("_rn") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
             F.array_join(
-                F.transform(
-                    F.col("_keep"), lambda p: F.element_at(F.col("_segs"), p + 1)
-                ),
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("_rn") == 1, F.struct("_pos", "_seg"))
+                    )
+                )["_seg"],
                 join_sep,
-            ),
-            F.lit(""),
-        ).alias("dedup_text"),
+            ).alias("dedup_text"),
+        )
+        .select(
+            F.col("_id").alias(id_col), "n_segments", "n_kept", "dedup_text"
+        )
     )
 
 
@@ -199,17 +176,9 @@ def strip_boilerplate(
 ) -> DataFrame:
     """Remove EVERY occurrence of boilerplate segments (>= ``min_docs``
     distinct docs), reassemble: ``(id_col, n_segments, n_removed,
-    clean_text)``. The boilerplate set comes from a hash aggregate —
-    skew-immune (the hot segment collapses map-side).
-
-    r11 rewrite (guide §2.3): was a per-segment anti-join followed by a
-    collect_list reassembly that shuffled every surviving segment's text
-    by doc id. Now only the DROPPED positions travel — the semi-join
-    against the (small, AQE-broadcastable) boilerplate set marks
-    occurrences, those positions aggregate to one compact row per doc,
-    and reassembly is a doc-local indexed filter over the segment array.
-    n_removed = count of dropped occurrences, exactly the old
-    ``n_segments - n_kept``."""
+    clean_text)``. Anti-join against the aggregated boilerplate set —
+    skew-immune (the hot segment collapses map-side in the aggregate)
+    and AQE broadcasts the set when it is small."""
     segs = segment_rows(df, id_col, text_col, sep=sep, window=window)
     boiler = (
         segs.groupBy("_seg")
@@ -217,31 +186,20 @@ def strip_boilerplate(
         .filter(F.col("_nd") >= min_docs)
         .select("_seg")
     )
-    dropped = (
-        segs.join(boiler, "_seg", "left_semi")
-        .groupBy("_id")
-        .agg(F.sort_array(F.collect_list("_pos")).alias("_drop"))
-    )
+    kept = segs.join(boiler, "_seg", "left_anti")
     join_sep = " " if sep is None else (sep if len(sep) == 1 else "\n")
-    segs_arr = _segments_array(F.col(text_col), sep, window)
-    base = df.select(
-        F.col(id_col).alias("_id"),
-        segs_arr.alias("_segs"),
-        _n_segments(segs_arr, sep).cast("long").alias("n_segments"),
-    ).filter(F.col("n_segments") > 0)
-    drop_arr = F.coalesce(F.col("_drop"), F.array().cast("array<int>"))
-    keep_pred = (
-        (lambda s, i: ~F.array_contains(drop_arr, i) & (s != F.lit("")))
-        if sep is not None
-        else (lambda s, i: ~F.array_contains(drop_arr, i))
-    )
-    return base.join(dropped, "_id", "left").select(
-        F.col("_id").alias(id_col),
-        "n_segments",
-        F.coalesce(F.size("_drop"), F.lit(0)).cast("long").alias("n_removed"),
-        F.array_join(F.filter(F.col("_segs"), keep_pred), join_sep).alias(
-            "clean_text"
-        ),
+    totals = segs.groupBy("_id").agg(F.count(F.lit(1)).alias("n_segments"))
+    rebuilt = _reassemble(kept, join_sep)
+    return (
+        totals.join(rebuilt, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            "n_segments",
+            (F.col("n_segments") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+            F.coalesce(F.col("_text"), F.lit("")).alias("clean_text"),
+        )
     )
 
 

@@ -88,7 +88,7 @@ def pq_train(
         if m > 1:
             from concurrent.futures import ThreadPoolExecutor
 
-            with ThreadPoolExecutor(max_workers=min(m, 4)) as pool:
+            with ThreadPoolExecutor(max_workers=min(m, 8)) as pool:
                 codebooks = list(pool.map(fit_sub, range(m)))
         else:
             codebooks = [fit_sub(0)]
