@@ -39,30 +39,36 @@ def word_ngrams(text_col: Column, n: int) -> Column:
 def _word_gram_rows(
     df: DataFrame, id_col: str, text_col: str, n: int, keep_pos: bool = False
 ) -> DataFrame:
-    """``word_ngrams`` as ROWS via posexplode + window lead — identical
-    gram strings (same single-space tokenizer, full n-grams only, none
-    for short docs) without the interpreted transform/slice cost per gram
-    (the dedup._gram_rows lesson: ~10x on the corpus-wide explode).
-    ``keep_pos`` adds the gram's 0-based start position as ``_p`` (the
-    span-decontamination path needs it)."""
-    from pyspark.sql import Window
+    """``word_ngrams`` as ROWS, DOC-LOCAL (r12, the dedup ``_gram_rows``
+    rewrite): tokenize once per doc, explode the gram start positions,
+    ``slice``/``array_join`` each gram out of the carried token array —
+    identical gram strings (same single-space tokenizer, full n-grams
+    only, none for short docs) with ZERO shuffles. The prior posexplode +
+    window ``lead`` form shuffled and sorted every token by ``_id``
+    before a single gram existed; ``slice``/``array_join`` are plain
+    expressions (not lambda HOFs), so nothing evaluates per element and
+    nothing re-tokenizes. NULL text: ``size(NULL) -> NULL`` routes to the
+    empty-array branch, dropping the doc exactly as posexplode of a NULL
+    array did. ``keep_pos`` adds the gram's 0-based start position as
+    ``_p`` (the span-decontamination path needs it)."""
+    from delta_lake_optimizations_spark.operators.dedup import spread_doc_rows
 
-    toks = df.select(
-        F.col(id_col).alias("_id"),
-        F.posexplode(F.split(F.col(text_col), " ")).alias("_pos", "_t0"),
-    )
-    w = Window.partitionBy("_id").orderBy("_pos")
-    leads = toks.select(
+    toks_df = spread_doc_rows(
+        df.select(F.col(id_col).alias("_id"), F.col(text_col)), "_id"
+    ).select(
         "_id",
-        "_pos",
-        F.concat_ws(
-            " ", "_t0", *[F.lead("_t0", j).over(w) for j in range(1, n)]
-        ).alias("gram"),
-        F.lead("_t0", n - 1).over(w).alias("_full"),
+        F.split(F.col(text_col), " ").alias("_toks"),
     )
+    sz = F.size("_toks")
+    positions = F.when(sz >= n, F.sequence(F.lit(0), sz - n)).otherwise(
+        F.array().cast("array<integer>")
+    )
+    rows = toks_df.select("_id", "_toks", F.explode(positions).alias("_pos"))
     pos_cols = [F.col("_pos").alias("_p")] if keep_pos else []
-    return leads.filter(F.col("_full").isNotNull()).select(
-        F.col("_id").alias(id_col), *pos_cols, "gram"
+    return rows.select(
+        F.col("_id").alias(id_col),
+        *pos_cols,
+        F.array_join(F.slice("_toks", F.col("_pos") + 1, n), " ").alias("gram"),
     )
 
 

@@ -97,6 +97,30 @@ def tokenize(col: Column) -> Column:
     return F.split(light_normalize(col), r"\s+")
 
 
+def spread_doc_rows(df: DataFrame, key_col: str) -> DataFrame:
+    """Scale-adaptive input spreading for doc-local enumeration stages
+    (r12). The doc-local gram/segment forms put ALL their work in the
+    scan stage — correct at 100 TB where input splits >> cores, but a
+    small corpus stored as one parquet row group plans as ONE split, so
+    the whole enumeration would serialize on a many-core machine (the
+    old window forms were accidentally immune: their token exchange
+    redistributed the work). When the scan's planned parallelism is
+    materially below the session default, hash-repartition the slim doc
+    rows once on the id (deterministic, no round-robin pre-sort); when
+    input splits already provide the parallelism this is a no-op plan-
+    wise. The condition derives from the INPUT, not from a local[32]
+    constant."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    try:
+        n = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    if n * 2 <= target:
+        return df.repartition(target, F.col(key_col))
+    return df
+
+
 def token_ngrams(col: Column, n: int) -> Column:
     """Distinct word n-grams as space-joined strings."""
     toks = tokenize(col)
@@ -188,49 +212,73 @@ def _gram_rows(
     short_gram: bool = True,
     keep_pos: bool = False,
 ) -> DataFrame:
-    """Word n-grams as ROWS (``_id, _gram``), built with posexplode +
-    window ``lead`` instead of the ``transform``/``slice`` higher-order
-    functions: the HOF form evaluates interpreted (CodegenFallback) per
-    gram — measured 40 s just to enumerate 2.6M grams at sf1, 85% of the
-    whole MinHash runtime — while tokens-explode + lead is plain codegen
-    (~10x faster) and produces BIT-IDENTICAL gram strings (asserted in
-    tests/test_ann_and_components.py), hence identical signatures.
+    """Word n-grams as ROWS (``_id, _gram``), built DOC-LOCALLY with
+    explode(sequence) + ``slice``/``array_join`` (plain expressions, no
+    lambda): tokenize once per doc, explode the gram START POSITIONS, and
+    slice each gram out of the carried token array — zero shuffles, so
+    every downstream per-doc aggregate gets a map-side partial combine
+    and the exchange ships per-doc partials instead of every token.
+
+    History of this function (both prior forms measured):
+
+    - ``transform``/``slice`` HOF: interpreted (CodegenFallback) AND the
+      lambda re-evaluates captured subtrees per element — 40 s just to
+      enumerate 2.6M grams at sf1.
+    - posexplode + window ``lead`` (r7-r11): codegen'd per-gram work, but
+      the window's ``partitionBy(_id)`` shuffled and sorted EVERY TOKEN of
+      the corpus before a single gram existed — at sf5 that token-shaped
+      exchange dominated minhash/LM-score runtime.
+    - explode(sequence) + ``slice`` (r12): per-gram work is the same
+      O(n) slice+join the ``lead`` form paid via concat_ws, but the
+      exchange is GONE — grams materialize in the scan stage. Note the
+      generator carries the token array through the Generate, which is
+      fine (rows stream through codegen, nothing materializes), and the
+      lambda-HOF trap does not apply: ``slice``/``array_join`` are plain
+      expressions, not lambdas, so nothing re-evaluates per element.
+
+    Gram STRINGS are bit-identical to both prior forms (asserted in
+    tests/test_ann_and_components.py): full n-grams at positions
+    0..size-n (``slice`` of exactly n tokens, ``array_join`` with a
+    single space == concat_ws), plus the single short gram for docs with
+    fewer than n tokens (position-0 ``slice`` caps at the array end,
+    exactly like concat_ws skipping the NULL leads).
 
     Gram multiset semantics match ``token_ngrams`` minus the distinct:
-    full n-grams at positions 0..size-n, plus the single short gram for
-    docs with fewer than n tokens (``pos == 0`` row, concat_ws skipping
-    the NULL leads). MinHash takes per-permutation minima, so duplicate
-    grams cannot change a signature and the distinct is unnecessary.
+    MinHash takes per-permutation minima, so duplicate grams cannot
+    change a signature and the distinct is unnecessary.
     """
-    from pyspark.sql import Window
-
-    toks = df.select(
-        F.col(id_col).alias("_id"),
-        *[F.col(c) for c in keep],
-        # NULL text behaves like '' (one empty gram), exactly as the
-        # token_ngrams path does — posexplode of a NULL array would
-        # instead DROP the document from dedup entirely
-        F.posexplode(tokenize(F.coalesce(F.col(text_col), F.lit("")))).alias(
-            "_pos", "_t0"
-        ),
+    base = spread_doc_rows(
+        df.select(F.col(id_col).alias("_id"), *[F.col(c) for c in keep], F.col(text_col)),
+        "_id",
     )
-    w = Window.partitionBy("_id").orderBy("_pos")
-    leads = toks.select(
+    toks_df = base.select(
         "_id",
         *keep,
-        "_pos",
-        F.concat_ws(
-            " ", "_t0", *[F.lead("_t0", j).over(w) for j in range(1, n)]
-        ).alias("_gram"),
-        F.lead("_t0", n - 1).over(w).alias("_full"),
+        # NULL text behaves like '' (one empty gram), exactly as the
+        # token_ngrams path does — tokenize of NULL would instead DROP
+        # the document from dedup entirely
+        tokenize(F.coalesce(F.col(text_col), F.lit(""))).alias("_toks"),
     )
-    cond = F.col("_full").isNotNull()
+    sz = F.size("_toks")
+    full = F.sequence(F.lit(0), sz - n)  # evaluated only when sz >= n
     if short_gram:
         # docs with fewer than n tokens contribute their single short
         # gram (token_ngrams semantics); span-profile callers drop it
-        cond = cond | (F.col("_pos") == 0)
+        positions = F.when(sz >= n, full).otherwise(F.array(F.lit(0)))
+    else:
+        positions = F.when(sz >= n, full).otherwise(
+            F.array().cast("array<integer>")
+        )
+    rows = toks_df.select(
+        "_id", *keep, "_toks", F.explode(positions).alias("_pos")
+    )
     pos_cols = ("_pos",) if keep_pos else ()
-    return leads.filter(cond).select("_id", *keep, *pos_cols, "_gram")
+    return rows.select(
+        "_id",
+        *keep,
+        *pos_cols,
+        F.array_join(F.slice("_toks", F.col("_pos") + 1, n), " ").alias("_gram"),
+    )
 
 
 def minhash_signatures(
@@ -756,9 +804,17 @@ def repeated_span_profile(
     no cross-engine parity is needed). Two shuffles total: one hash
     aggregate for repeat counts, one join+aggregate back per doc.
     """
+    # r12: _gram_rows is now doc-local (no exchange), and ``sh`` has TWO
+    # consumers (the repeat-count aggregate and the join back) — without
+    # an exchange to reuse, each consumer would re-enumerate and re-hash
+    # every shingle from the scan. One explicit repartition on the
+    # consumer key materializes the SLIM (id, digest) rows once; the
+    # aggregate reuses the partitioning outright and the join is
+    # co-partitioned (ReusedExchange on the hash rows, not a token
+    # shuffle).
     sh = _gram_rows(df, id_col, text_col, k, short_gram=False).select(
         F.col("_id").alias(id_col), F.md5("_gram").alias("h")
-    )
+    ).repartition(F.col("h"))
     rep = (
         sh.groupBy("h")
         .agg(F.count(F.lit(1)).alias("_c"))
@@ -841,13 +897,17 @@ def remove_repeated_spans(
     mega-hot shingle concentrates its occurrence rows at the join back,
     which is the irreducible output of marking those positions.
     """
+    # r12: same two-consumer reuse note as repeated_span_profile — one
+    # explicit repartition on the shingle digest materializes the slim
+    # (id, pos, digest) rows once; the canonical-occurrence aggregate
+    # reuses the partitioning and the join back is co-partitioned.
     sh = _gram_rows(
         df, id_col, text_col, k, short_gram=False, keep_pos=True
     ).select(
         F.col("_id").alias(id_col),
         F.col("_pos").alias("_p"),
         F.md5("_gram").alias("_h"),
-    )
+    ).repartition(F.col("_h"))
     firsts = sh.groupBy("_h").agg(
         F.count(F.lit(1)).alias("_c"),
         F.min(F.struct(F.col(id_col), F.col("_p"))).alias("_first"),
@@ -886,7 +946,11 @@ def drop_covered_tokens(
     only shuffle, of start positions — bytes, not tokens) and joining
     that to the doc frame lets one Arrow pass rebuild each document with
     a linear difference-array sweep. Token arrays cross the boundary
-    once, map-side; nothing token-shaped is ever shuffled. Output is
+    once, map-side; the doc join is AQE-broadcastable (per_doc carries
+    only affected docs' position lists — when it outgrows the broadcast
+    threshold Spark falls back to shuffling the doc frame once, still
+    strictly fewer token-shaped exchanges than the old three-exchange
+    tail). Output is
     byte-identical: the kept tokens in position order joined with a
     single space is exactly what the collect_list/array_sort/array_join
     chain produced (pinned by the dedup_remove_repeated_spans /
@@ -895,9 +959,13 @@ def drop_covered_tokens(
     per_doc = starts.groupBy(id_col).agg(
         F.sort_array(F.collect_list(F.col("_p").cast("long"))).alias("_ps")
     )
-    joined = df.select(F.col(id_col), toks.alias("_toks")).join(
-        per_doc, id_col, "left"
-    )
+    # r12: spread the doc side before tokenizing — on a single-split local
+    # corpus the Arrow rebuild otherwise runs as ONE task (see
+    # spread_doc_rows); the tokenize then also runs post-shuffle in
+    # parallel. toks may reference text_col, so spread the raw row first.
+    joined = spread_doc_rows(df, id_col).select(
+        F.col(id_col), toks.alias("_toks")
+    ).join(per_doc, id_col, "left")
 
     def rebuild(batches):
         import numpy as np
@@ -912,7 +980,11 @@ def drop_covered_tokens(
                     kept = tl
                 else:
                     diff = np.zeros(n + 1, dtype=np.int64)
-                    pa = np.asarray(ps, dtype=np.int64)
+                    # clip starts into [0, n]: a start at n covers nothing
+                    # (the old anti-join silently ignored out-of-range
+                    # positions; current producers only emit in-range
+                    # starts, but this helper is shared)
+                    pa = np.minimum(np.asarray(ps, dtype=np.int64), n)
                     np.add.at(diff, pa, 1)
                     np.add.at(diff, np.minimum(pa + k, n), -1)
                     covered = np.cumsum(diff[:n]) > 0

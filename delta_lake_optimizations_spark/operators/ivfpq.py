@@ -192,12 +192,16 @@ def _sq8_train(df: DataFrame, vec_col: str) -> tuple[list[float], list[float]]:
     dim-row-wide single-row result; the explode and its exchange are
     gone. Dim comes from one row (driver-side metadata read)."""
     first = df.select(vec_col).first()
-    if first is None:
+    if first is None or first[0] is None:
         return [], []
     dim = len(first[0])
     aggs = []
     for d in range(dim):
-        e = F.col(vec_col)[d].cast("double")
+        # F.get is null-safe (out-of-range/NULL -> NULL, which min/max
+        # skip) — keeps the old posexplode form's tolerance of ragged or
+        # null vectors in malformed corpora, where ANSI-mode [] indexing
+        # would fail the whole build with INVALID_ARRAY_INDEX
+        e = F.get(F.col(vec_col), F.lit(d)).cast("double")
         aggs.append(F.min(e).alias(f"mn{d}"))
         aggs.append(F.max(e).alias(f"mx{d}"))
     row = df.agg(*aggs).first()
@@ -262,10 +266,19 @@ def build_ivfpq_index(
         sample_fraction=sample_fraction,
     )
     centroids = _round_centroids(raw_centroids)
-    encoded, books = _train_and_encode(
-        assigned, centroids, m, ksub, vec_col, seed, sample_fraction
-    )
-    vmin, scale = _sq8_train(df, vec_col)
+    # r12 (VERDICT r11 #8, guide §2.6): _sq8_train is one map-side-partial
+    # aggregate over the raw corpus, independent of the PQ codebook fits —
+    # submit it from a driver thread so its tasks back-fill the executor
+    # slots the barrier-synchronized KMeans rounds leave idle. Results are
+    # unchanged (the two jobs share no state; min/max are order-free).
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=1) as _pool:
+        sq8_future = _pool.submit(_sq8_train, df, vec_col)
+        encoded, books = _train_and_encode(
+            assigned, centroids, m, ksub, vec_col, seed, sample_fraction
+        )
+        vmin, scale = sq8_future.result()
     encoded = encoded.withColumn("sq8", _sq8_encode_col(vec_col, vmin, scale))
     t = GraftTable(spark, path)
     t.write(

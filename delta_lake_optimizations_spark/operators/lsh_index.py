@@ -376,6 +376,89 @@ def lsh_exploded_index_frame(
     )
 
 
+def _partition_tokens(spark: SparkSession, n_parts: int) -> list[int]:
+    """For each target partition ``p`` in [0, n_parts), the smallest long
+    ``t`` with ``pmod(hash(t), n_parts) == p`` — so hash-repartitioning on
+    the token column places each token's rows in exactly partition ``p``
+    (a bijection; no two shard ranges collide into one partition and no
+    partition comes out empty, the guide §2.5 synthetic-key hazard).
+    ``F.hash`` is Spark's Murmur3 — computed by one metadata-scale Spark
+    job over a candidate range instead of reimplementing the hash driver-
+    side. Deterministic."""
+    tokens: list[int | None] = [None] * n_parts
+    need, lo = n_parts, 0
+    while need:
+        cand = (
+            spark.range(lo, lo + 64 * n_parts)
+            .select("id", F.pmod(F.hash("id"), F.lit(n_parts)).alias("p"))
+            .collect()
+        )
+        for r in sorted(cand, key=lambda r: r["id"]):
+            if tokens[r["p"]] is None:
+                tokens[r["p"]] = r["id"]
+                need -= 1
+                if not need:
+                    break
+        lo += 64 * n_parts
+    return tokens  # type: ignore[return-value]
+
+
+def _tc_shard_token_map(
+    spark: SparkSession,
+    df: DataFrame,
+    dim: int,
+    n_tables: int,
+    n_planes: int,
+    n_shards: int,
+    id_col: str,
+    vec_col: str,
+) -> tuple[list[int], int] | None:
+    """Deterministic shard mapping for the whole ``tc`` domain
+    [0, n_tables << n_planes): a SAMPLED bucket histogram (the codes UDF
+    runs over ~20k rows, not the corpus) is split driver-side into
+    ``n_shards`` contiguous equal-weight tc ranges, and every tc gets the
+    partition TOKEN of its range (see ``_partition_tokens``). Returns
+    ``(token_by_tc, n_parts)`` or None for an empty input. Equal-count
+    contiguous ranges over a seeded sample are exactly what
+    ``repartitionByRange``'s reservoir sampling produced — minus its full
+    evaluation of the child plan (the expensive codes UDF) just to pick
+    boundaries."""
+    cnt = df.count()  # cheap: no UDF in this plan
+    if cnt == 0:
+        return None
+    fraction = min(1.0, max(0.01, 20000.0 / cnt))
+    sample = df.sample(fraction=fraction, seed=20260818) if fraction < 1.0 else df
+    hist = (
+        lsh_exploded_index_frame(sample, dim, n_tables, n_planes, id_col, vec_col)
+        .groupBy("tc")
+        .count()
+        .collect()
+    )
+    if not hist:
+        return None
+    counts = sorted((int(r["tc"]), int(r["count"])) for r in hist)
+    n_parts = max(1, min(n_shards, len(counts)))
+    total = float(sum(c for _, c in counts))
+    # walk tc in order, advancing to the next shard when the cumulative
+    # weight crosses the next equal-count cut — same contiguous ranges a
+    # range partitioner derives from its sample
+    cuts: list[int] = []  # first tc of shard s+1
+    acc, s = 0.0, 0
+    for tc, c in counts:
+        if s + 1 < n_parts and acc >= (s + 1) * total / n_parts:
+            cuts.append(tc)
+            s += 1
+        acc += c
+    tokens = _partition_tokens(spark, n_parts)
+    domain = n_tables << n_planes
+    token_by_tc: list[int] = []
+    import bisect
+
+    for tc in range(domain):
+        token_by_tc.append(tokens[bisect.bisect_right(cuts, tc)])
+    return token_by_tc, n_parts
+
+
 def build_lsh_sharded_index(
     spark: SparkSession,
     df: DataFrame,
@@ -387,27 +470,50 @@ def build_lsh_sharded_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ):
-    """Materialize the sharded index: range-partition the postings by
-    ``tc`` into ``n_shards`` contiguous shards, sort within each
+    """Materialize the sharded index: partition the postings by ``tc``
+    into ``n_shards`` contiguous shards, sort within each
     (``graft.cluster.by`` — map-side, no extra shuffle), one commit-logged
     write. File count scales with corpus size (``n_shards`` per rewrite),
     probe IO stays O(probed buckets) — size shards so one shard ~= one
     target-size parquet file."""
     from delta_lake_optimizations_spark.table import GraftTable
 
-    # r11 negative result (measured, OPTIMIZATION_r11.md): the build's
-    # dominant cost is the Arrow codes UDF evaluated TWICE — once by
-    # repartitionByRange's range-boundary sampling pass, once by the
-    # real shuffle (6.2 s of 13.3 s each at the 800k point). Persisting
-    # the exploded frame (MEMORY_AND_DISK) to dodge the second pass was
-    # tried and measured SLOWER (14.8 s vs 13.3 s): materializing ~3.7
-    # GB of postings into the columnar cache costs more than the UDF
-    # pass it saves. The fix that stuck is making each UDF pass itself
-    # ~2x cheaper (in-place fold in ``_codes_pandas_udf``).
+    # r11 history (measured, OPTIMIZATION_r11.md): with repartitionByRange
+    # the build's dominant cost was the Arrow codes UDF evaluated TWICE —
+    # once by the range-boundary reservoir-sampling pass (which evaluates
+    # the ENTIRE child plan), once by the real shuffle (6.2 s of 13.3 s
+    # each at the 800k point). Persisting the exploded frame to dodge the
+    # second pass measured SLOWER (14.8 vs 13.3 s — cache materialization
+    # of ~3.7 GB of postings costs more than the UDF pass it saves).
+    # r12 (VERDICT r11 #3, guide §2): derive the contiguous tc ranges from
+    # a SAMPLED histogram (UDF over ~20k rows) + a deterministic
+    # tc -> partition-token lookup, and hash-repartition on the token —
+    # the full-corpus codes UDF now runs exactly once, feeding the write's
+    # exchange directly. Same contiguous-range file layout (probe file
+    # skipping unchanged), same per-shard sort via graft.cluster.by.
     frame = lsh_exploded_index_frame(df, dim, n_tables, n_planes, id_col, vec_col)
+    mapping = _tc_shard_token_map(
+        spark, df, dim, n_tables, n_planes, n_shards, id_col, vec_col
+    )
+    if mapping is not None:
+        token_by_tc, n_parts = mapping
+        frame = (
+            frame.withColumn(
+                "_shard_tok",
+                # cast matters: lit() of small ints infers array<int>, and
+                # Murmur3(int32) != Murmur3(int64) — the tokens were chosen
+                # by hashing LONGs, so the partitioning column must be long
+                F.element_at(
+                    F.lit(token_by_tc).cast("array<long>"),
+                    F.col("tc").cast("int") + 1,
+                ),
+            )
+            .repartition(n_parts, "_shard_tok")
+            .drop("_shard_tok")
+        )
     t = GraftTable(spark, path)
     t.write(
-        frame.repartitionByRange(n_shards, "tc"),
+        frame,
         mode="overwrite",
         properties={
             "graft.lsh.nTables": str(n_tables),

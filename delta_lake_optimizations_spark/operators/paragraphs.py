@@ -61,7 +61,15 @@ def segment_rows(
     segments dropped (blank lines are separators, not content).
     ``sep`` None: fixed ``window``-token segments over the shared
     ``tokenize`` convention; the tail segment may be shorter. Built
-    with posexplode + lead (codegen) — see module docstring.
+    DOC-LOCALLY (r12): tokenize once per doc, explode the segment
+    ordinals, ``slice``/``array_join`` each segment out of the carried
+    token array — zero shuffles (the prior posexplode + ``lead`` window
+    shuffled and sorted every token by ``_id`` first; slice/array_join
+    are plain expressions, not lambda HOFs, so nothing re-evaluates per
+    element — the r11 transform/slice trap does not apply). Segment
+    strings are byte-identical: a full window is exactly ``window``
+    tokens space-joined; the tail ``slice`` caps at the array end the
+    same way concat_ws skipped the NULL leads.
     """
     if sep is not None:
         raw = df.select(
@@ -73,24 +81,27 @@ def segment_rows(
         return raw.select("_id", "_pos", F.trim("_raw").alias("_seg")).filter(
             F.col("_seg") != ""
         )
-    toks = df.select(
-        F.col(id_col).alias("_id"),
-        F.posexplode(tokenize(F.coalesce(F.col(text_col), F.lit("")))).alias(
-            "_pos", "_t0"
-        ),
+    from delta_lake_optimizations_spark.operators.dedup import spread_doc_rows
+
+    toks_df = spread_doc_rows(
+        df.select(F.col(id_col).alias("_id"), F.col(text_col)), "_id"
+    ).select(
+        "_id",
+        tokenize(F.coalesce(F.col(text_col), F.lit(""))).alias("_toks"),
     )
-    w = Window.partitionBy("_id").orderBy("_pos")
-    leads = toks.select(
+    # tokenize never returns an empty array (split of '' is ['']), so every
+    # doc has >= 1 segment and the ordinal sequence 0..ceil(sz/window)-1 is
+    # always non-empty — no empty-branch guard needed.
+    nseg = F.ceil(F.size("_toks") / F.lit(window)).cast("int")
+    rows = toks_df.select(
+        "_id", "_toks", F.explode(F.sequence(F.lit(0), nseg - 1)).alias("_pos")
+    )
+    return rows.select(
         "_id",
         "_pos",
-        F.concat_ws(
-            " ", "_t0", *[F.lead("_t0", j).over(w) for j in range(1, window)]
+        F.array_join(
+            F.slice("_toks", F.col("_pos") * window + 1, window), " "
         ).alias("_seg"),
-    )
-    return leads.filter(F.col("_pos") % window == 0).select(
-        "_id",
-        (F.col("_pos") / window).cast("int").alias("_pos"),
-        "_seg",
     )
 
 
@@ -106,6 +117,72 @@ def _reassemble(kept: DataFrame, join_sep: str) -> DataFrame:
     )
 
 
+def _rebuild_from_positions(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    per_doc: DataFrame,
+    window: int,
+    out_cols: tuple[str, str, str],
+    positions_are_kept: bool,
+) -> DataFrame:
+    """Shared Arrow rebuild tail for the token-window paragraph paths
+    (the shape that won for span removal, OPTIMIZATION_r11.md change 3):
+    ``per_doc`` is ``(_id, _ps)`` — the doc's KEPT (dedup) or REMOVED
+    (strip) segment ordinals, sorted — produced by a slim positions-only
+    shuffle. One ``mapInPandas`` pass re-derives each doc's segments from
+    its token array (tokenized in the JVM, so Java-regex semantics are
+    preserved; the array crosses Arrow once, map-side) and emits
+    ``(id, n_segments, <n_kept|n_removed>, <text>)``. Docs absent from
+    ``per_doc`` get an empty position list."""
+    from delta_lake_optimizations_spark.operators.dedup import spread_doc_rows
+
+    id_type = dict(df.dtypes)[id_col]
+    n_col, cnt_col, text_out = out_cols
+    joined = spread_doc_rows(
+        df.select(F.col(id_col).alias("_id"), F.col(text_col)), "_id"
+    ).select(
+        "_id",
+        tokenize(F.coalesce(F.col(text_col), F.lit(""))).alias("_toks"),
+    ).join(per_doc, "_id", "left")
+
+    def rebuild(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, nsegs, cnts, texts = [], [], [], []
+            for i, toks, ps in zip(pdf["_id"], pdf["_toks"], pdf["_ps"]):
+                tl = list(toks)
+                nseg = (len(tl) + window - 1) // window
+                marked = set() if ps is None else set(int(p) for p in ps)
+                if positions_are_kept:
+                    chosen = sorted(marked)
+                    cnt = len(chosen)
+                else:
+                    chosen = [p for p in range(nseg) if p not in marked]
+                    cnt = nseg - len(chosen)
+                ids.append(i)
+                nsegs.append(nseg)
+                cnts.append(cnt)
+                texts.append(
+                    " ".join(
+                        " ".join(tl[p * window : (p + 1) * window])
+                        for p in chosen
+                    )
+                )
+            yield pd.DataFrame(
+                {"_id": ids, n_col: nsegs, cnt_col: cnts, text_out: texts}
+            )
+
+    return joined.mapInPandas(
+        rebuild,
+        schema=(
+            f"_id {id_type}, {n_col} bigint, {cnt_col} bigint, "
+            f"{text_out} string"
+        ),
+    ).withColumnRenamed("_id", id_col)
+
+
 def dedup_paragraphs(
     df: DataFrame,
     id_col: str,
@@ -116,11 +193,36 @@ def dedup_paragraphs(
     """Corpus-wide first-seen-wins segment dedup, reassembled:
     ``(id_col, n_segments, n_kept, dedup_text)`` for every document
     with >= 1 segment. ``n_segments`` counts the doc's segments before
-    dedup; docs stripped to nothing keep ``dedup_text = ''``."""
+    dedup; docs stripped to nothing keep ``dedup_text = ''``.
+
+    Token-window path (r12, VERDICT r11 #4 — the shape that won for span
+    removal): segment rows are doc-local (``segment_rows``), the
+    first-seen decision is a ``min(struct(id, pos))`` HASH aggregate on
+    the segment key (skew-immune map-side partial combine; identical to
+    the old ``row_number() == 1`` since the window ordered by exactly
+    ``(_id, _pos)``), winners collapse to a slim per-doc KEPT-ordinal
+    list (bytes, not text), and one Arrow pass rebuilds each document
+    from its own token array. Segment text crosses exactly ONE exchange
+    (the decision aggregate, pre-combined map-side) instead of two
+    full-text shuffles (rank window + reassembly groupBy)."""
+    if sep is None:
+        segs = segment_rows(df, id_col, text_col, sep=None, window=window)
+        winners = segs.groupBy("_seg").agg(
+            F.min(F.struct("_id", "_pos")).alias("_w")
+        )
+        per_doc = (
+            winners.select(F.col("_w._id").alias("_id"), F.col("_w._pos").alias("_p"))
+            .groupBy("_id")
+            .agg(F.sort_array(F.collect_list("_p")).alias("_ps"))
+        )
+        return _rebuild_from_positions(
+            df, id_col, text_col, per_doc, window,
+            ("n_segments", "n_kept", "dedup_text"), positions_are_kept=True,
+        )
     segs = segment_rows(df, id_col, text_col, sep=sep, window=window)
     w = Window.partitionBy("_seg").orderBy("_id", "_pos")
     ranked = segs.withColumn("_rn", F.row_number().over(w))
-    join_sep = " " if sep is None else (sep if len(sep) == 1 else "\n")
+    join_sep = sep if len(sep) == 1 else "\n"
     return (
         ranked.groupBy("_id")
         .agg(
@@ -176,18 +278,43 @@ def strip_boilerplate(
 ) -> DataFrame:
     """Remove EVERY occurrence of boilerplate segments (>= ``min_docs``
     distinct docs), reassemble: ``(id_col, n_segments, n_removed,
-    clean_text)``. Anti-join against the aggregated boilerplate set —
-    skew-immune (the hot segment collapses map-side in the aggregate)
-    and AQE broadcasts the set when it is small."""
+    clean_text)``. The boilerplate set is an aggregate — skew-immune (the
+    hot segment collapses map-side) — and AQE broadcasts it when small.
+
+    Token-window path (r12, same shape as ``dedup_paragraphs``): the
+    per-occurrence decision is a semi-join of segment rows against the
+    boilerplate set yielding slim REMOVED ordinals ``(_id, _pos)``; one
+    Arrow pass rebuilds each doc from its token array. The old tail
+    (anti-join -> per-doc totals aggregate -> collect_list reassembly)
+    shuffled full segment text a second time; nothing text-shaped
+    shuffles here beyond the decision aggregate itself."""
     segs = segment_rows(df, id_col, text_col, sep=sep, window=window)
+    if sep is None:
+        # doc-local segment rows have no exchange to reuse, and segs has
+        # TWO consumers (the boilerplate aggregate and the per-occurrence
+        # semi-join) — repartition once on the segment key so both reuse
+        # one exchange: the aggregate inherits the partitioning, the
+        # semi-join is co-partitioned
+        segs = segs.repartition(F.col("_seg"))
     boiler = (
         segs.groupBy("_seg")
         .agg(F.countDistinct("_id").alias("_nd"))
         .filter(F.col("_nd") >= min_docs)
         .select("_seg")
     )
+    if sep is None:
+        per_doc = (
+            segs.join(boiler, "_seg", "left_semi")
+            .groupBy("_id")
+            .agg(F.sort_array(F.collect_list("_pos")).alias("_ps"))
+        )
+        return _rebuild_from_positions(
+            df, id_col, text_col, per_doc, window,
+            ("n_segments", "n_removed", "clean_text"),
+            positions_are_kept=False,
+        )
     kept = segs.join(boiler, "_seg", "left_anti")
-    join_sep = " " if sep is None else (sep if len(sep) == 1 else "\n")
+    join_sep = sep if len(sep) == 1 else "\n"
     totals = segs.groupBy("_id").agg(F.count(F.lit(1)).alias("n_segments"))
     rebuilt = _reassemble(kept, join_sep)
     return (

@@ -86,6 +86,12 @@ def query_vector(spark: SparkSession, sf_dir: str, vec_id: int) -> list[float]:
 
     import pyarrow.parquet as pq
 
+    # NOTE: ``target`` may be a single parquet FILE (the base corpora) or
+    # a parquet DIRECTORY (scaled corpora from scripts/make_sfx.py).
+    # ``pq.read_table`` handles both — dataset discovery accepts
+    # directories and skips _SUCCESS via its default ignore_prefixes —
+    # which is an explicit dependency here, mirrored from
+    # ``embedding_dim``'s isdir branch above.
     target = os.path.join(sf_dir, "embeddings.parquet")
     tbl = pq.read_table(
         target, columns=["embedding"], filters=[("vec_id", "==", vec_id)]

@@ -1,6 +1,7 @@
 #!/usr/bin/env python
 """Capture .explain("formatted") for the headline queries (and any extra
-registry names passed on the command line) into plans/r11/<name>_<tag>.txt.
+registry names passed on the command line) into
+plans/$SPARK_GRAFT_PLANS_ROUND/<name>_<tag>.txt (default r12).
 
 Usage: python scripts/capture_plans.py <tag> [name ...]
 
@@ -26,7 +27,7 @@ def main() -> None:
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r11",
+        os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r12"),
     )
     os.makedirs(out_dir, exist_ok=True)
 

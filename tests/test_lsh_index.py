@@ -372,3 +372,85 @@ def test_knn_join_from_sharded_plan_and_equality(spark, tmp_path):
         "cosine must sit below the exchange (deeper in the plan tree), "
         "not above it"
     )
+
+
+def test_sharded_build_contiguous_balanced_deterministic(spark, tmp_path):
+    """r12 single-UDF-pass sharded build (VERDICT r11 #3): the histogram-
+    derived token mapping must reproduce repartitionByRange's defining
+    layout property — every file covers a CONTIGUOUS, NON-OVERLAPPING tc
+    range (that is what probe file-skipping rides) — stay balanced on a
+    skewed bucket distribution (up to the unsplittable hot key), be
+    deterministic across rebuilds, and plan as a HASH exchange (no
+    rangepartitioning = no sampling pass re-evaluating the codes UDF)."""
+    from delta_lake_optimizations_spark.operators.lsh_index import (
+        build_lsh_sharded_index,
+        lsh_exploded_index_frame,
+        _tc_shard_token_map,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    dim = embedding_dim(SF_DIR)
+    # skew the bucket distribution: one vector replicated 300x -> one hot
+    # tc per table on top of the organic spread
+    hot = emb.limit(1).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    skewed = emb.unionByName(
+        hot.crossJoin(F.broadcast(
+            spark.range(300).select(F.col("id").alias("_r"))
+        )).select((F.col("vec_id") + F.col("_r")).alias("vec_id"), "embedding")
+    )
+
+    def ranges_of(t):
+        out = []
+        for f in t.snapshot().files:
+            st = f.stats
+            out.append((
+                int(st["minValues"]["tc"]),
+                int(st["maxValues"]["tc"]),
+                int(f.num_records),
+            ))
+        return sorted(out)
+
+    t1 = build_lsh_sharded_index(
+        spark, skewed, os.path.join(tmp_path, "s1"), dim, n_shards=16
+    )
+    r1 = ranges_of(t1)
+    assert len(r1) >= 8
+    # contiguous & non-overlapping file ranges
+    for (_, hi_a, _), (lo_b, _, _) in zip(r1, r1[1:]):
+        assert hi_a < lo_b, r1
+    # balanced up to the unsplittable hot key: every shard is at most the
+    # hot-key posting count plus ~2 fair shares
+    recs = [r[2] for r in r1]
+    total = sum(recs)
+    hot_count = 301 * 1  # replicas+original of the hot vector, per table
+    assert max(recs) <= hot_count + 2 * total / len(recs), r1
+
+    # deterministic rebuild -> identical file ranges
+    t2 = build_lsh_sharded_index(
+        spark, skewed, os.path.join(tmp_path, "s2"), dim, n_shards=16
+    )
+    assert ranges_of(t2) == r1
+
+    # all postings present exactly once (the mapping is a partition of tc)
+    n_src = skewed.count()
+    from delta_lake_optimizations_spark.operators.lsh_index import N_TABLES_SHARDED
+    assert t1.load().count() == n_src * N_TABLES_SHARDED
+
+    # the write-side frame plans as a hash exchange on the shard token —
+    # rangepartitioning (whose boundary sampling re-evaluated the Arrow
+    # codes UDF over the full corpus) must be gone
+    mapping = _tc_shard_token_map(
+        spark, skewed, dim, 8, N_PLANES, 16, "vec_id", "embedding"
+    )
+    token_by_tc, n_parts = mapping
+    frame = lsh_exploded_index_frame(skewed, dim, 8, N_PLANES).withColumn(
+        "_shard_tok",
+        F.element_at(
+            F.lit(token_by_tc).cast("array<long>"), F.col("tc").cast("int") + 1
+        ),
+    ).repartition(n_parts, "_shard_tok")
+    plan = frame._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" not in plan.lower(), plan
+    assert "hashpartitioning" in plan.lower(), plan
