@@ -497,16 +497,20 @@ def build_lsh_sharded_index(
     )
     if mapping is not None:
         token_by_tc, n_parts = mapping
+        # Build the tc -> token lookup as ONE foldable expression:
+        # split of a single string literal, constant-folded by Catalyst
+        # into one array literal. (F.lit() of a 32768-element Python list
+        # costs ~13 s of py4j element-by-element plan construction —
+        # measured; the string form is microseconds.) The cast to long
+        # matters twice over: Murmur3(int32) != Murmur3(int64), and the
+        # partition tokens were chosen by hashing LONGs.
+        tok_arr = F.split(
+            F.lit(",".join(str(t) for t in token_by_tc)), ","
+        ).cast("array<long>")
         frame = (
             frame.withColumn(
                 "_shard_tok",
-                # cast matters: lit() of small ints infers array<int>, and
-                # Murmur3(int32) != Murmur3(int64) — the tokens were chosen
-                # by hashing LONGs, so the partitioning column must be long
-                F.element_at(
-                    F.lit(token_by_tc).cast("array<long>"),
-                    F.col("tc").cast("int") + 1,
-                ),
+                F.element_at(tok_arr, F.col("tc").cast("int") + 1),
             )
             .repartition(n_parts, "_shard_tok")
             .drop("_shard_tok")
