@@ -193,8 +193,15 @@ def html_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extract visible text from the synthetic HTML wrapping of every
     document; oracle builds the identical page and restates the full
     strip/decode/collapse cascade."""
+    from delta_lake_optimizations_spark.operators.dedup import spread_doc_rows
+
     documents = load_table(spark, sf_dir, "documents")
-    pages = documents.select(
+    # r12: the regex cascade is embarrassingly parallel, but a single-split
+    # local corpus plans the whole scan stage as ONE task — spread the doc
+    # rows when (and only when) the input can't feed the cores (measured:
+    # sf5 12.4 -> 1.5 s; a no-op at any real input size). The extraction
+    # operator itself stays exchange-free.
+    pages = spread_doc_rows(documents, "doc_id").select(
         "doc_id",
         synth_html(
             F.col("doc_id"), F.col("lang"), F.col("source"), F.col("text")

@@ -40,10 +40,16 @@ def curate_documents(
     features, and n_copies (how many exact duplicates it represents).
     Survivor = lowest id per distinct text (deterministic).
     """
+    from delta_lake_optimizations_spark.operators.dedup import spread_doc_rows
     from delta_lake_optimizations_spark.operators.textstats import (
         lang_expr,
         quality_exprs,
     )
+
+    # r12: the per-row featurization (regex/token expressions) runs in the
+    # scan stage; a single-split local corpus would serialize it on one
+    # task (no-op when input splits already provide parallelism)
+    docs = spread_doc_rows(docs, id_col)
 
     f = {**DEFAULT_FILTERS, **(filters or {})}
     # quality + lang features are pure per-row projections — computed

@@ -123,7 +123,12 @@ def normalize_text_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     only if Python's unicodedata NFC, the invisible-strip, and lower()
     agree byte-for-byte with DuckDB's nfc_normalize/regexp_replace/lower
     on every document."""
+    from delta_lake_optimizations_spark.operators.dedup import spread_doc_rows
+
     docs = load_table(spark, sf_dir, "documents")
+    # r12: the Arrow NFC pass is map-only; spread so a single-split local
+    # corpus doesn't serialize it on one task (no-op at real input sizes)
+    docs = spread_doc_rows(docs, "doc_id")
     return docs.select(
         "doc_id",
         normalize_text_col(

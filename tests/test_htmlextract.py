@@ -79,13 +79,31 @@ def test_extract_documents_line_counts(spark):
 
 
 def test_html_extract_plan_is_map_only(spark):
-    """The extraction chain must run at scan speed: 0 exchanges and no
-    Python evaluation anywhere in the physical plan."""
+    """The extraction chain must run at scan speed: no Python evaluation,
+    no joins/aggregates — at most ONE exchange, the conditional
+    spread_doc_rows repartition that un-serializes single-split local
+    corpora (r12; a no-op when input splits feed the cores). The
+    extraction OPERATOR itself stays exchange-free (second assertion,
+    on the raw operator)."""
     df = _DEFS["html_extract_text"].fn(spark, SF_DIR)
     s = plan_summary(df)
     text = df._jdf.queryExecution().executedPlan().toString()
-    assert s["exchanges"] == 0, "HTML extraction must be map-only"
+    assert s["exchanges"] <= 1, "HTML extraction must stay map-only"
     assert "BatchEvalPython" not in text and "ArrowEvalPython" not in text
+
+    from pyspark.sql import functions as F
+
+    from delta_lake_optimizations_spark.operators.htmlextract import (
+        extract_documents,
+    )
+
+    op = extract_documents(
+        spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+            "doc_id", F.col("text").alias("page")
+        ),
+        "page",
+    )
+    assert plan_summary(op)["exchanges"] == 0, "operator must be map-only"
 
 
 def test_html_extract_text_oracle_parity(spark, duck):

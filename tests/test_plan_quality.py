@@ -182,9 +182,12 @@ def test_cap_source_share_single_shuffle(spark):
 
 def test_repeated_spans_bounded_shuffles(spark):
     s = plan_summary(_DEFS["dedup_repeated_spans"].fn(spark, SF_DIR))
-    # digest aggregate + join-back + per-doc aggregate; AQE may insert
-    # one more coalesce exchange but never a per-row or funnel plan
-    assert s["exchanges"] <= 4, s["exchanges"]
+    # r12 shape: conditional doc spread + ONE digest repartition (reused
+    # by the repeat-count aggregate and the join back) + per-doc
+    # aggregate; AQE may insert one more coalesce exchange but never a
+    # per-row or funnel plan. Every exchange carries ids/digests/counts
+    # — nothing token-shaped.
+    assert s["exchanges"] <= 5, s["exchanges"]
     assert not s["single_partition"]
 
 
@@ -290,11 +293,13 @@ def test_ivfpq_probe_plan_is_single_scan_no_join(spark):
 
 
 def test_unicode_normalize_full_tier_map_only(spark):
-    """The NFC full tier is one Arrow stage: zero exchanges, no
-    sort-merge machinery — normalization must run at scan speed."""
+    """The NFC full tier is one Arrow stage: no joins/aggregates, at most
+    the ONE conditional spread repartition (r12 — un-serializes
+    single-split local corpora; no-op at real input sizes) —
+    normalization must run at scan speed."""
     df = _DEFS["normalize_text_docs"].fn(spark, SF_DIR)
     s = plan_summary(df)
-    assert s["exchanges"] == 0, s
+    assert s["exchanges"] <= 1, s
     assert s["sort_merge_joins"] == 0, s
 
 
