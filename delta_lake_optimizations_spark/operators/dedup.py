@@ -110,6 +110,10 @@ def spread_doc_rows(df: DataFrame, key_col: str) -> DataFrame:
     input splits already provide the parallelism this is a no-op plan-
     wise. The condition derives from the INPUT, not from a local[32]
     constant."""
+    if df.isStreaming:
+        # micro-batch frames have no static partition plan to inspect;
+        # the streaming runner owns parallelism
+        return df
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     try:

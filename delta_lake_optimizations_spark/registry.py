@@ -157,6 +157,25 @@ DRIVER_WINDOW = 50
 #   bpe_roundtrip_consistency (r7-r10 greens; the BPE family keeps
 #     bpe_pack_documents + bpe_pack_sizes in-window).
 _DRIVER_PRIORITY: tuple[str, ...] = (
+    # Round 12 rotation (established pattern): three promotions riding
+    # this round's doc-local gram/segment rewrite, so the driver
+    # re-verifies the rewritten enumeration against DuckDB from three
+    # more angles —
+    #   lm_perplexity_scores (bigram LM over the rewritten _gram_rows;
+    #     rotated out in r10, back while the gram path is fresh),
+    #   dedup_ngram_jaccard (exact n-gram Jaccard pairs: gram rewrite +
+    #     the reused-distinct exchange),
+    #   decontam_ngram_overlap (_word_gram_rows rewrite, doc-level
+    #     decontamination form).
+    # Rotated out for them (all r9-r11 multi-round greens; the media
+    # family — untouched this round — keeps multimodal_decode_consistency,
+    # image_phash_near_dup, audio_fingerprint_near_dup and
+    # multimodal_real_media_decode in-window):
+    #   image_cross_format_near_dup, video_gif_near_dup,
+    #   audio_spectral_near_dup.
+    "lm_perplexity_scores",
+    "dedup_ngram_jaccard",
+    "decontam_ngram_overlap",
     # NEW round 11 (oracle-backed, see rotation note above)
     "table_checkpoint_pruned_scan",
     "delta_dv_import_ids",
@@ -189,14 +208,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # codecs new this round), not payload bytes. Rotated out for it:
     # boilerplate_segments_profile (r6-r8 greens; the paragraph family
     # keeps paragraph_dedup_docs + strip_boilerplate_docs in-window).
-    "image_cross_format_near_dup",
-    # NEW round 9 (mid-round, oracle-backed): video near-dup over
-    # animated GIFs — stdlib multi-frame decode, per-frame aHash,
-    # banded frame-pair candidates, clip pairs covering >= half the
-    # shorter clip; ground truth includes a TRIMMED copy. Rotated out:
-    # decontam_ngram_overlap (r3-r8 greens; the decontam family keeps
-    # the indexed pair + broadcast twin in-window).
-    "video_gif_near_dup",
+    # [r12: image_cross_format_near_dup rotated out after r9-r11 greens
+    #  — see the round-12 rotation note at the top]
+    # [r12: video_gif_near_dup rotated out after r9-r11 greens — see the
+    #  round-12 rotation note at the top]
     # NEW round 9 (mid-round, oracle-backed): SURGICAL span-level
     # decontamination — contaminated spans are cut, not whole docs
     # (broadcast benchmark grams -> coverage union -> reassembly via
@@ -211,7 +226,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # spectrally-rich non-stationary fixture corpus. Rotated out:
     # quality_classifier_scores (r5-r8 greens; the quality family keeps
     # the strictly-stronger TRAINED variant in-window).
-    "audio_spectral_near_dup",
+    # [r12: audio_spectral_near_dup rotated out after r9-r11 greens —
+    #  see the round-12 rotation note at the top]
     # r8 debutantes re-verified (second driver row): the replication-
     # proof near-dup SCALE path (rows-only) + its oracle-backed
     # survivor-set equality twin

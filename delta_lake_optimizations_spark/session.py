@@ -23,10 +23,14 @@ def _default_driver_mem() -> str:
     and the 8-core scaling run died in BroadcastExchange ("Not enough
     memory to build and broadcast the table") inside an 8 GB JVM that the
     same data barely fits at 32 GB. The heap must scale with the DATA the
-    session processes, not with parallelism: floor at 16g (the measured
-    full-bench working set fits with headroom), add 1 GB/thread above 16
-    threads, cap at half the machine's RAM so the JVM still starts on
-    small hosts. SPARK_GRAFT_DRIVER_MEM overrides for either direction."""
+    session processes, not with parallelism: floor at 24g — measured, not
+    guessed: a FRESH 16g/8-core session runs the heaviest single block
+    (the sf5 pair-enumerating minhash reference) fine, but a full
+    end-to-end 8-core bench session accumulates broadcast/cache churn
+    across ~5000 stages and still died in BroadcastExchange at 16g; 24g
+    carries the whole run. Add 1 GB/thread above 24 threads, cap at half
+    the machine's RAM so the JVM still starts on small hosts.
+    SPARK_GRAFT_DRIVER_MEM overrides for either direction."""
     cores = int(os.environ.get("SPARK_GRAFT_CPUS") or os.cpu_count() or 8)
     half_ram_gb = None
     try:
@@ -35,7 +39,7 @@ def _default_driver_mem() -> str:
         half_ram_gb = max(1, (page * phys) // (2 * 1024**3))
     except (ValueError, OSError, AttributeError):
         pass
-    gb = max(16, cores)
+    gb = max(24, cores)
     if half_ram_gb is not None:
         gb = max(2, min(gb, half_ram_gb))
     return f"{gb}g"

@@ -3,6 +3,8 @@ union-find ground truth on the collected edge list (small at test SF)."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from delta_lake_optimizations_spark.catalog import load_table
@@ -102,6 +104,7 @@ def test_knn_join_exact_is_symmetric_topk(spark):
     assert all(sorted(v, reverse=True) == v for v in per_src.values())
 
 
+@pytest.mark.slow  # recall/property battery; floors also gated by bench
 def test_knn_join_lsh_recall_and_candidate_bound(spark):
     from delta_lake_optimizations_spark.operators.similarity import (
         knn_join_exact,
@@ -169,6 +172,7 @@ def _clustered_vectors(spark, n_clusters=20, per_cluster=20, dim=32, sigma=0.5):
     )
 
 
+@pytest.mark.slow  # recall/property battery; floors also gated by bench
 def test_lsh_multiprobe_recall_on_clustered_vectors(spark):
     """Multi-probe multi-table LSH must reach recall >= 0.8 of the exact
     3-NN pairs on clustered vectors while evaluating < 25% of the n^2
@@ -200,6 +204,7 @@ def test_lsh_multiprobe_recall_on_clustered_vectors(spark):
     assert frac < 0.25, f"candidate fraction={frac:.3f}"
 
 
+@pytest.mark.slow  # recall/property battery; floors also gated by bench
 def test_ivf_knn_join_recall_on_clustered_vectors(spark):
     """IVF-cell-blocked k-NN join: recall >= 0.8 on clustered vectors at
     < 25% of the pair space — true neighbours share a Voronoi cell."""
@@ -247,6 +252,7 @@ def test_unblocked_quadratic_baselines_refuse_large_input(spark):
     cosine_near_dup_pairs(blocked, threshold=0.9, block_col="blk")
 
 
+@pytest.mark.slow  # recall/property battery; floors also gated by bench
 def test_hard_negatives_exact_properties_and_lsh_overlap(spark):
     """Hard negatives must never be same-label or near-duplicate; the
     LSH-mined variant must recover most of the exact miner's pairs (the
@@ -276,6 +282,7 @@ def test_hard_negatives_exact_properties_and_lsh_overlap(spark):
     assert recall >= 0.6, f"hard-negative LSH recall={recall:.3f}"
 
 
+@pytest.mark.slow  # recall/property battery; floors also gated by bench
 def test_pagerank_matches_python_power_iteration(spark):
     """Distributed PageRank must match a driver-side power iteration on
     the collected edge list to 1e-6, and ranks must sum to ~1."""
@@ -468,6 +475,7 @@ def test_ivf_index_compaction_after_appends(spark, tmp_path):
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow  # recall/property battery; floors also gated by bench
 def test_minhash_scaled_survivors_invariant_under_replication(spark):
     """Exact replicas must not change the survivor set: replicate every
     document 4x at higher ids — the composed path collapses them before

@@ -5,6 +5,8 @@ registered bpe_pack_documents / bpe_roundtrip_consistency oracles.)"""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from delta_lake_optimizations_spark.operators.bpe import (
@@ -124,6 +126,7 @@ _WORD = st.text(
 _TEXT = st.lists(_WORD, min_size=0, max_size=12).map(" ".join)
 
 
+@pytest.mark.slow  # property sweep; operator covered by the fast bpe tests
 @settings(max_examples=40, deadline=None, suppress_health_check=list(HealthCheck))
 @given(corpus=st.lists(_TEXT, min_size=1, max_size=6), n_merges=st.integers(0, 30))
 def test_bpe_roundtrip_property(spark, corpus, n_merges):
@@ -165,6 +168,7 @@ def test_bpe_roundtrip_property(spark, corpus, n_merges):
     ref_texts=st.lists(_TEXT, min_size=1, max_size=4),
     doc_texts=st.lists(_TEXT, min_size=1, max_size=4),
 )
+@pytest.mark.slow  # property sweep; operator covered by the fast bpe tests
 def test_backoff_scores_bounded_property(spark, ref_texts, doc_texts):
     """Stupid-backoff scores are bounded: every level's S is <= 1
     (trigram ratio <= 1; 0.4 * bigram ratio <= 0.4; the smoothed unigram

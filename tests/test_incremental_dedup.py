@@ -4,6 +4,8 @@ two-batch query is in tests/test_oracle_parity.py."""
 
 from __future__ import annotations
 
+import pytest
+
 import os
 
 from pyspark.sql import functions as F
@@ -254,6 +256,7 @@ def _race_ingest_worker(args):
         spark.stop()
 
 
+@pytest.mark.slow  # two-process race rigs
 def test_two_process_race_admits_shared_fingerprint_once(spark, tmp_path):
     """Two REAL OS processes (fresh interpreters, own JVMs) ingest
     concurrent batches that both contain the same brand-new text — they
@@ -284,6 +287,7 @@ def test_two_process_race_admits_shared_fingerprint_once(spark, tmp_path):
     assert store.ingested_batches() == {"b1", "b2"}
 
 
+@pytest.mark.slow  # two-process race rigs
 def test_two_process_race_under_conditional_put_logstore(spark, tmp_path):
     """The SAME two-process serializability race, with both writers'
     commit protocol pinned to the object-store backend (VERDICT r09 #3:

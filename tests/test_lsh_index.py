@@ -4,6 +4,8 @@ ANN, and the cost shape (no dot products at query time)."""
 
 from __future__ import annotations
 
+import pytest
+
 import os
 
 from pyspark.sql import functions as F
@@ -26,6 +28,7 @@ from delta_lake_optimizations_spark.operators.similarity import (
 from .conftest import SF_DIR
 
 
+@pytest.mark.slow  # equality twins also driver-checked in-window
 def test_indexed_ann_equals_inline_multiprobe(spark, tmp_path):
     """Same planes -> same codes -> identical candidate set and result."""
     emb = load_table(spark, SF_DIR, "embeddings")
@@ -110,6 +113,7 @@ def test_vectorized_codes_bit_identical_to_expression_fold(spark):
         assert got == want, f"vec {vid}: vectorized codes diverge"
 
 
+@pytest.mark.slow  # equality twins also driver-checked in-window
 def test_sharded_index_equals_inline_h1(spark, tmp_path):
     """Sharded probe (one tc-IN pruned load) must return exactly the
     inline multi-probe result at the same (tables, planes, Hamming<=1)
@@ -313,6 +317,7 @@ def test_sharded_ranked_probe_returns_topk_from_probed_buckets(spark, tmp_path):
     assert set(ids) <= cand
 
 
+@pytest.mark.slow  # equality twins also driver-checked in-window
 def test_knn_join_from_sharded_plan_and_equality(spark, tmp_path):
     """Batch k-NN join from the index: equals the inline multi-table
     self-join at the same dial, index side broadcast-joined (never

@@ -22,6 +22,7 @@ def test_query_matches_oracle(spark, duck, name):
     compare_spark_duckdb(df, duck, qdef.oracle)
 
 
+@pytest.mark.slow  # schema lint over every registered query; plan construction alone builds ANN indexes
 @pytest.mark.parametrize("name", sorted(_DEFS))
 def test_no_decimal_output_columns(spark, name):
     """Registry lint (VERDICT r03 #9): the driver's value canonicalizer hashes

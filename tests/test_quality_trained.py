@@ -6,6 +6,8 @@ scorer."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from delta_lake_optimizations_spark.catalog import load_table
@@ -60,6 +62,7 @@ def test_fit_converges_on_separable_fixture(spark):
     assert w["punct_ratio"] < 0
 
 
+@pytest.mark.slow  # extra GD fits; convergence fit stays fast
 def test_fit_loss_decreases(spark):
     """More GD steps must not hurt the separable fit: accuracy at 60
     iters >= accuracy at 5 iters (monotone-ish convergence proxy that is
@@ -83,6 +86,7 @@ def test_fit_loss_decreases(spark):
     assert acc(60) >= acc(5) - 1e-9
 
 
+@pytest.mark.slow  # extra GD fits; convergence fit stays fast
 def test_standardization_foldback(spark):
     """fit_logistic returns RAW-feature weights: scoring raw features
     with them equals scoring standardized features with the internal

@@ -4,6 +4,8 @@ refactor can't silently rotate a family out of driver verification."""
 
 from __future__ import annotations
 
+import pytest
+
 import pyspark.sql.types as T
 
 from delta_lake_optimizations_spark.registry import (
@@ -36,6 +38,7 @@ def test_window_prefers_oracle_backed_queries():
     assert len(no_oracle_in_window) <= 10, no_oracle_in_window
 
 
+@pytest.mark.slow  # constructs all 50 window frames (includes index builds)
 def test_driver_window_has_no_complex_columns(spark):
     """The driver canonicalizes results through pandas ``sort_values``, which
     raises ``unhashable type: 'list'`` on array/map cells (and sorts struct

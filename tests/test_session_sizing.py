@@ -20,7 +20,7 @@ def test_driver_mem_floors_on_workload_not_cores(monkeypatch):
     half = _half_ram_gb()
     for cores in (1, 4, 8, 16):
         monkeypatch.setenv("SPARK_GRAFT_CPUS", str(cores))
-        expect = max(2, min(16, half))
+        expect = max(2, min(24, half))
         assert _default_driver_mem() == f"{expect}g", cores
 
 
